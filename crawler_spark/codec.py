@@ -1,0 +1,80 @@
+"""Deterministic fake image codec.
+
+The container has no real image libraries (PIL/opencv), so per the build
+contract the *decode* step is a clearly-marked deterministic fake: a tiny
+header + pixel-byte payload. What matters — and is real — is the Spark-side
+plumbing (binary columns, Arrow-batched vectorized decode, PSNR math on
+decoded pixel arrays, caption byte-equality) demanded by BASELINE.json's
+``input_hint``: decoded-pixel allclose with PSNR >= 40 dB for lossy formats.
+
+Formats:
+  * ``png``  — lossless: payload is the raw uint8 pixel buffer.
+  * ``jpg``  — lossy: pixels are quantized to steps of Q=4 before encoding,
+    which bounds per-pixel error to Q/2 and yields PSNR ~= 42 dB — above the
+    40 dB gate, below lossless — so the verify UDF's PSNR math is exercised
+    for real on both sides of the threshold.
+
+Header layout (little-endian): magic 4s | fmt 3s | w uint16 | h uint16 | c uint8.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"FIMG"
+_HDR = struct.Struct("<4s3sHHB")
+JPG_Q = 4  # quantization step for the lossy path
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, c) uint8 pixel array. STUB CODEC (see module doc):
+    deterministic, reversible up to jpg quantization."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3:
+        raise ValueError("pixels must be (h, w, c) uint8")
+    h, w, c = pixels.shape
+    if fmt == "jpg":
+        payload = ((pixels.astype(np.uint16) // JPG_Q) * JPG_Q + JPG_Q // 2)
+        payload = np.minimum(payload, 255).astype(np.uint8)
+    elif fmt == "png":
+        payload = pixels
+    else:
+        raise NotImplementedError(f"real codec for format {fmt!r} not available in this container")
+    return _HDR.pack(MAGIC, fmt.encode().ljust(3), w, h, c) + payload.tobytes()
+
+
+def decode(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode bytes -> ((h, w, c) uint8 array, fmt). STUB CODEC."""
+    magic, fmt_b, w, h, c = _HDR.unpack_from(data, 0)
+    if magic != MAGIC:
+        raise NotImplementedError("real image decode not available in this container")
+    fmt = fmt_b.rstrip(b" ").decode()
+    arr = np.frombuffer(data, dtype=np.uint8, offset=_HDR.size)
+    return arr.reshape(h, w, c).copy(), fmt
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 pixel arrays."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10((255.0 * 255.0) / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Tiny deterministic perceptual hash: 8x8 block-mean > global-mean bits.
+    Signed 64-bit to fit Spark LongType."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    blocks = np.zeros((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[i * bh : (i + 1) * bh, j * bw : (j + 1) * bw].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val

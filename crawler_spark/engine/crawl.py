@@ -1,0 +1,103 @@
+"""The crawl driver loop: batch-iterative rounds over DataFrame state.
+
+Mirrors the reference's outer loops (`crawler/src/runner/search.rs:69-94`,
+`run.rs:57-71`): a driver-side while-loop where every arrow inside a round is
+a Catalyst-planned DataFrame op (engine/round.py). Rounds commit atomically
+through the StateStore (checkpoint/resume); lineage counters accumulate per
+round (`run.rs:189-203` analog).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..oracle import LINEAGE_COLS, CrawlConfig
+from . import round as round_mod
+from .state import StateStore
+
+
+@dataclass
+class CrawlResult:
+    trace: pd.DataFrame
+    seen: pd.DataFrame
+    lineage: pd.DataFrame
+    rounds: int
+    wall_s: float
+    store: StateStore
+    fetched_df: DataFrame | None = None
+    extras: dict = field(default_factory=dict)
+
+
+def crawl(
+    spark: SparkSession,
+    raw_world: dict[str, DataFrame],
+    cfg: CrawlConfig,
+    state_dir: str | None = None,
+    resume: bool = False,
+    seen_prefilter=None,
+    with_payload: bool = False,
+    collect_outputs: bool = True,
+) -> CrawlResult:
+    """Run the crawl to completion (frontier empty) or cfg.max_rounds.
+
+    seen_prefilter: optional BloomSeenFilter (engine/seen_filter.py).
+    with_payload: join fetched rows against the corpus (the S5 "fetch" —
+        payload bytes enter the fetched table).
+    """
+    t0 = time.monotonic()
+    world = round_mod.prepare_world(spark, raw_world, cfg)
+    world.pages = world.pages.persist()
+    world.links = world.links.persist()
+    world.pages.count(), world.links.count()  # materialize static graph once
+
+    store = StateStore(spark, state_dir)
+    if resume and store.rounds:
+        frontier = store.frontier()
+        r = store.last_round()
+        if seen_prefilter is not None:
+            seen_prefilter.rebuild(store.seen())
+    else:
+        frontier = round_mod.seeds_frontier(spark, raw_world["seeds"], world, cfg)
+        frontier = frontier.localCheckpoint(eager=True)
+        r = 0
+
+    n_frontier = frontier.count()
+    while n_frontier > 0 and r < cfg.max_rounds:
+        r += 1
+        res = round_mod.run_round(
+            spark, frontier, store.seen(), world, cfg, r, seen_prefilter=seen_prefilter
+        )
+        fetched = res.fetched
+        if with_payload and world.corpus is not None:
+            fetched = fetched.join(F.broadcast(world.corpus), "image_id").select(
+                "round", "url_id", "url", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+            )
+        store.commit_round(r, res.frontier, res.seen_delta, res.trace, fetched, res.lineage)
+        res.release()
+        frontier = store.frontier()
+        n_frontier = frontier.count()
+
+    wall = time.monotonic() - t0
+    if collect_outputs:
+        trace = store.traces().orderBy("round", "seq").toPandas()
+        seen = store.seen().select("url_id", "status", "round").orderBy("url_id").toPandas()
+    else:
+        trace = pd.DataFrame(columns=["round", "seq", "url_id"])
+        seen = pd.DataFrame(columns=["url_id", "status", "round"])
+    lineage = pd.DataFrame(store.lineage_rows(), columns=LINEAGE_COLS)
+    world.pages.unpersist()
+    world.links.unpersist()
+    return CrawlResult(
+        trace=trace,
+        seen=seen,
+        lineage=lineage,
+        rounds=r,
+        wall_s=wall,
+        store=store,
+        fetched_df=store.fetched(),
+    )

@@ -1,0 +1,302 @@
+"""One crawl round as pure DataFrame ops (the SURVEY.md §7 minimum slice).
+
+Implements EXACTLY the spec in ``crawler_spark/oracle.py`` (authoritative):
+snapshot -> dedup(seen) -> robots -> priority top-k page -> politeness
+budgets -> fetch (bounded retry) -> parse/enqueue -> commit. Reference
+lifecycle: `crawler/src/runner/run.rs:57-203`, `search.rs:62-141`.
+
+Scale notes (100 TB / 10^10-frontier design):
+ * The global page top-k uses ``orderBy(...).limit(k)`` which Spark plans as
+   TakeOrderedAndProject — per-partition partial top-k + driver merge of
+   k-sized heaps; no full sort, no single-partition shuffle.
+ * The seen anti-join is the only frontier-sized shuffle per round; with the
+   Bloom pre-filter (seen_filter.py) only the maybe-seen fraction shuffles.
+ * Everything downstream of the top-k operates on <= page_size rows and is
+   broadcast back against the frontier (no second frontier shuffle).
+ * Politeness is deferral-based (no sleeps): rows over a host's budget stay
+   in the frontier — vectorized analog of `search.rs:170-190`.
+ * Robots rules are a broadcast join (small dim side).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..oracle import LINEAGE_COLS, CrawlConfig
+from . import canon
+
+FRONTIER_COLS = ["url_id", "url", "host", "host_bucket", "priority", "discovered_round", "tries_left"]
+
+
+@dataclass
+class World:
+    """Static crawl-world tables, canonicalized + id-stamped once at start."""
+
+    pages: DataFrame   # url_id, url, host, host_bucket, priority, image_id, ok
+    links: DataFrame   # src_url_id, href_kind, dst_url_id (null = dangling),
+                       # dst_url, dst_host, dst_host_bucket, dst_priority
+    robots: DataFrame  # host, disallow_prefixes, budget
+    corpus: DataFrame | None = None  # image_id, bytes, w, h, fmt, caption, phash
+
+
+def prepare_world(spark: SparkSession, raw: dict[str, DataFrame], cfg: CrawlConfig) -> World:
+    """Canonicalize urls, stamp xxhash64 ids and host buckets, resolve the
+    static link graph once (X1/J3 analog), precompute politeness budgets."""
+    pages = (
+        raw["pages"]
+        .withColumn("url", canon.canon_url(F.col("url")))
+        .withColumn("url_id", F.xxhash64("url"))
+        .withColumn("host_bucket", canon.host_bucket(F.col("host"), cfg.n_buckets))
+        .select("url_id", "url", "host", "host_bucket", "priority", "image_id", "ok")
+    )
+    # budget = page_size if delay<=0 else max(1, round_ms // delay)
+    robots = raw["robots"].withColumn(
+        "budget",
+        F.when(F.col("crawl_delay_ms") <= 0, F.lit(cfg.page_size)).otherwise(
+            F.greatest(F.lit(1), (F.lit(cfg.round_ms) / F.col("crawl_delay_ms")).cast("long"))
+        ),
+    )
+    links = (
+        raw["links"]
+        .withColumn("src_url_id", canon.url_id(F.col("src_url")))
+        .withColumn("dst_canon", canon.canon_url(F.col("href")))
+        .withColumn("dst_url_id_raw", F.xxhash64("dst_canon"))
+        .join(
+            pages.select(
+                F.col("url_id").alias("dst_url_id"),
+                F.col("url").alias("dst_url"),
+                F.col("host").alias("dst_host"),
+                F.col("host_bucket").alias("dst_host_bucket"),
+                F.col("priority").alias("dst_priority"),
+            ),
+            F.col("dst_url_id_raw") == F.col("dst_url_id"),
+            "left",
+        )
+        .select("src_url_id", "href_kind", "dst_url_id", "dst_url", "dst_host", "dst_host_bucket", "dst_priority")
+    )
+    corpus = raw.get("corpus")
+    return World(pages=pages, links=links, robots=robots, corpus=corpus)
+
+
+def seeds_frontier(spark: SparkSession, raw_seeds: DataFrame, world: World, cfg: CrawlConfig) -> DataFrame:
+    """Initial frontier = seeds resolved against pages (dangling seeds drop)."""
+    ids = raw_seeds.select(canon.url_id(F.col("url")).alias("url_id")).distinct()
+    return (
+        ids.join(world.pages, "url_id")
+        .select(
+            "url_id", "url", "host", "host_bucket", "priority",
+            F.lit(0).alias("discovered_round"),
+            F.lit(cfg.tries).alias("tries_left"),
+        )
+    )
+
+
+@dataclass
+class RoundResult:
+    frontier: DataFrame    # next round's frontier
+    seen_delta: DataFrame  # url_id, status, round, host_bucket
+    trace: DataFrame       # round, seq, url_id
+    fetched: DataFrame     # round, url_id, url, image_id
+    lineage: dict          # LINEAGE_COLS values
+    _cached: list = None   # persisted intermediates; unpersist after commit
+
+    def release(self) -> None:
+        for df in self._cached or []:
+            df.unpersist()
+        self._cached = []
+
+
+def run_round(
+    spark: SparkSession,
+    frontier: DataFrame,
+    seen_ids: DataFrame,
+    world: World,
+    cfg: CrawlConfig,
+    round_no: int,
+    seen_prefilter=None,
+) -> RoundResult:
+    ln = dict.fromkeys(LINEAGE_COLS, 0)
+    ln["round"] = round_no
+
+    # -- 2+3: dedup vs seen (J1 anti-join semantics, run.rs:74-89) and robots
+    # denial, computed in one annotated pass so lineage needs ONE aggregate.
+    if seen_prefilter is not None:
+        # Bloom pre-split: definitely-new rows skip the exact anti-join.
+        maybe, definitely_new = seen_prefilter.split(frontier)
+        checked = maybe.join(
+            seen_ids.select("url_id").withColumn("_seen", F.lit(True)), "url_id", "left"
+        )
+        marked = checked.unionByName(definitely_new.withColumn("_seen", F.lit(None).cast("boolean")))
+    else:
+        marked = frontier.join(
+            seen_ids.select("url_id").withColumn("_seen", F.lit(True)), "url_id", "left"
+        )
+    marked = (
+        marked.join(F.broadcast(world.robots.select("host", "disallow_prefixes", "budget")), "host", "left")
+        .withColumn(
+            "_denied",
+            F.coalesce(
+                F.exists(
+                    F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
+                    lambda p: canon.path_of(F.col("url")).startswith(p),
+                ),
+                F.lit(False),
+            ),
+        )
+    ).persist()
+
+    counts = marked.agg(
+        F.count("*").alias("n_eligible"),
+        F.sum(F.when(F.col("_seen"), 1).otherwise(0)).alias("n_dedup"),
+        F.sum(F.when(F.col("_seen").isNull() & F.col("_denied"), 1).otherwise(0)).alias("n_denied"),
+    ).collect()[0]
+    ln["n_eligible"] = counts["n_eligible"] or 0
+    ln["n_dedup"] = counts["n_dedup"] or 0
+    ln["n_denied"] = counts["n_denied"] or 0
+
+    alive = marked.filter(F.col("_seen").isNull() & ~F.col("_denied"))
+    denied_delta = (
+        marked.filter(F.col("_seen").isNull() & F.col("_denied"))
+        .select("url_id", "host_bucket")
+        .withColumn("status", F.lit("denied"))
+        .withColumn("round", F.lit(round_no))
+    )
+
+    # -- 4: global priority page (TakeOrderedAndProject — scalable top-k; O1)
+    candidates = (
+        alive.select("url_id", "url", "host", "host_bucket", "priority", "tries_left", "budget")
+        .orderBy(F.desc("priority"), F.asc("url_id"))
+        .limit(cfg.page_size)
+    )
+
+    # -- 5: politeness budgets per host (P6, deferral not sleep); candidates
+    # is <= page_size rows so the window is cheap.
+    w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_id"))
+    cand = candidates.withColumn("_hrank", F.row_number().over(w_host)).withColumn(
+        "_budget", F.coalesce(F.col("budget"), F.lit(cfg.page_size))
+    )
+    attempts = cand.filter(F.col("_hrank") <= F.col("_budget"))
+
+    # -- 6: fetch = join the (small) attempt set against pages for ok/payload
+    w_all = Window.orderBy(F.desc("priority"), F.asc("url_id"))
+    att = (
+        attempts.join(world.pages.select("url_id", "ok", "image_id"), "url_id")
+        .withColumn("seq", F.row_number().over(w_all))
+        .withColumn(
+            "disp",
+            F.when(F.col("ok"), F.lit("fetched"))
+            .when(F.col("tries_left") > 1, F.lit("retry"))
+            .otherwise(F.lit("exhausted")),
+        )
+        .persist()
+    )
+    att_counts = att.agg(
+        F.count("*").alias("n_attempts"),
+        F.sum(F.when(F.col("disp") == "fetched", 1).otherwise(0)).alias("n_fetched"),
+        F.sum(F.when(F.col("disp") == "retry", 1).otherwise(0)).alias("n_retry"),
+        F.sum(F.when(F.col("disp") == "exhausted", 1).otherwise(0)).alias("n_exhausted"),
+    ).collect()[0]
+    n_cand = cand.count()
+    ln["n_attempts"] = att_counts["n_attempts"] or 0
+    ln["n_deferred"] = n_cand - ln["n_attempts"]
+    ln["n_fetched"] = att_counts["n_fetched"] or 0
+    ln["n_retry"] = att_counts["n_retry"] or 0
+    ln["n_exhausted"] = att_counts["n_exhausted"] or 0
+
+    trace = att.select(F.lit(round_no).alias("round"), "seq", "url_id")
+    fetched = att.filter(F.col("disp") == "fetched").select(
+        F.lit(round_no).alias("round"), "url_id", "url", "image_id"
+    )
+
+    # -- 7: parse + enqueue (X1 link extraction -> J2 discovery dedup)
+    fetched_ids = att.filter(F.col("disp") == "fetched").select(F.col("url_id").alias("src_url_id"))
+    hrefs = world.links.join(F.broadcast(fetched_ids), "src_url_id")
+    parse_counts = hrefs.agg(
+        F.sum(F.when(F.col("href_kind") == "system", 1).otherwise(0)).alias("n_system"),
+        F.sum(
+            F.when((F.col("href_kind") != "system") & F.col("dst_url_id").isNull(), 1).otherwise(0)
+        ).alias("n_dangling"),
+    ).collect()[0]
+    ln["n_system"] = parse_counts["n_system"] or 0
+    ln["n_dangling"] = parse_counts["n_dangling"] or 0
+
+    valid = hrefs.filter((F.col("href_kind") != "system") & F.col("dst_url_id").isNotNull())
+    distinct_new = (
+        valid.groupBy("dst_url_id")
+        .agg(
+            F.count("*").alias("_copies"),
+            F.first("dst_url").alias("url"),
+            F.first("dst_host").alias("host"),
+            F.first("dst_host_bucket").alias("host_bucket"),
+            F.first("dst_priority").alias("priority"),
+        )
+        .withColumnRenamed("dst_url_id", "url_id")
+        .persist()
+    )
+    dcounts = distinct_new.agg(
+        F.count("*").alias("n_distinct"), F.sum(F.col("_copies") - 1).alias("n_dup_in_round")
+    ).collect()[0]
+    ln["n_dup_in_round"] = int(dcounts["n_dup_in_round"] or 0)
+
+    # known = already in seen, or surviving in the frontier (incl. this
+    # round's retries/deferrals), or terminal this round. SCALE: instead of
+    # anti-joining the small discovery set against the huge seen/frontier
+    # tables (a full shuffle of the big side), broadcast the small side and
+    # take the intersection ("hits"), then broadcast-anti-join the hits back.
+    # Zero shuffle of seen/frontier on the discovery path.
+    terminal_ids = att.filter(F.col("disp") != "retry").select("url_id")
+    survivors = alive.select("url_id").join(F.broadcast(terminal_ids), "url_id", "left_anti")
+    known = seen_ids.select("url_id").unionByName(survivors).unionByName(
+        denied_delta.select("url_id")
+    ).unionByName(terminal_ids)
+    hits = (
+        known.join(F.broadcast(distinct_new.select("url_id")), "url_id", "inner")
+        .select("url_id")
+        .distinct()
+    )
+    enqueue = distinct_new.join(F.broadcast(hits), "url_id", "left_anti").select(
+        "url_id", "url", "host", "host_bucket", "priority",
+        F.lit(round_no).alias("discovered_round"),
+        F.lit(cfg.tries).alias("tries_left"),
+    )
+    n_enqueued = enqueue.count()
+    ln["n_discovered"] = n_enqueued
+    ln["n_dup_known"] = int(dcounts["n_distinct"] or 0) - n_enqueued
+
+    # -- 8: commit — next frontier; retry rows decrement tries (A3)
+    delta = att.select("url_id", "disp")
+    next_frontier = (
+        alive.select(*FRONTIER_COLS)
+        .join(F.broadcast(delta), "url_id", "left")
+        .withColumn(
+            "tries_left",
+            F.when(F.col("disp") == "retry", F.col("tries_left") - 1).otherwise(F.col("tries_left")),
+        )
+        .filter(F.col("disp").isNull() | (F.col("disp") == "retry"))
+        .drop("disp")
+        .unionByName(enqueue)
+    )
+
+    seen_delta = (
+        att.filter(F.col("disp") != "retry")
+        .select(
+            "url_id",
+            "host_bucket",
+            F.col("disp").alias("status"),
+            F.lit(round_no).alias("round"),
+        )
+        .unionByName(denied_delta.select("url_id", "host_bucket", "status", "round"))
+    )
+
+    # caches stay alive until the caller materializes outputs (crawl.py)
+    return RoundResult(
+        frontier=next_frontier,
+        seen_delta=seen_delta,
+        trace=trace,
+        fetched=fetched,
+        lineage=ln,
+        _cached=[marked, att, distinct_new],
+    )

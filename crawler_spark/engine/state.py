@@ -1,0 +1,152 @@
+"""Checkpoint/resume state store: parquet snapshots + an atomic manifest.
+
+The reference commits one DB transaction per repo (`crawler_si/src/
+interface.rs:115-139`) and is resumable because its tables are idempotent
+(`db.rs:57-89`). Our analog (SURVEY.md §2.9 P10): each round's outputs are
+written as parquet under ``round=R/`` and the round becomes visible only when
+the manifest is atomically replaced (write-temp + os.replace). Resume reads
+the manifest and continues from the last committed round — a poor-man's
+Iceberg snapshot (Iceberg jars are not available in this container; the
+store isolates that choice behind one interface).
+
+Memory mode (root=None) keeps DataFrames persisted and uses
+``localCheckpoint`` to truncate the iterative lineage — for tests/bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+SEEN_SCHEMA = "url_id long, host_bucket int, status string, round int"
+TRACE_SCHEMA = "round int, seq int, url_id long"
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = spark
+        self.root = root
+        self.rounds: list[int] = []
+        self._frontier: DataFrame | None = None
+        self._seen: DataFrame | None = None
+        self._traces: list[DataFrame] = []
+        self._fetched: list[DataFrame] = []
+        self._lineage: list[dict] = []
+        if root:
+            os.makedirs(root, exist_ok=True)
+            self.rounds = self._read_manifest()
+
+    # -- manifest ------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _read_manifest(self) -> list[int]:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)["rounds"]
+        except FileNotFoundError:
+            return []
+
+    def _commit_manifest(self) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"rounds": self.rounds}, f)
+        os.replace(tmp, self._manifest_path())  # atomic visibility
+
+    # -- round commit ----------------------------------------------------
+    def commit_round(
+        self,
+        round_no: int,
+        frontier: DataFrame,
+        seen_delta: DataFrame,
+        trace: DataFrame,
+        fetched: DataFrame,
+        lineage_row: dict,
+    ) -> None:
+        if self.root:
+            d = os.path.join(self.root, f"round={round_no}")
+            frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+            seen_delta.write.mode("overwrite").parquet(os.path.join(d, "seen_delta"))
+            trace.write.mode("overwrite").parquet(os.path.join(d, "trace"))
+            fetched.write.mode("overwrite").parquet(os.path.join(d, "fetched"))
+            with open(os.path.join(d, "lineage.json"), "w") as f:
+                json.dump(lineage_row, f)
+            self.rounds.append(round_no)
+            self._commit_manifest()
+            self._frontier = None
+            self._seen = None
+        else:
+            old_f = self._frontier
+            self._frontier = frontier.localCheckpoint(eager=True)
+            delta_ck = seen_delta.localCheckpoint(eager=True)
+            seen = self.seen().unionByName(delta_ck)
+            # periodic re-checkpoint keeps the union chain shallow
+            if round_no % 8 == 0:
+                seen = seen.localCheckpoint(eager=True)
+            self._seen = seen
+            self._traces.append(trace.localCheckpoint(eager=True))
+            self._fetched.append(fetched.localCheckpoint(eager=True))
+            self.rounds.append(round_no)
+            if old_f is not None:
+                old_f.unpersist()
+        self._lineage.append(dict(lineage_row))
+
+    # -- reads -----------------------------------------------------------
+    def last_round(self) -> int:
+        return self.rounds[-1] if self.rounds else 0
+
+    def frontier(self) -> DataFrame | None:
+        if self._frontier is not None:
+            return self._frontier
+        if self.root and self.rounds:
+            self._frontier = self.spark.read.parquet(
+                os.path.join(self.root, f"round={self.last_round()}", "frontier")
+            )
+            return self._frontier
+        return None
+
+    def seen(self) -> DataFrame:
+        if self._seen is not None:
+            return self._seen
+        if self.root and self.rounds:
+            paths = [os.path.join(self.root, f"round={r}", "seen_delta") for r in self.rounds]
+            self._seen = self.spark.read.parquet(*paths)
+        else:
+            self._seen = self.spark.createDataFrame([], SEEN_SCHEMA)
+        return self._seen
+
+    def traces(self) -> DataFrame:
+        if self.root and self.rounds:
+            return self.spark.read.parquet(
+                *[os.path.join(self.root, f"round={r}", "trace") for r in self.rounds]
+            )
+        if self._traces:
+            out = self._traces[0]
+            for t in self._traces[1:]:
+                out = out.unionByName(t)
+            return out
+        return self.spark.createDataFrame([], TRACE_SCHEMA)
+
+    def fetched(self) -> DataFrame | None:
+        if self.root and self.rounds:
+            return self.spark.read.parquet(
+                *[os.path.join(self.root, f"round={r}", "fetched") for r in self.rounds]
+            )
+        if self._fetched:
+            out = self._fetched[0]
+            for t in self._fetched[1:]:
+                out = out.unionByName(t)
+            return out
+        return None
+
+    def lineage_rows(self) -> list[dict]:
+        if self._lineage:
+            return list(self._lineage)
+        rows = []
+        if self.root:
+            for r in self.rounds:
+                with open(os.path.join(self.root, f"round={r}", "lineage.json")) as f:
+                    rows.append(json.load(f))
+        return rows

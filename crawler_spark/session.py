@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the same settings are what we'd submit with
+``spark-submit --py-files`` on a real cluster (AQE + skew-join handling on,
+Arrow enabled for the vectorized UDF stages, shuffle partitions sized to the
+parallelism level).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "crawler-spark",
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if extra:
+        for k, v in extra.items():
+            b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
