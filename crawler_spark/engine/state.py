@@ -142,11 +142,11 @@ class StateStore:
         return None
 
     def lineage_rows(self) -> list[dict]:
-        if self._lineage:
-            return list(self._lineage)
-        rows = []
         if self.root:
+            # disk is authoritative: a resumed store must include pre-resume rounds
+            rows = []
             for r in self.rounds:
                 with open(os.path.join(self.root, f"round={r}", "lineage.json")) as f:
                     rows.append(json.load(f))
-        return rows
+            return rows
+        return list(self._lineage)

@@ -1,0 +1,92 @@
+"""Codec + payload-verify gates (BASELINE.json input_hint: PSNR>=40dB lossy,
+exact lossless, byte-exact captions, phash equality)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark import codec, datagen
+from crawler_spark.engine.verify import PSNR_EXACT, verify_fetched
+
+
+def _pixels(seed=7, side=16):
+    return np.random.default_rng(seed).integers(0, 256, (side, side, 3), dtype=np.uint8)
+
+
+def test_png_roundtrip_exact():
+    px = _pixels()
+    out, fmt = codec.decode(codec.encode(px, "png"))
+    assert fmt == "png"
+    assert np.array_equal(out, px)
+
+
+def test_jpg_lossy_in_psnr_band():
+    px = _pixels()
+    out, fmt = codec.decode(codec.encode(px, "jpg"))
+    assert fmt == "jpg"
+    assert not np.array_equal(out, px)  # genuinely lossy
+    p = codec.psnr(px, out)
+    assert 40.0 <= p < 60.0  # above the gate, below lossless
+
+
+def test_psnr_math():
+    px = _pixels()
+    assert codec.psnr(px, px) == float("inf")
+    worse = px.copy()
+    worse[0, 0, 0] ^= 0xFF
+    assert codec.psnr(px, worse) < float("inf")
+
+
+def test_phash_stability_and_sensitivity():
+    px = _pixels()
+    assert codec.phash64(px) == codec.phash64(px.copy())
+    other = _pixels(seed=8)
+    assert codec.phash64(px) != codec.phash64(other)
+    assert -(1 << 63) <= codec.phash64(px) < (1 << 63)
+
+
+def test_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        codec.encode(_pixels(), "webp")
+    with pytest.raises(NotImplementedError):
+        codec.decode(b"NOPE" + b"\x00" * 64)
+
+
+def test_verify_fetched_all_ok(spark):
+    corpus = datagen.make_corpus(24)
+    sdf = spark.createDataFrame(corpus, schema=datagen.WORLD_SCHEMAS["corpus"])
+    fetched = sdf.select(
+        F.lit(1).alias("round"),
+        F.xxhash64("image_id").alias("url_id"),
+        "image_id", "bytes", "fmt", "caption", "phash",
+    )
+    res = verify_fetched(fetched).toPandas()
+    assert len(res) == 24
+    assert res["psnr_ok"].all()
+    assert res["caption_ok"].all()
+    assert res["phash_ok"].all()
+    assert (res.loc[res["fmt"] == "png", "psnr_db"] == PSNR_EXACT).all()
+    jpg = res.loc[res["fmt"] == "jpg", "psnr_db"]
+    assert ((jpg >= 40.0) & (jpg < PSNR_EXACT)).all()
+
+
+def test_verify_fetched_catches_corruption(spark):
+    corpus = datagen.make_corpus(4)
+    # corrupt one payload byte well inside the pixel buffer + one caption
+    corrupt = corpus.copy()
+    b = bytearray(corrupt.loc[0, "bytes"])
+    b[-1] ^= 0xFF
+    corrupt.loc[0, "bytes"] = bytes(b)
+    corrupt.loc[1, "caption"] = corrupt.loc[1, "caption"] + "!"
+    sdf = spark.createDataFrame(corrupt, schema=datagen.WORLD_SCHEMAS["corpus"])
+    fetched = sdf.select(
+        F.lit(1).alias("round"),
+        F.xxhash64("image_id").alias("url_id"),
+        "image_id", "bytes", "fmt", "caption", "phash",
+    )
+    res = verify_fetched(fetched).orderBy("image_id").toPandas().set_index("image_id")
+    assert not res.loc["img0", "psnr_ok"]  # png must decode byte-exact
+    assert not res.loc["img1", "caption_ok"]
+    assert res.loc["img2", "psnr_ok"] and res.loc["img3", "psnr_ok"]
