@@ -78,6 +78,10 @@ def crawl(
                 "round", "url_id", "url", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
             )
         store.commit_round(r, res.frontier, res.seen_delta, res.trace, fetched, res.lineage)
+        if seen_prefilter is not None:
+            # OR this round's terminal ids into the Bloom filter BEFORE the
+            # next round probes it (no-false-negatives invariant)
+            seen_prefilter.update(res.seen_delta)
         res.release()
         frontier = store.frontier()
         n_frontier = frontier.count()

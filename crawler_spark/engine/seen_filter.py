@@ -1,0 +1,166 @@
+"""Partitioned Bloom URL-seen pre-filter (north_rule: "partitioned
+Bloom/cuckoo URL-seen filter ... per-partition Arrow-backed bitsets").
+
+The exact `left_anti` join against the seen table (SURVEY §2.3 J1,
+`crawler/src/runner/run.rs:74-89`) is always the authority; this filter is a
+pre-split so that, at 10^10-frontier scale, only the maybe-seen fraction of
+the frontier pays the big shuffle. False positives are harmless (they go
+through the exact join); false negatives are impossible by construction
+(every committed seen-delta is OR-ed in before the next round).
+
+Scale design — everything stays DataFrame-side, nothing driver-side:
+ * the filter is a DataFrame ``(host_bucket int, bits binary)`` with ONE row
+   per host bucket, persisted across rounds;
+ * probe = ``frontier.cogroup(filter).applyInPandas`` on ``host_bucket``:
+   each task sees one bucket's rows plus that bucket's bits exactly once
+   (no per-row duplication of the bitset, no driver broadcast of 10^10-bit
+   state), and probes vectorized in numpy;
+ * build/merge = ``applyInPandas`` per bucket OR-ing bitsets.
+At P buckets the filter memory is P × bits_per_bucket/8 spread across the
+cluster; sizing: bits_per_bucket ≈ 10 × expected seen per bucket keeps the
+false-positive rate ≈ 1%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    z = (x + _C1).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z *= _C2
+    z ^= z >> np.uint64(27)
+    z *= _C3
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _positions(ids: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(len(ids), n_hashes) bit positions via double hashing."""
+    x = ids.astype(np.int64).view(np.uint64)
+    h1 = _splitmix(x)
+    h2 = _splitmix(x ^ _C2) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
+
+
+def _build_bits(ids: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    if len(ids):
+        pos = _positions(ids, n_bits, n_hashes).ravel()
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits
+
+
+def _probe_bits(ids: np.ndarray, bits: np.ndarray, n_hashes: int) -> np.ndarray:
+    if len(ids) == 0:
+        return np.zeros(0, dtype=bool)
+    n_bits = len(bits) * 8
+    pos = _positions(ids, n_bits, n_hashes)
+    hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return hit.all(axis=1).astype(bool)
+
+
+class BloomSeenFilter:
+    """Lifecycle: rebuild(seen) on start/resume, update(delta) per round,
+    split(frontier) inside the round (engine/round.py)."""
+
+    def __init__(self, spark, bits_per_bucket: int = 1 << 17, n_hashes: int = 4):
+        if bits_per_bucket % 8:
+            raise ValueError("bits_per_bucket must be a multiple of 8")
+        self.spark = spark
+        self.bits_per_bucket = bits_per_bucket
+        self.n_hashes = n_hashes
+        self.filter_df: DataFrame | None = None
+        self._last_marked: DataFrame | None = None
+
+    # -- build / merge ---------------------------------------------------
+    def _bits_of(self, ids_df: DataFrame) -> DataFrame:
+        n_bits, n_hashes = self.bits_per_bucket, self.n_hashes
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = _build_bits(pdf["url_id"].to_numpy(), n_bits, n_hashes)
+            return pd.DataFrame(
+                {"host_bucket": [int(pdf["host_bucket"].iloc[0])], "bits": [bits.tobytes()]}
+            )
+
+        return ids_df.select("host_bucket", "url_id").groupBy("host_bucket").applyInPandas(
+            build, schema="host_bucket int, bits binary"
+        )
+
+    def rebuild(self, seen_df: DataFrame) -> None:
+        self._swap(self._bits_of(seen_df))
+
+    def update(self, seen_delta: DataFrame) -> None:
+        delta = self._bits_of(seen_delta)
+        if self.filter_df is None:
+            self._swap(delta)
+            return
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+            for b in pdf["bits"].iloc[1:]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame(
+                {"host_bucket": [int(pdf["host_bucket"].iloc[0])], "bits": [acc.tobytes()]}
+            )
+
+        merged = (
+            self.filter_df.unionByName(delta)
+            .groupBy("host_bucket")
+            .applyInPandas(merge, schema="host_bucket int, bits binary")
+        )
+        self._swap(merged)
+
+    def _swap(self, new_df: DataFrame) -> None:
+        old = self.filter_df
+        # localCheckpoint truncates the round-over-round merge lineage
+        self.filter_df = new_df.localCheckpoint(eager=True)
+        if old is not None:
+            old.unpersist()
+
+    # -- probe -----------------------------------------------------------
+    def split(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(maybe_seen, definitely_new); together they partition `frontier`."""
+        if self.filter_df is None:
+            empty = self.spark.createDataFrame([], frontier.schema)
+            return empty, frontier
+        n_hashes = self.n_hashes
+        # fresh StructType — .add() would mutate the DataFrame's cached schema
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        cols = [f.name for f in frontier.schema.fields]
+        out_schema = StructType(
+            list(frontier.schema.fields) + [StructField("_maybe", BooleanType())]
+        )
+
+        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(right):
+                bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+                maybe = _probe_bits(left["url_id"].to_numpy(), bits, n_hashes)
+            else:
+                maybe = np.zeros(len(left), dtype=bool)
+            out = left[cols].copy()
+            out["_maybe"] = maybe
+            return out
+
+        if self._last_marked is not None:
+            self._last_marked.unpersist()
+        marked = (
+            frontier.groupBy("host_bucket")
+            .cogroup(self.filter_df.groupBy("host_bucket"))
+            .applyInPandas(probe, schema=out_schema)
+            .persist()
+        )
+        self._last_marked = marked
+        maybe = marked.filter(F.col("_maybe")).drop("_maybe")
+        new = marked.filter(~F.col("_maybe")).drop("_maybe")
+        return maybe, new
