@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: one crawl-round schedule (anti-join + priority
+                top-k + per-host politeness budget) over sf0.001.
+queries()     — every SQL-expressible operator from SURVEY.md §2 plus the
+                training-data ops (dedup / similarity / text / multimodal),
+                implemented in crawler_spark/operators/*.
+oracle_sql()  — DuckDB twins, same column names, floats rounded both sides.
 """
 
 from __future__ import annotations
@@ -13,26 +14,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from crawler_spark.operators import ALL_QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    fn, _ = ALL_QUERIES["crawl_round_schedule"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql is not None}

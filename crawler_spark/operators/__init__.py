@@ -1,0 +1,15 @@
+"""Operator catalog: each submodule exposes QUERIES = {name: (builder, sql)}
+where builder is (spark, sf_dir) -> DataFrame and sql is the DuckDB oracle
+twin (None for non-SQL-expressible ops — driver then does a rows-only check).
+"""
+
+from __future__ import annotations
+
+from . import dedup, multimodal, relational, similarity, text
+
+ALL_QUERIES = {}
+for _mod in (relational, dedup, similarity, text, multimodal):
+    for _name, _pair in _mod.QUERIES.items():
+        if _name in ALL_QUERIES:
+            raise ValueError(f"duplicate query name: {_name}")
+        ALL_QUERIES[_name] = _pair

@@ -1,0 +1,56 @@
+"""Shared helpers for the driver-contract query catalog.
+
+Every query is a pair ``(builder, oracle_sql)`` where the builder is
+``(spark, sf_dir) -> DataFrame`` and ``oracle_sql`` is the ANSI-SQL twin
+DuckDB runs on the same parquet files. The cross-engine contract:
+
+ * column NAMES identical (driver sorts columns by name before hashing);
+ * floats rounded in BOTH engines (summation-order noise);
+ * aggregate ints cast to bigint in DuckDB (sum() is HUGEINT there);
+ * token hash = first 8 hex chars of md5 as a bigint — verified identical
+   between Spark ``conv(substring(md5(x),1,8),16,10)`` and DuckDB
+   ``('0x' || substr(md5(x),1,8))::bigint``;
+ * polynomial char hash = fold (acc*31 + ascii(c)) % 1e9+7 — verified
+   identical between Spark ``aggregate(split(s,''),0L,...)`` and DuckDB
+   ``list_reduce(list_prepend(0, ...))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+POLY_MOD = 1_000_000_007
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# word tokens of documents.text, identical in both engines
+SPARK_TOKENS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# 32-bit token hash from md5 hex
+def spark_h32(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}),1,8),16,10) as bigint)"
+
+
+def duck_h32(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}),1,8))::bigint)"
+
+
+# polynomial char hash (whole-string fingerprint)
+def spark_polyhash(expr: str) -> str:
+    return f"aggregate(split({expr},''), 0L, (acc,c) -> (acc*31 + ascii(c)) % {POLY_MOD})"
+
+
+def duck_polyhash(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::bigint, list_transform(string_split({expr},''), "
+        f"c -> ascii(c)::bigint)), (acc,c) -> (acc*31 + c) % {POLY_MOD})"
+    )

@@ -1,0 +1,222 @@
+"""Deduplication operators over `documents` (training-data pipeline ops):
+exact hash dedup, MinHash+LSH banding, SimHash, and n-gram Jaccard
+verification on LSH candidates. All computed with JVM built-ins (explode +
+groupBy + joins); DuckDB oracle twins compute the identical integer
+arithmetic (token hash = md5-prefix bigint, verified cross-engine in
+operators/common.py).
+
+Scale notes: shingling explodes to (doc, shingle-hash) rows — at 100 TB this
+is the standard shuffle-heavy stage; minhash aggregation is a map-side
+partial min per hash function, the band self-join is an equi-join on
+(band_no, band_hash) which Spark hash-partitions, and only bucket
+collisions (tiny fraction) reach the exact-Jaccard verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import DUCK_TOKENS, POLY_MOD, SPARK_TOKENS, duck_h32, load, spark_h32
+
+N_MINHASH = 12
+N_BANDS = 6  # bands of 2 rows each
+
+
+def _ab(i: int) -> tuple[int, int]:
+    """Universal-hash parameters for minhash i (small a keeps a*h < 2^38,
+    safe for DuckDB's checked bigint arithmetic)."""
+    return 2 * i + 1, (7919 * i * i + 104729) % POLY_MOD
+
+
+# -- shared shingle builders ------------------------------------------------
+# 3-token shingles, hashed to a 32-bit bigint
+SPARK_SHINGLES = (
+    f"case when size({SPARK_TOKENS}) >= 3 then "
+    f"transform(sequence(1, size({SPARK_TOKENS}) - 2), "
+    f"i -> concat_ws(' ', {SPARK_TOKENS}[i-1], {SPARK_TOKENS}[i], {SPARK_TOKENS}[i+1])) "
+    f"else cast(array() as array<string>) end"
+)
+DUCK_SHINGLES = (
+    f"list_transform(range(1, greatest(len({DUCK_TOKENS}) - 2, 0) + 1), "
+    f"i -> {DUCK_TOKENS}[i] || ' ' || {DUCK_TOKENS}[i+1] || ' ' || {DUCK_TOKENS}[i+2])"
+)
+
+
+def _spark_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) rows, h = 32-bit hash of each DISTINCT shingle."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle"))
+        .select("doc_id", F.expr(spark_h32("shingle")).alias("h"))
+        .distinct()
+    )
+
+
+DUCK_SHINGLE_ROWS = f"""
+  SELECT DISTINCT doc_id, {duck_h32('shingle')} AS h FROM (
+    SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM documents) raw_shingles
+"""
+
+
+# -- exact dedup (hash-groupBy), the K4 (repo_id,path) upsert analog --------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("rep_doc_id"))
+    )
+
+
+EXACT_SQL = """
+SELECT md5(text) AS text_hash, count(*)::bigint AS n_copies,
+       min(doc_id)::bigint AS rep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# -- MinHash signatures + LSH band buckets -> candidate pairs ---------------
+def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _spark_shingle_rows(spark, sf_dir)
+    aggs = []
+    for i in range(N_MINHASH):
+        a, b = _ab(i)
+        aggs.append(F.min((F.col("h") * a + b) % POLY_MOD).alias(f"mh{i}"))
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = _minhash_df(spark, sf_dir)
+    stack_args = ", ".join(
+        f"{j}, (mh{2 * j} * 31 + mh{2 * j + 1}) % {POLY_MOD}" for j in range(N_BANDS)
+    )
+    return mh.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) as (band_no, band_hash)")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _bands_df(spark, sf_dir)
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_no", "band_hash"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_no", "band_hash"
+    )
+    return (
+        left.join(right, ["band_no", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _duck_minhash_cte() -> str:
+    mins = ", ".join(
+        f"min((h * {_ab(i)[0]} + {_ab(i)[1]}) % {POLY_MOD}) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_no, (mh{2 * j} * 31 + mh{2 * j + 1}) % {POLY_MOD}"
+        f" AS band_hash FROM minhash"
+        for j in range(N_BANDS)
+    )
+    return f"""
+WITH shingles AS ({DUCK_SHINGLE_ROWS}),
+minhash AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+bands AS ({bands})
+"""
+
+
+MINHASH_LSH_SQL = (
+    _duck_minhash_cte()
+    + """
+SELECT DISTINCT a.doc_id::bigint AS doc_a, b.doc_id::bigint AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_no = b.band_no AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+)
+
+
+# -- n-gram Jaccard verification on the LSH candidates ----------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sh = _spark_shingle_rows(spark, sf_dir).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
+        )
+    )
+
+
+NGRAM_JACCARD_SQL = (
+    _duck_minhash_cte()
+    + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
+  GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a::bigint AS doc_a, i.doc_b::bigint AS doc_b,
+       round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+)
+
+
+# -- SimHash (32-bit, token-hash bit votes) ---------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("tok")
+    ).select("doc_id", F.expr(spark_h32("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = " + ".join(f"(case when v{b} > 0 then cast({1 << b} as bigint) else 0 end)" for b in range(32))
+    return agg.select("doc_id", F.expr(sim).alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+    )
+    sim = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b}::bigint ELSE 0 END)" for b in range(32))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {duck_h32('t')} AS h FROM (
+    SELECT doc_id, unnest({DUCK_TOKENS}) AS t FROM documents) raw_toks
+), agg AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+SELECT doc_id, ({sim})::bigint AS simhash FROM agg
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_LSH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_simhash": (dedup_simhash, _simhash_sql()),
+}

@@ -1,0 +1,450 @@
+"""SURVEY §2 relational-operator analogs over the driver's testdata tables.
+
+Each entry re-expresses a reference operator (cited per query) as an
+idiomatic Spark DataFrame plan over the TPC-H-ish tables, with a DuckDB
+oracle twin. Scale notes inline: anti-joins stay shuffle-side-pruned, small
+dims broadcast, top-k is TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import load
+
+
+# -- J1: the scheduler anti-join (frontier minus seen), run.rs:74-89 --------
+def j1_scheduler_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    # "seen" = customers with a big fulfilled order; frontier keeps the rest.
+    # left_anti == NOT EXISTS; Catalyst plans a shuffled hash anti-join and
+    # at scale AQE converts to broadcast when the seen side is small
+    seen = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
+    )
+    return customer.join(
+        seen, customer.c_custkey == seen.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+J1_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F' AND o.o_totalprice > 150000)
+"""
+
+
+# -- J2: discovery dedup (new ids not already known), search.rs:113-141 -----
+def j2_discovery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    known = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        events.select(F.col("user_id").alias("new_id"))
+        .distinct()
+        .join(known.select(F.col("c_custkey").alias("new_id")), "new_id", "left_anti")
+    )
+
+
+J2_SQL = """
+SELECT DISTINCT user_id AS new_id FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING')
+"""
+
+
+# -- O1/O2: priority-ordered page (top-k, stable tie-break), search.rs:208-218
+def o1_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    # orderBy+limit plans as TakeOrderedAndProject: per-partition heaps +
+    # driver merge — no global sort even at 10^10 rows
+    page = orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return page.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank")
+    )
+
+
+O1_SQL = """
+SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+# -- P6: per-host politeness budget (budget-first rows per host), search.rs:170-190
+def p6_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("hrank", F.row_number().over(w))
+        .filter(F.col("hrank") <= 3)
+        .select("o_custkey", "o_orderkey", "hrank")
+    )
+
+
+P6_SQL = """
+SELECT o_custkey, o_orderkey, hrank FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS hrank
+  FROM orders) t
+WHERE hrank <= 3
+"""
+
+
+# -- F5: priority-range predicate (star window), search.rs:208-218 ----------
+def f5_priority_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    # both predicates push into the parquet scan (PushedFilters)
+    return orders.filter(
+        (F.col("o_totalprice") >= 50000) & (F.col("o_totalprice") < 150000)
+        & (F.col("o_orderstatus") == "O")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+F5_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+WHERE o_totalprice >= 50000 AND o_totalprice < 150000 AND o_orderstatus = 'O'
+"""
+
+
+# -- G1: scalar min/max probe steering pagination, search.rs:221-237 --------
+def g1_min_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.round(F.min("o_totalprice"), 2).alias("min_priority"),
+        F.round(F.max("o_totalprice"), 2).alias("max_priority"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+G1_SQL = """
+SELECT round(min(o_totalprice),2) AS min_priority,
+       round(max(o_totalprice),2) AS max_priority,
+       count(*)::bigint AS n_rows
+FROM orders
+"""
+
+
+# -- G3: lineage rollup (stats per group), run.rs:189-203 -------------------
+def g3_lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.countDistinct("o_custkey").alias("n_hosts"),
+    )
+
+
+G3_SQL = """
+SELECT o_orderpriority, count(*)::bigint AS n_orders,
+       round(sum(o_totalprice),2) AS sum_price,
+       count(DISTINCT o_custkey)::bigint AS n_hosts
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# -- G6: conditional instruction-mix aggs, Information.cpp:139-173 ----------
+def g6_conditional_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # map-side partial aggregation; one shuffle on the (tiny) group keys
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") < 10, 1).otherwise(0)).alias("n_small"),
+        F.sum(F.when((F.col("l_quantity") >= 10) & (F.col("l_quantity") < 30), 1).otherwise(0)).alias("n_mid"),
+        F.sum(F.when(F.col("l_quantity") >= 30, 1).otherwise(0)).alias("n_large"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+G6_SQL = """
+SELECT l_returnflag, l_linestatus, count(*)::bigint AS n_rows,
+       sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END)::bigint AS n_small,
+       sum(CASE WHEN l_quantity >= 10 AND l_quantity < 30 THEN 1 ELSE 0 END)::bigint AS n_mid,
+       sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END)::bigint AS n_large,
+       round(sum(l_extendedprice * (1 - l_discount)),2) AS revenue
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- G7: distinct location set per group, Information.cpp:121-136 -----------
+def g7_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
+        F.count("*").alias("n_nations"),
+    )
+
+
+G7_SQL = """
+SELECT n_regionkey,
+       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+       count(*)::bigint AS n_nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+# -- U1: node union + dedup, dep_graph.rs:56-62 -----------------------------
+def u1_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+U1_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# -- X1: link extraction via regex + explode, dep_graph.rs:122-145 ----------
+def x1_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # regexp_extract_all -> explode is the Spark form of the reference's
+    # per-line #include regex scan
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(r"regexp_extract_all(text, '(s[a-z]{3,})', 1)")).alias("link"),
+        )
+        .groupBy("doc_id", "link")
+        .agg(F.count("*").alias("n_refs"))
+    )
+
+
+X1_SQL = """
+SELECT doc_id, link, count(*)::bigint AS n_refs FROM (
+  SELECT doc_id, unnest(regexp_extract_all(text, '(s[a-z]{3,})', 1)) AS link
+  FROM documents) t
+GROUP BY doc_id, link
+"""
+
+
+# -- X2: suffix expansion of path components, dep_graph.rs:73-93 ------------
+def x2_suffix_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    # a/b/c -> {c, b/c, a/b/c}, exactly the reference's AbbrevTable build
+    return part.select(
+        "p_partkey",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(p_name, ' '))),"
+                " i -> array_join(slice(split(p_name, ' '), -i, i), '/'))"
+            )
+        ).alias("suffix"),
+    )
+
+
+X2_SQL = """
+SELECT p_partkey,
+       unnest(list_transform(range(1, len(string_split(p_name,' ')) + 1),
+              i -> array_to_string(string_split(p_name,' ')[-i:], '/'))) AS suffix
+FROM part
+"""
+
+
+# -- X15: JSON field access, git.rs:22-35 -----------------------------------
+def x15_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k")
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n_events"), F.sum("k").alias("sum_k"))
+    )
+
+
+X15_SQL = """
+SELECT (json_extract_string(props, '$.k')::bigint) % 10 AS k_mod,
+       count(*)::bigint AS n_events,
+       sum(json_extract_string(props, '$.k')::bigint)::bigint AS sum_k
+FROM events GROUP BY 1
+"""
+
+
+# -- W1: tumbling-window counts over the event stream (batch twin of the
+#    Structured-Streaming path; reference is batch-iterative, SURVEY §2.10)
+def w1_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+W1_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::bigint AS n_events, round(sum(value),4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# -- W2: sessionization (30-min gap), deferral/round semantics analog -------
+def w2_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # parquet is TIMESTAMP_NTZ
+    with_gap = events.withColumn(
+        "new_sess",
+        F.when(ms - F.lag(ms).over(w) > 30 * 60 * 1000, 1).otherwise(0),
+    )
+    sess = with_gap.withColumn(
+        "session_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+W2_SQL = """
+SELECT user_id, session_no, count(*)::bigint AS n_events, round(sum(value),4) AS sum_value
+FROM (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                     > 30*60*1000 THEN 1 ELSE 0 END AS new_sess
+    FROM events) g) s
+GROUP BY user_id, session_no
+"""
+
+
+# -- Q3-style join+agg+topk headline (S3+J+G+O composition) -----------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    joined = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1998-01-01")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > "1998-01-01")
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)),2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND o_orderkey = l_orderkey AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+# -- Q5-style multi-join with broadcast dims (J3 broadcast strategy) --------
+def q5_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    # nation/region are broadcast (small dims) — same strategy the engine
+    # uses for robots rules
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)),2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# -- flagship: one crawl-round schedule composed of J1+O1+P6 over orders ----
+def crawl_round_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier = open orders (priority = o_totalprice, host = o_custkey);
+    seen = fulfilled orders' keys; page = top-200; per-host budget = 2.
+    Exactly the engine's round steps 2-5 (engine/round.py) on testdata."""
+    orders = load(spark, sf_dir, "orders")
+    frontier = orders.select(
+        F.col("o_orderkey").alias("url_id"),
+        F.col("o_custkey").alias("host"),
+        F.col("o_totalprice").alias("priority"),
+        "o_orderstatus",
+    )
+    seen = frontier.filter(F.col("o_orderstatus") == "F").select("url_id")
+    alive = frontier.filter(F.col("o_orderstatus") != "F").join(seen, "url_id", "left_anti")
+    page = alive.orderBy(F.desc("priority"), F.asc("url_id")).limit(200)
+    w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_id"))
+    sched = page.withColumn("hrank", F.row_number().over(w_host)).filter(F.col("hrank") <= 2)
+    w_all = Window.orderBy(F.desc("priority"), F.asc("url_id"))
+    return sched.select(
+        "url_id", "host", "priority", F.row_number().over(w_all).alias("seq")
+    )
+
+
+CRAWL_ROUND_SQL = """
+WITH frontier AS (
+  SELECT o_orderkey AS url_id, o_custkey AS host, o_totalprice AS priority
+  FROM orders WHERE o_orderstatus <> 'F'
+), page AS (
+  SELECT * FROM frontier ORDER BY priority DESC, url_id ASC LIMIT 200
+), sched AS (
+  SELECT url_id, host, priority,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, url_id ASC) AS hrank
+  FROM page
+)
+SELECT url_id, host, priority,
+       ROW_NUMBER() OVER (ORDER BY priority DESC, url_id ASC) AS seq
+FROM sched WHERE hrank <= 2
+"""
+
+
+QUERIES = {
+    "j1_scheduler_anti_join": (j1_scheduler_anti_join, J1_SQL),
+    "j2_discovery_dedup": (j2_discovery_dedup, J2_SQL),
+    "o1_priority_topk": (o1_priority_topk, O1_SQL),
+    "p6_politeness_budget": (p6_politeness_budget, P6_SQL),
+    "f5_priority_range": (f5_priority_range, F5_SQL),
+    "g1_min_probe": (g1_min_probe, G1_SQL),
+    "g3_lineage_rollup": (g3_lineage_rollup, G3_SQL),
+    "g6_conditional_mix": (g6_conditional_mix, G6_SQL),
+    "g7_collect_set": (g7_collect_set, G7_SQL),
+    "u1_union_dedup": (u1_union_dedup, U1_SQL),
+    "x1_link_extract": (x1_link_extract, X1_SQL),
+    "x2_suffix_expand": (x2_suffix_expand, X2_SQL),
+    "x15_json_access": (x15_json_access, X15_SQL),
+    "w1_events_tumbling": (w1_events_tumbling, W1_SQL),
+    "w2_events_sessionize": (w2_events_sessionize, W2_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_join_chain": (q5_join_chain, Q5_SQL),
+    "crawl_round_schedule": (crawl_round_schedule, CRAWL_ROUND_SQL),
+}

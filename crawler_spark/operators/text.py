@@ -1,0 +1,152 @@
+"""Text-analysis operators over the `documents` table (training-data
+pipeline ops): token stats, quality scoring, language-ID scoring, and
+document fingerprinting. All JVM-side built-ins (no Python UDFs) with
+DuckDB oracle twins computing the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import DUCK_TOKENS, SPARK_TOKENS, duck_polyhash, load, spark_polyhash
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+LANG_MARKERS = {
+    "en": ["the", "a", "value", "fast"],
+    "fr": ["le", "la", "merge", "stream"],
+    "de": ["der", "die", "vector", "batch"],
+}
+
+
+# -- token counting (whitespace/regex tokenizer) ----------------------------
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.expr(SPARK_TOKENS)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.round(
+            F.expr(f"aggregate({SPARK_TOKENS}, 0L, (acc,x) -> acc + length(x))")
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+TOKENS_SQL = f"""
+SELECT doc_id,
+       len({DUCK_TOKENS})::bigint AS n_tokens,
+       len(list_distinct({DUCK_TOKENS}))::bigint AS n_uniq,
+       round(list_reduce(list_prepend(0::bigint,
+                 list_transform({DUCK_TOKENS}, x -> length(x)::bigint)),
+             (acc,x) -> acc + x)
+             / greatest(len({DUCK_TOKENS}), 1), 4) AS avg_token_len
+FROM documents
+"""
+
+
+# -- quality scoring (length / stopword / alpha ratios) ---------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.expr(SPARK_TOKENS)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    stop_ratio = F.size(
+        F.expr(f"filter({SPARK_TOKENS}, x -> x in ({_STOP_SQL}))")
+    ) / n_tokens
+    alpha_ratio = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    score = F.round(0.6 * stop_ratio + 0.4 * alpha_ratio, 6)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        score.alias("quality_score"),
+        (score > 0.4).alias("keep"),
+    )
+
+
+QUALITY_SQL = f"""
+SELECT doc_id, length(text)::bigint AS n_chars,
+       round(sr, 6) AS stop_ratio, round(ar, 6) AS alpha_ratio,
+       round(0.6*sr + 0.4*ar, 6) AS quality_score,
+       (round(0.6*sr + 0.4*ar, 6) > 0.4) AS keep
+FROM (
+  SELECT doc_id, text,
+         len(list_filter({DUCK_TOKENS}, x -> x IN ({_STOP_SQL})))
+           / greatest(len({DUCK_TOKENS}), 1) AS sr,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+           / greatest(length(text), 1) AS ar
+  FROM documents) t
+"""
+
+
+# -- language-ID scoring (marker-token ratios, argmax with stable ties) -----
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.greatest(F.size(F.expr(SPARK_TOKENS)), F.lit(1))
+    scores = {
+        lang: F.round(
+            F.size(
+                F.expr(
+                    f"filter({SPARK_TOKENS}, x -> x in ({', '.join(repr(m) for m in ms)}))"
+                )
+            )
+            / n_tokens,
+            6,
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    # stable argmax: first lang (in dict order) achieving the max score
+    best = F.greatest(*scores.values())
+    pred = F.when(scores["en"] == best, "en").when(scores["fr"] == best, "fr").otherwise("de")
+    sel = [F.col("doc_id")] + [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
+    return docs.select(*sel, pred.alias("pred_lang"))
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lang, ms in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{m}'" for m in ms)
+        score_exprs.append(
+            f"round(len(list_filter({DUCK_TOKENS}, x -> x IN ({in_list})))"
+            f" / greatest(len({DUCK_TOKENS}), 1), 6) AS score_{lang}"
+        )
+    return f"""
+SELECT doc_id, score_en, score_fr, score_de,
+       CASE WHEN score_en = greatest(score_en, score_fr, score_de) THEN 'en'
+            WHEN score_fr = greatest(score_en, score_fr, score_de) THEN 'fr'
+            ELSE 'de' END AS pred_lang
+FROM (SELECT doc_id, {', '.join(score_exprs)} FROM documents) t
+"""
+
+
+# -- document fingerprinting (rolling polynomial hash) ----------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(spark_polyhash("text")).alias("fp_chars"),
+        F.expr(spark_polyhash(f"array_join({SPARK_TOKENS}, ' ')")).alias("fp_tokens"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       {duck_polyhash('text')} AS fp_chars,
+       {duck_polyhash(f"array_to_string({DUCK_TOKENS}, ' ')")} AS fp_tokens
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_tokens": (text_tokens, TOKENS_SQL),
+    "text_quality": (text_quality, QUALITY_SQL),
+    "text_langid": (text_langid, _langid_sql()),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+}
