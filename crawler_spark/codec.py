@@ -69,12 +69,14 @@ def phash64(pixels: np.ndarray) -> int:
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
-    blocks = np.zeros((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = gray[i * bh : (i + 1) * bh, j * bw : (j + 1) * bw].mean()
+    if h == 8 * bh and w == 8 * bw:
+        # vectorized block means (hot path: sides divisible by 8)
+        blocks = gray.reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    else:
+        blocks = np.zeros((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = gray[i * bh : (i + 1) * bh, j * bw : (j + 1) * bw].mean()
     bits = (blocks > blocks.mean()).flatten()
-    val = 0
-    for bit in bits:
-        val = (val << 1) | int(bit)
+    val = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
     return val - (1 << 64) if val >= (1 << 63) else val

@@ -55,7 +55,7 @@ def crawl(
     world.links = world.links.persist()
     world.pages.count(), world.links.count()  # materialize static graph once
 
-    store = StateStore(spark, state_dir)
+    store = StateStore(spark, state_dir, keep_outputs=collect_outputs or with_payload)
     if resume and store.rounds:
         frontier = store.frontier()
         r = store.last_round()
@@ -77,14 +77,23 @@ def crawl(
             fetched = fetched.join(F.broadcast(world.corpus), "image_id").select(
                 "round", "url_id", "url", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
             )
-        store.commit_round(r, res.frontier, res.seen_delta, res.trace, fetched, res.lineage)
+        frontier = store.commit_round(r, res.frontier, res.seen_delta, res.trace, fetched)
+        n_next = frontier.count()
+        # flow conservation closes the lineage row without extra jobs:
+        # next = eligible - dedup - denied - fetched - exhausted + discovered
+        ln = res.lineage
+        n_distinct = ln.pop("_n_distinct")
+        ln["n_discovered"] = n_next - (
+            ln["n_eligible"] - ln["n_dedup"] - ln["n_denied"] - ln["n_fetched"] - ln["n_exhausted"]
+        )
+        ln["n_dup_known"] = n_distinct - ln["n_discovered"]
+        store.finalize_round(r, ln)
         if seen_prefilter is not None:
             # OR this round's terminal ids into the Bloom filter BEFORE the
             # next round probes it (no-false-negatives invariant)
             seen_prefilter.update(res.seen_delta)
         res.release()
-        frontier = store.frontier()
-        n_frontier = frontier.count()
+        n_frontier = n_next
 
     wall = time.monotonic() - t0
     if collect_outputs:

@@ -148,14 +148,11 @@ def run_round(
         )
     ).persist()
 
-    counts = marked.agg(
+    counts_m = marked.agg(
         F.count("*").alias("n_eligible"),
         F.sum(F.when(F.col("_seen"), 1).otherwise(0)).alias("n_dedup"),
         F.sum(F.when(F.col("_seen").isNull() & F.col("_denied"), 1).otherwise(0)).alias("n_denied"),
-    ).collect()[0]
-    ln["n_eligible"] = counts["n_eligible"] or 0
-    ln["n_dedup"] = counts["n_dedup"] or 0
-    ln["n_denied"] = counts["n_denied"] or 0
+    )
 
     alive = marked.filter(F.col("_seen").isNull() & ~F.col("_denied"))
     denied_delta = (
@@ -172,74 +169,85 @@ def run_round(
         .limit(cfg.page_size)
     )
 
-    # -- 5: politeness budgets per host (P6, deferral not sleep); candidates
-    # is <= page_size rows so the window is cheap.
+    # -- 5+6: politeness budgets per host (P6, deferral not sleep) and fetch
+    # outcomes in ONE annotated pass over the <= page_size candidate rows, so
+    # all candidate/attempt lineage needs a single aggregate.
     w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_id"))
-    cand = candidates.withColumn("_hrank", F.row_number().over(w_host)).withColumn(
-        "_budget", F.coalesce(F.col("budget"), F.lit(cfg.page_size))
-    )
-    attempts = cand.filter(F.col("_hrank") <= F.col("_budget"))
-
-    # -- 6: fetch = join the (small) attempt set against pages for ok/payload
-    w_all = Window.orderBy(F.desc("priority"), F.asc("url_id"))
     att = (
-        attempts.join(world.pages.select("url_id", "ok", "image_id"), "url_id")
-        .withColumn("seq", F.row_number().over(w_all))
+        candidates.withColumn("_hrank", F.row_number().over(w_host))
+        .withColumn("_budget", F.coalesce(F.col("budget"), F.lit(cfg.page_size)))
+        .join(world.pages.select("url_id", "ok", "image_id"), "url_id")
         .withColumn(
             "disp",
-            F.when(F.col("ok"), F.lit("fetched"))
+            F.when(F.col("_hrank") > F.col("_budget"), F.lit("deferred"))
+            .when(F.col("ok"), F.lit("fetched"))
             .when(F.col("tries_left") > 1, F.lit("retry"))
             .otherwise(F.lit("exhausted")),
         )
         .persist()
     )
-    att_counts = att.agg(
-        F.count("*").alias("n_attempts"),
+    counts_a = att.agg(
+        F.count("*").alias("n_cand"),
+        F.sum(F.when(F.col("disp") == "deferred", 1).otherwise(0)).alias("n_deferred"),
         F.sum(F.when(F.col("disp") == "fetched", 1).otherwise(0)).alias("n_fetched"),
         F.sum(F.when(F.col("disp") == "retry", 1).otherwise(0)).alias("n_retry"),
         F.sum(F.when(F.col("disp") == "exhausted", 1).otherwise(0)).alias("n_exhausted"),
-    ).collect()[0]
-    n_cand = cand.count()
-    ln["n_attempts"] = att_counts["n_attempts"] or 0
-    ln["n_deferred"] = n_cand - ln["n_attempts"]
-    ln["n_fetched"] = att_counts["n_fetched"] or 0
-    ln["n_retry"] = att_counts["n_retry"] or 0
-    ln["n_exhausted"] = att_counts["n_exhausted"] or 0
+    )
 
-    trace = att.select(F.lit(round_no).alias("round"), "seq", "url_id")
-    fetched = att.filter(F.col("disp") == "fetched").select(
+    w_all = Window.orderBy(F.desc("priority"), F.asc("url_id"))
+    attempts = att.filter(F.col("disp") != "deferred").withColumn(
+        "seq", F.row_number().over(w_all)
+    )
+    trace = attempts.select(F.lit(round_no).alias("round"), "seq", "url_id")
+    fetched = attempts.filter(F.col("disp") == "fetched").select(
         F.lit(round_no).alias("round"), "url_id", "url", "image_id"
     )
 
-    # -- 7: parse + enqueue (X1 link extraction -> J2 discovery dedup)
+    # -- 7: parse + enqueue (X1 link extraction -> J2 discovery dedup).
+    # ONE aggregate covers all parse lineage (system/dangling/dup-in-round
+    # via count vs countDistinct of valid targets).
     fetched_ids = att.filter(F.col("disp") == "fetched").select(F.col("url_id").alias("src_url_id"))
     hrefs = world.links.join(F.broadcast(fetched_ids), "src_url_id")
-    parse_counts = hrefs.agg(
+    is_valid = (F.col("href_kind") != "system") & F.col("dst_url_id").isNotNull()
+    counts_p = hrefs.agg(
         F.sum(F.when(F.col("href_kind") == "system", 1).otherwise(0)).alias("n_system"),
         F.sum(
             F.when((F.col("href_kind") != "system") & F.col("dst_url_id").isNull(), 1).otherwise(0)
         ).alias("n_dangling"),
-    ).collect()[0]
-    ln["n_system"] = parse_counts["n_system"] or 0
-    ln["n_dangling"] = parse_counts["n_dangling"] or 0
+        F.sum(F.when(is_valid, 1).otherwise(0)).alias("n_valid"),
+        F.countDistinct(F.when(is_valid, F.col("dst_url_id"))).alias("n_distinct"),
+    )
 
-    valid = hrefs.filter((F.col("href_kind") != "system") & F.col("dst_url_id").isNotNull())
+    # ONE collect for ALL lineage counters (cross-join of three one-row aggs
+    # evaluates the whole round DAG in a single job; marked/att persist as a
+    # side effect) — per-round job count is the scalability lever of the
+    # driver loop.
+    row = counts_m.crossJoin(counts_a).crossJoin(counts_p).collect()[0]
+    ln["n_eligible"] = row["n_eligible"] or 0
+    ln["n_dedup"] = row["n_dedup"] or 0
+    ln["n_denied"] = row["n_denied"] or 0
+    ln["n_deferred"] = row["n_deferred"] or 0
+    ln["n_attempts"] = (row["n_cand"] or 0) - ln["n_deferred"]
+    ln["n_fetched"] = row["n_fetched"] or 0
+    ln["n_retry"] = row["n_retry"] or 0
+    ln["n_exhausted"] = row["n_exhausted"] or 0
+    ln["n_system"] = row["n_system"] or 0
+    ln["n_dangling"] = row["n_dangling"] or 0
+    n_distinct = int(row["n_distinct"] or 0)
+    ln["n_dup_in_round"] = int(row["n_valid"] or 0) - n_distinct
+    ln["_n_distinct"] = n_distinct  # consumed by the crawl loop (see below)
+
+    valid = hrefs.filter(is_valid)
     distinct_new = (
         valid.groupBy("dst_url_id")
         .agg(
-            F.count("*").alias("_copies"),
             F.first("dst_url").alias("url"),
             F.first("dst_host").alias("host"),
             F.first("dst_host_bucket").alias("host_bucket"),
             F.first("dst_priority").alias("priority"),
         )
         .withColumnRenamed("dst_url_id", "url_id")
-        .persist()
     )
-    dcounts = distinct_new.agg(
-        F.count("*").alias("n_distinct"), F.sum(F.col("_copies") - 1).alias("n_dup_in_round")
-    ).collect()[0]
-    ln["n_dup_in_round"] = int(dcounts["n_dup_in_round"] or 0)
 
     # known = already in seen, or surviving in the frontier (incl. this
     # round's retries/deferrals), or terminal this round. SCALE: instead of
@@ -247,7 +255,7 @@ def run_round(
     # tables (a full shuffle of the big side), broadcast the small side and
     # take the intersection ("hits"), then broadcast-anti-join the hits back.
     # Zero shuffle of seen/frontier on the discovery path.
-    terminal_ids = att.filter(F.col("disp") != "retry").select("url_id")
+    terminal_ids = att.filter(F.col("disp").isin("fetched", "exhausted")).select("url_id")
     survivors = alive.select("url_id").join(F.broadcast(terminal_ids), "url_id", "left_anti")
     known = seen_ids.select("url_id").unionByName(survivors).unionByName(
         denied_delta.select("url_id")
@@ -262,9 +270,9 @@ def run_round(
         F.lit(round_no).alias("discovered_round"),
         F.lit(cfg.tries).alias("tries_left"),
     )
-    n_enqueued = enqueue.count()
-    ln["n_discovered"] = n_enqueued
-    ln["n_dup_known"] = int(dcounts["n_distinct"] or 0) - n_enqueued
+    # n_discovered / n_dup_known are NOT counted here — the crawl loop
+    # derives them from the (already needed) next-frontier count via flow
+    # conservation, saving two jobs per round.
 
     # -- 8: commit — next frontier; retry rows decrement tries (A3)
     delta = att.select("url_id", "disp")
@@ -275,13 +283,13 @@ def run_round(
             "tries_left",
             F.when(F.col("disp") == "retry", F.col("tries_left") - 1).otherwise(F.col("tries_left")),
         )
-        .filter(F.col("disp").isNull() | (F.col("disp") == "retry"))
+        .filter(F.col("disp").isNull() | F.col("disp").isin("retry", "deferred"))
         .drop("disp")
         .unionByName(enqueue)
     )
 
     seen_delta = (
-        att.filter(F.col("disp") != "retry")
+        att.filter(F.col("disp").isin("fetched", "exhausted"))
         .select(
             "url_id",
             "host_bucket",
@@ -298,5 +306,5 @@ def run_round(
         trace=trace,
         fetched=fetched,
         lineage=ln,
-        _cached=[marked, att, distinct_new],
+        _cached=[marked, att],
     )

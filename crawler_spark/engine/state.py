@@ -25,9 +25,12 @@ TRACE_SCHEMA = "round int, seq int, url_id long"
 
 
 class StateStore:
-    def __init__(self, spark: SparkSession, root: str | None = None):
+    def __init__(self, spark: SparkSession, root: str | None = None, keep_outputs: bool = True):
         self.spark = spark
         self.root = root
+        # keep_outputs=False (bench mode, in-memory only): skip trace/fetched
+        # materialization — two fewer jobs per round
+        self.keep_outputs = keep_outputs or bool(root)
         self.rounds: list[int] = []
         self._frontier: DataFrame | None = None
         self._seen: DataFrame | None = None
@@ -56,6 +59,11 @@ class StateStore:
         os.replace(tmp, self._manifest_path())  # atomic visibility
 
     # -- round commit ----------------------------------------------------
+    # Two-phase: commit_round materializes the round's outputs and returns
+    # the next frontier (so the caller can count it and derive the last
+    # lineage fields via flow conservation — no extra jobs); finalize_round
+    # then makes the round visible (manifest / lineage append). A crash
+    # between the two leaves an invisible partial round: resume-safe.
     def commit_round(
         self,
         round_no: int,
@@ -63,35 +71,50 @@ class StateStore:
         seen_delta: DataFrame,
         trace: DataFrame,
         fetched: DataFrame,
-        lineage_row: dict,
-    ) -> None:
+    ) -> DataFrame:
+        # Partition hygiene: round outputs are unions whose partition counts
+        # would otherwise accumulate every round (O(rounds^2) tasks over a
+        # crawl). Bound them at the commit boundary — at cluster scale this
+        # coalesce becomes repartition(P, "host_bucket") to preserve
+        # co-location with the per-bucket seen/Bloom state.
+        n_part = max(8, self.spark.sparkContext.defaultParallelism)
+        frontier = frontier.coalesce(n_part)
+        seen_delta = seen_delta.coalesce(8)
         if self.root:
             d = os.path.join(self.root, f"round={round_no}")
             frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
             seen_delta.write.mode("overwrite").parquet(os.path.join(d, "seen_delta"))
             trace.write.mode("overwrite").parquet(os.path.join(d, "trace"))
             fetched.write.mode("overwrite").parquet(os.path.join(d, "fetched"))
-            with open(os.path.join(d, "lineage.json"), "w") as f:
-                json.dump(lineage_row, f)
-            self.rounds.append(round_no)
-            self._commit_manifest()
-            self._frontier = None
+            self._frontier = self.spark.read.parquet(os.path.join(d, "frontier"))
             self._seen = None
         else:
             old_f = self._frontier
             self._frontier = frontier.localCheckpoint(eager=True)
             delta_ck = seen_delta.localCheckpoint(eager=True)
             seen = self.seen().unionByName(delta_ck)
-            # periodic re-checkpoint keeps the union chain shallow
+            # periodic re-checkpoint keeps the union chain (and its partition
+            # count) shallow
             if round_no % 8 == 0:
-                seen = seen.localCheckpoint(eager=True)
+                seen = seen.coalesce(n_part).localCheckpoint(eager=True)
             self._seen = seen
-            self._traces.append(trace.localCheckpoint(eager=True))
-            self._fetched.append(fetched.localCheckpoint(eager=True))
-            self.rounds.append(round_no)
+            if self.keep_outputs:
+                self._traces.append(trace.localCheckpoint(eager=True))
+                self._fetched.append(fetched.localCheckpoint(eager=True))
             if old_f is not None:
                 old_f.unpersist()
-        self._lineage.append(dict(lineage_row))
+        return self._frontier
+
+    def finalize_round(self, round_no: int, lineage_row: dict) -> None:
+        if self.root:
+            d = os.path.join(self.root, f"round={round_no}")
+            with open(os.path.join(d, "lineage.json"), "w") as f:
+                json.dump(lineage_row, f)
+            self.rounds.append(round_no)
+            self._commit_manifest()
+        else:
+            self.rounds.append(round_no)
+            self._lineage.append(dict(lineage_row))
 
     # -- reads -----------------------------------------------------------
     def last_round(self) -> int:

@@ -40,24 +40,42 @@ def verify_fetched(fetched_with_payload: DataFrame, corpus_seed: int = 42, img_s
     """Input columns: round, url_id, image_id, bytes, fmt, caption, phash."""
 
     def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # executor-lifetime caches: ground-truth pixels / captions / phash
+        # per image k are regenerated once, not per row (the corpus is many
+        # orders of magnitude smaller than the fetch stream)
+        orig_cache: dict[int, np.ndarray] = {}
+        cap_cache: dict[int, str] = {}
+
+        def _orig(k: int) -> np.ndarray:
+            if k not in orig_cache:
+                r = np.random.default_rng(corpus_seed * 1_000_003 + k)
+                orig_cache[k] = r.integers(0, 256, size=(img_side, img_side, 3), dtype=np.uint8)
+                cap_cache[k] = _expected_caption(k)
+            return orig_cache[k]
+
         for pdf in batches:
             n = len(pdf)
             psnr_db = np.zeros(n)
             psnr_ok = np.zeros(n, dtype=bool)
             caption_ok = np.zeros(n, dtype=bool)
             phash_ok = np.zeros(n, dtype=bool)
+            image_ids = pdf["image_id"].to_numpy()
+            blobs = pdf["bytes"].to_numpy()
+            captions = pdf["caption"].to_numpy()
+            phashes = pdf["phash"].to_numpy()
             for i in range(n):
                 try:
-                    k = int(str(pdf["image_id"].iloc[i])[3:])
-                    r = np.random.default_rng(corpus_seed * 1_000_003 + k)
-                    orig = r.integers(0, 256, size=(img_side, img_side, 3), dtype=np.uint8)
-                    px, fmt = codec.decode(bytes(pdf["bytes"].iloc[i]))
+                    k = int(str(image_ids[i])[3:])
+                    orig = _orig(k)
+                    px, fmt = codec.decode(bytes(blobs[i]))
                     p = codec.psnr(orig, px)
                     lossless = fmt == "png"
                     psnr_db[i] = PSNR_EXACT if np.isinf(p) else p
                     psnr_ok[i] = np.array_equal(orig, px) if lossless else p >= PSNR_MIN_DB
-                    caption_ok[i] = str(pdf["caption"].iloc[i]) == _expected_caption(k)
-                    phash_ok[i] = int(pdf["phash"].iloc[i]) == codec.phash64(px)
+                    caption_ok[i] = str(captions[i]) == cap_cache[k]
+                    # phash recomputed from THIS row's decoded pixels (a
+                    # cache keyed on image id would mask per-row corruption)
+                    phash_ok[i] = int(phashes[i]) == codec.phash64(px)
                 except Exception:
                     pass
             yield pd.DataFrame(
