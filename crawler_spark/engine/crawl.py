@@ -42,12 +42,16 @@ def crawl(
     seen_prefilter=None,
     with_payload: bool = False,
     collect_outputs: bool = True,
+    interfaces: list | None = None,
 ) -> CrawlResult:
     """Run the crawl to completion (frontier empty) or cfg.max_rounds.
 
     seen_prefilter: optional BloomSeenFilter (engine/seen_filter.py).
     with_payload: join fetched rows against the corpus (the S5 "fetch" —
         payload bytes enter the fetched table).
+    interfaces: optional match-table interfaces (engine/interfaces.py);
+        each round their extract() runs over the payload-joined fetched rows
+        and the tables are interned with the round's atomic commit (P10).
     """
     t0 = time.monotonic()
     world = round_mod.prepare_world(spark, raw_world, cfg)
@@ -78,6 +82,9 @@ def crawl(
                 "round", "url_id", "url", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
             )
         frontier = store.commit_round(r, res.frontier, res.seen_delta, res.trace, fetched)
+        for iface in interfaces or []:
+            for tname, tdf in iface.extract(fetched).items():
+                store.commit_aux(r, iface.name, tname, tdf)
         n_next = frontier.count()
         # flow conservation closes the lineage row without extra jobs:
         # next = eligible - dedup - denied - fetched - exhausted + discovered

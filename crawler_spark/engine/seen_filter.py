@@ -128,39 +128,39 @@ class BloomSeenFilter:
             old.unpersist()
 
     # -- probe -----------------------------------------------------------
+    def probe_maybe_ids(self, frontier: DataFrame) -> DataFrame:
+        """(url_id) rows that MAY be seen. Only ids+buckets cross the Arrow
+        boundary — the payload columns stay JVM-side."""
+        n_hashes = self.n_hashes
+
+        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            ids = left["url_id"].to_numpy()
+            if len(right):
+                bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+                maybe = _probe_bits(ids, bits, n_hashes)
+            else:
+                maybe = np.zeros(len(ids), dtype=bool)
+            return pd.DataFrame({"url_id": ids[maybe]})
+
+        return (
+            frontier.select("url_id", "host_bucket")
+            .groupBy("host_bucket")
+            .cogroup(self.filter_df.groupBy("host_bucket"))
+            .applyInPandas(probe, schema="url_id long")
+        )
+
     def split(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(maybe_seen, definitely_new); together they partition `frontier`."""
+        """(maybe_seen, definitely_new); together they partition `frontier`.
+        The maybe-flag joins back on url_id — the same key as the downstream
+        exact seen anti-join, so the frontier exchange is reused."""
         if self.filter_df is None:
             empty = self.spark.createDataFrame([], frontier.schema)
             return empty, frontier
-        n_hashes = self.n_hashes
-        # fresh StructType — .add() would mutate the DataFrame's cached schema
-        from pyspark.sql.types import BooleanType, StructField, StructType
-
-        cols = [f.name for f in frontier.schema.fields]
-        out_schema = StructType(
-            list(frontier.schema.fields) + [StructField("_maybe", BooleanType())]
-        )
-
-        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(right):
-                bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
-                maybe = _probe_bits(left["url_id"].to_numpy(), bits, n_hashes)
-            else:
-                maybe = np.zeros(len(left), dtype=bool)
-            out = left[cols].copy()
-            out["_maybe"] = maybe
-            return out
-
         if self._last_marked is not None:
             self._last_marked.unpersist()
-        marked = (
-            frontier.groupBy("host_bucket")
-            .cogroup(self.filter_df.groupBy("host_bucket"))
-            .applyInPandas(probe, schema=out_schema)
-            .persist()
-        )
+        flag = self.probe_maybe_ids(frontier).withColumn("_pf", F.lit(True))
+        marked = frontier.join(flag, "url_id", "left").persist()
         self._last_marked = marked
-        maybe = marked.filter(F.col("_maybe")).drop("_maybe")
-        new = marked.filter(~F.col("_maybe")).drop("_maybe")
+        maybe = marked.filter(F.col("_pf")).drop("_pf")
+        new = marked.filter(F.col("_pf").isNull()).drop("_pf")
         return maybe, new

@@ -37,6 +37,7 @@ class StateStore:
         self._traces: list[DataFrame] = []
         self._fetched: list[DataFrame] = []
         self._lineage: list[dict] = []
+        self._aux: dict[tuple[str, str], list[DataFrame]] = {}
         if root:
             os.makedirs(root, exist_ok=True)
             self.rounds = self._read_manifest()
@@ -104,6 +105,33 @@ class StateStore:
             if old_f is not None:
                 old_f.unpersist()
         return self._frontier
+
+    # -- aux (interface match) tables: written before finalize_round, so
+    # they share the round's atomic visibility (P10 transaction analog) ----
+    def commit_aux(self, round_no: int, iface: str, table: str, df: DataFrame) -> None:
+        if self.root:
+            d = os.path.join(self.root, f"round={round_no}", "aux", iface, table)
+            df.coalesce(8).write.mode("overwrite").parquet(d)
+        else:
+            self._aux.setdefault((iface, table), []).append(
+                df.coalesce(8).localCheckpoint(eager=True)
+            )
+
+    def aux(self, iface: str, table: str) -> DataFrame | None:
+        if self.root:
+            paths = [
+                p
+                for r in self.rounds
+                if os.path.isdir(p := os.path.join(self.root, f"round={r}", "aux", iface, table))
+            ]
+            return self.spark.read.parquet(*paths) if paths else None
+        parts = self._aux.get((iface, table), [])
+        if not parts:
+            return None
+        out = parts[0]
+        for t in parts[1:]:
+            out = out.unionByName(t)
+        return out
 
     def finalize_round(self, round_no: int, lineage_row: dict) -> None:
         if self.root:

@@ -28,7 +28,9 @@ POLY_MOD = 1_000_000_007
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..sources import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 # word tokens of documents.text, identical in both engines

@@ -1,0 +1,215 @@
+"""The reference's pluggable `Interface` (init/preprocess/compile/intern,
+crawler/src/interface.rs:65-91) re-expressed as DataFrame match-table
+builders, mirroring the SI schema catalog exactly (SURVEY §1.4;
+crawler_si/src/interface.rs:16-86):
+
+  files(file_id, repo_id, path)
+  matches(match_id, file_id, line, col)
+  remarks(match_id, vector, width, si)
+  ir_mix(match_id, count, mem, arith, other)
+  pattern(match_id, start, stride)
+  si_info(match_id, type_id)
+
+Domain translation: a fetched document plays the compiled file; a token
+matching the detector regex plays a vectorizable loop (X8 `for`-detector,
+crawler_si/src/pattern.rs:17-19); line/col are token position/length.
+All ids are deterministic xxhash64 composites (replacing DB uuid_short(),
+crawler_si/src/intern.rs:137-148) so every table is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import DUCK_TOKENS, SPARK_TOKENS, duck_h32, load, spark_h32
+
+DETECTOR = "^s"  # token detector (stands in for the `for`-loop regex X8)
+
+
+def _files(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.xxhash64(F.concat(F.lit("file:"), F.col("doc_id").cast("string"))).alias("file_id"),
+        F.col("doc_id").alias("repo_id"),
+        F.concat(F.lit("doc/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+
+
+def _matches(docs: DataFrame) -> DataFrame:
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.expr(SPARK_TOKENS)).alias("line", "tok"),
+    )
+    return toks.filter(F.col("tok").rlike(DETECTOR)).select(
+        F.xxhash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("line").cast("string"))
+        ).alias("match_id"),
+        F.xxhash64(F.concat(F.lit("file:"), F.col("doc_id").cast("string"))).alias("file_id"),
+        "line",
+        F.length("tok").alias("col"),
+        "tok",
+        "doc_id",
+    )
+
+
+def si_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """files table (K4 upsert analog). file_id is xxhash64 (no DuckDB twin),
+    so the oracle checks the (repo_id, path) payload plus id uniqueness via
+    count distinct in the engine test; here we expose repo_id/path only."""
+    return _files(load(spark, sf_dir, "documents")).select("repo_id", "path")
+
+
+SI_FILES_SQL = """
+SELECT doc_id AS repo_id, 'doc/' || source || '/' || doc_id AS path FROM documents
+"""
+
+
+def si_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matches(line, col) keyed by (repo_id, line) — FindInnerLoops analog."""
+    return _matches(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("repo_id"), "line", "col"
+    )
+
+
+SI_MATCHES_SQL = f"""
+SELECT doc_id AS repo_id, line, length(tok)::bigint AS col FROM (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS tok,
+         generate_subscripts({DUCK_TOKENS}, 1) - 1 AS line
+  FROM documents) t
+WHERE regexp_matches(tok, '{DETECTOR}')
+"""
+
+
+def si_remarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remarks(vector, width, si) — X5 remark-parser analog: deterministic
+    features of the matched token."""
+    m = _matches(load(spark, sf_dir, "documents"))
+    h = F.expr(spark_h32("tok"))
+    return m.select(
+        F.col("doc_id").alias("repo_id"),
+        "line",
+        F.pmod(h, F.lit(8)).alias("vector"),
+        F.length("tok").alias("width"),
+        F.pmod(h, F.lit(2)).alias("si"),
+    )
+
+
+SI_REMARKS_SQL = f"""
+SELECT doc_id AS repo_id, line,
+       ({duck_h32('tok')} % 8)::bigint AS vector,
+       length(tok)::bigint AS width,
+       ({duck_h32('tok')} % 2)::bigint AS si
+FROM (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS tok,
+         generate_subscripts({DUCK_TOKENS}, 1) - 1 AS line
+  FROM documents) t
+WHERE regexp_matches(tok, '{DETECTOR}')
+"""
+
+
+def si_ir_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ir_mix(count, mem, arith, other) — G6 opcode-class tally analog over
+    the matched token's characters (vowel=mem, digit=arith)."""
+    m = _matches(load(spark, sf_dir, "documents"))
+    mem = F.length(F.regexp_replace("tok", "[^aeiou]", ""))
+    arith = F.length(F.regexp_replace("tok", "[^0-9]", ""))
+    return m.select(
+        F.col("doc_id").alias("repo_id"),
+        "line",
+        F.length("tok").alias("count"),
+        mem.alias("mem"),
+        arith.alias("arith"),
+        (F.length("tok") - mem - arith).alias("other"),
+    )
+
+
+SI_IR_MIX_SQL = f"""
+SELECT doc_id AS repo_id, line, length(tok)::bigint AS count,
+       length(regexp_replace(tok, '[^aeiou]', '', 'g'))::bigint AS mem,
+       length(regexp_replace(tok, '[^0-9]', '', 'g'))::bigint AS arith,
+       (length(tok) - length(regexp_replace(tok, '[^aeiou]', '', 'g'))
+        - length(regexp_replace(tok, '[^0-9]', '', 'g')))::bigint AS other
+FROM (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS tok,
+         generate_subscripts({DUCK_TOKENS}, 1) - 1 AS line
+  FROM documents) t
+WHERE regexp_matches(tok, '{DETECTOR}')
+"""
+
+
+def si_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pattern(start, stride) — X6 loop-info analog: for each (doc, token)
+    with >=2 detector matches, start = first position, stride = min gap."""
+    m = _matches(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id", "tok").orderBy("line")
+    gaps = m.withColumn("gap", F.col("line") - F.lag("line").over(w))
+    return (
+        gaps.groupBy(F.col("doc_id").alias("repo_id"), "tok")
+        .agg(
+            F.min("line").alias("start"),
+            F.min("gap").alias("stride"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select("repo_id", "tok", "start", "stride")
+    )
+
+
+SI_PATTERN_SQL = f"""
+WITH m AS (
+  SELECT doc_id, tok, line FROM (
+    SELECT doc_id, unnest({DUCK_TOKENS}) AS tok,
+           generate_subscripts({DUCK_TOKENS}, 1) - 1 AS line
+    FROM documents) t
+  WHERE regexp_matches(tok, '{DETECTOR}')
+), g AS (
+  SELECT doc_id, tok, line,
+         line - lag(line) OVER (PARTITION BY doc_id, tok ORDER BY line) AS gap
+  FROM m)
+SELECT doc_id AS repo_id, tok, min(line) AS start, min(gap)::bigint AS stride
+FROM g GROUP BY doc_id, tok HAVING count(*) >= 2
+"""
+
+
+def si_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """si_info(type_id) + the 4-row si_info_types lookup join
+    (crawler_si/src/interface.rs:65-86; hard-coded map intern.rs:205-210)."""
+    types = spark.createDataFrame(
+        [(0, "scalar"), (1, "vector"), (2, "mixed"), (3, "unknown")],
+        "type_id int, type_name string",
+    )
+    m = _matches(load(spark, sf_dir, "documents"))
+    coded = m.select(
+        F.col("doc_id").alias("repo_id"),
+        "line",
+        F.pmod(F.expr(spark_h32("tok")), F.lit(4)).cast("int").alias("type_id"),
+    )
+    return coded.join(F.broadcast(types), "type_id").select(
+        "repo_id", "line", "type_id", "type_name"
+    )
+
+
+SI_INFO_SQL = f"""
+WITH types(type_id, type_name) AS (
+  VALUES (0, 'scalar'), (1, 'vector'), (2, 'mixed'), (3, 'unknown')
+), m AS (
+  SELECT doc_id AS repo_id, line,
+         ({duck_h32('tok')} % 4)::int AS type_id
+  FROM (
+    SELECT doc_id, unnest({DUCK_TOKENS}) AS tok,
+           generate_subscripts({DUCK_TOKENS}, 1) - 1 AS line
+    FROM documents) t
+  WHERE regexp_matches(tok, '{DETECTOR}')
+)
+SELECT repo_id, line, m.type_id, type_name FROM m JOIN types USING (type_id)
+"""
+
+
+QUERIES = {
+    "si_files": (si_files, SI_FILES_SQL),
+    "si_matches": (si_matches, SI_MATCHES_SQL),
+    "si_remarks": (si_remarks, SI_REMARKS_SQL),
+    "si_ir_mix": (si_ir_mix, SI_IR_MIX_SQL),
+    "si_pattern": (si_pattern, SI_PATTERN_SQL),
+    "si_info": (si_info, SI_INFO_SQL),
+}

@@ -1,0 +1,51 @@
+"""Physical-plan audits (SURVEY §4): the scale guarantees are properties of
+the plans Catalyst produces, so they are asserted, not assumed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators import ALL_QUERIES
+from crawler_spark.plans import (
+    assert_no_cartesian,
+    assert_pushed_filters,
+    has_broadcast_join,
+    scan_read_schema,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    fn, _ = ALL_QUERIES["f5_priority_range"]
+    df = fn(spark, SF)
+    assert_pushed_filters(df, ["o_totalprice", "o_orderstatus"])
+
+
+def test_column_pruning(spark):
+    fn, _ = ALL_QUERIES["g1_min_probe"]
+    df = fn(spark, SF)
+    schemas = scan_read_schema(df)
+    # the orders scan must read only the aggregated column, not all 6
+    assert any(set(s) <= {"o_totalprice"} for s in schemas), schemas
+
+
+def test_small_dims_broadcast(spark):
+    fn, _ = ALL_QUERIES["q5_join_chain"]
+    assert has_broadcast_join(fn(spark, SF))
+
+
+def test_no_cartesian_in_catalog(spark):
+    for name in ("q3_shipping_priority", "q5_join_chain", "crawl_round_schedule"):
+        fn, _ = ALL_QUERIES[name]
+        assert_no_cartesian(fn(spark, SF))
+
+
+def test_topk_plans_as_take_ordered(spark):
+    """orderBy+limit must plan as TakeOrderedAndProject (partial per-partition
+    heaps), not a global sort — the O1 frontier-page scale property."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    df = orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
+    from crawler_spark.plans import explain_str
+
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
