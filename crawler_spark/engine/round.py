@@ -173,13 +173,34 @@ def run_round(
     # outcomes in ONE annotated pass over the <= page_size candidate rows, so
     # all candidate/attempt lineage needs a single aggregate.
     w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_id"))
+    cand = candidates.withColumn("_budget", F.coalesce(F.col("budget"), F.lit(cfg.page_size)))
+    if cfg.n_salt > 1:
+        # hot-host skew: two-phase salted ranking (engine/skew.py) — a row
+        # beyond its salt-slice budget is beyond the host budget a fortiori,
+        # so phase 2's exact window sees <= n_salt * budget rows per host
+        w_salt = Window.partitionBy("host", "_salt").orderBy(
+            F.desc("priority"), F.asc("url_id")
+        )
+        s1 = cand.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("url_id")), F.lit(cfg.n_salt))
+        ).withColumn("_srank", F.row_number().over(w_salt))
+        surv = (
+            s1.filter(F.col("_srank") <= F.col("_budget"))
+            .withColumn("_hrank", F.row_number().over(w_host))
+        )
+        early_deferred = s1.filter(F.col("_srank") > F.col("_budget")).withColumn(
+            "_hrank", F.lit(None).cast("int")
+        )
+        cand = surv.unionByName(early_deferred).drop("_salt", "_srank")
+        over_budget = F.col("_hrank").isNull() | (F.col("_hrank") > F.col("_budget"))
+    else:
+        cand = cand.withColumn("_hrank", F.row_number().over(w_host))
+        over_budget = F.col("_hrank") > F.col("_budget")
     att = (
-        candidates.withColumn("_hrank", F.row_number().over(w_host))
-        .withColumn("_budget", F.coalesce(F.col("budget"), F.lit(cfg.page_size)))
-        .join(world.pages.select("url_id", "ok", "image_id"), "url_id")
+        cand.join(world.pages.select("url_id", "ok", "image_id"), "url_id")
         .withColumn(
             "disp",
-            F.when(F.col("_hrank") > F.col("_budget"), F.lit("deferred"))
+            F.when(over_budget, F.lit("deferred"))
             .when(F.col("ok"), F.lit("fetched"))
             .when(F.col("tries_left") > 1, F.lit("retry"))
             .otherwise(F.lit("exhausted")),

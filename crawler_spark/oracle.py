@@ -64,6 +64,8 @@ class CrawlConfig:
     round_ms: int = 1000
     max_rounds: int = 1000
     n_buckets: int = 32  # host-hash partition count (engine side)
+    n_salt: int = 1  # >1: two-phase salted politeness window (engine-only
+    #                  skew knob — result-identical, oracle ignores it)
 
     def host_budget(self, crawl_delay_ms: int) -> int:
         if crawl_delay_ms is None or crawl_delay_ms <= 0:

@@ -48,8 +48,23 @@ def test_stream_link_extract_availablenow(spark, tmp_path):
 
 def test_stream_windowed_lineage(spark, tmp_path):
     src = str(tmp_path / "links2")
-    spark.createDataFrame(_links_pdf(), LINKS_SCHEMA).write.parquet(src)
-    stream = stream_link_extract(spark.readStream.schema(LINKS_SCHEMA).parquet(src))
+    # batch 1: the 40s of events; batch 2: a late sentinel 10 min on that
+    # advances the watermark past batch 1's windows (append mode only emits
+    # a window once the watermark passes its end)
+    spark.createDataFrame(_links_pdf(), LINKS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    sentinel = pd.DataFrame(
+        [("http://h0.example/s", "http://h0.example/late", "user",
+          pd.Timestamp("2024-01-01 00:10:00"))],
+        columns=["src_url", "href", "href_kind", "ts"],
+    )
+    spark.createDataFrame(sentinel, LINKS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = stream_link_extract(
+        spark.readStream.schema(LINKS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
     agg = stream_windowed_lineage(stream, window="10 seconds", watermark="1 minute")
     q = (
         agg.writeStream.format("memory")
@@ -60,6 +75,7 @@ def test_stream_windowed_lineage(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = spark.sql("select * from lineage_w").toPandas()
-    # 40s of events -> 4 tumbling windows; counts conserve the 36 user hrefs
+    # 40s of events -> 4 closed tumbling windows; the sentinel's own window
+    # stays open (held back by the watermark)
     assert got["n_discovered"].sum() == 36
     assert got["window_start"].nunique() == 4
