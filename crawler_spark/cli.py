@@ -1,0 +1,110 @@
+"""CLI entry — API parity with the reference's `crawler <CONFIG>
+{mine <PATH> | crawl | search}` dispatch (`crawler/src/lib.rs:19-51,108-134`):
+
+  python -m crawler_spark.cli crawl  --world DIR --state DIR [--resume] ...
+  python -m crawler_spark.cli search --world DIR --state DIR           ...
+  python -m crawler_spark.cli mine   --world DIR [--host HOST]         ...
+
+crawl  = full fetch->parse->enqueue loop to frontier exhaustion (§3.1)
+search = frontier build only: seed expansion committed as round 0 (§3.3)
+mine   = single-round pipeline over one world (optionally one host) with
+         match-table interning (§3.2)
+
+Runs under spark-submit (`spark-submit --py-files crawler_spark.zip -m ...`)
+or plain python (local mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .datagen import WORLD_SCHEMAS
+from .engine.crawl import crawl
+from .engine.interfaces import CaptionSIInterface
+from .engine.seen_filter import BloomSeenFilter
+from .oracle import CrawlConfig
+from .session import get_spark
+from .sources import load_world
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--world", required=True, help="dir of world parquet tables (datagen.write_world)")
+    p.add_argument("--state", default=None, help="checkpoint dir (enables resume)")
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--page-size", type=int, default=100)
+    p.add_argument("--tries", type=int, default=3)
+    p.add_argument("--round-ms", type=int, default=1000)
+    p.add_argument("--max-rounds", type=int, default=1000)
+    p.add_argument("--n-salt", type=int, default=1)
+    p.add_argument("--bloom", action="store_true", help="enable the Bloom seen pre-filter")
+    p.add_argument("--payload", action="store_true", help="join fetched rows against the corpus")
+    p.add_argument("--intern-si", action="store_true", help="run the SI match-table interface per round")
+
+
+def _cfg(args: argparse.Namespace, **over) -> CrawlConfig:
+    base = dict(
+        page_size=args.page_size, tries=args.tries, round_ms=args.round_ms,
+        max_rounds=args.max_rounds, n_salt=args.n_salt,
+    )
+    base.update(over)
+    return CrawlConfig(**base)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="crawler_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name in ("crawl", "search", "mine"):
+        p = sub.add_parser(name)
+        _add_common(p)
+        if name == "crawl":
+            p.add_argument("--resume", action="store_true")
+        if name == "mine":
+            p.add_argument("--host", default=None, help="restrict to one host")
+    args = parser.parse_args(argv)
+
+    spark = get_spark(cores=args.cores)
+    world = load_world(spark, args.world)
+    missing = {"pages", "links", "robots", "seeds"} - set(world)
+    if missing:
+        print(f"world dir missing tables: {sorted(missing)}", file=sys.stderr)
+        return 2
+
+    if args.cmd == "mine" and args.host:
+        world["pages"] = world["pages"].filter(world["pages"].host == args.host)
+        world["seeds"] = world["seeds"].filter(
+            world["seeds"].url.contains(args.host)
+        )
+
+    over = {}
+    if args.cmd == "search":
+        over["max_rounds"] = 0  # seed expansion only: commit the frontier, no fetch
+    if args.cmd == "mine":
+        over["max_rounds"] = 1  # single round (§3.2)
+
+    res = crawl(
+        spark,
+        world,
+        _cfg(args, **over),
+        state_dir=args.state,
+        resume=getattr(args, "resume", False),
+        seen_prefilter=BloomSeenFilter(spark) if args.bloom else None,
+        with_payload=args.payload and "corpus" in world,
+        interfaces=[CaptionSIInterface()] if args.intern_si else None,
+        collect_outputs=False,
+    )
+    summary = {
+        "cmd": args.cmd,
+        "rounds": res.rounds,
+        "wall_s": round(res.wall_s, 2),
+        "lineage_tail": res.lineage.tail(1).to_dict("records"),
+        "total_fetched": int(res.lineage["n_fetched"].sum()) if len(res.lineage) else 0,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

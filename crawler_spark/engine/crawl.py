@@ -69,6 +69,21 @@ def crawl(
         frontier = round_mod.seeds_frontier(spark, raw_world["seeds"], world, cfg)
         frontier = frontier.localCheckpoint(eager=True)
         r = 0
+        if cfg.max_rounds == 0 and state_dir:
+            # `search` mode (§3.3): commit the seed-expanded frontier as
+            # round 0 so a later crawl --resume continues from it
+            from .state import SEEN_SCHEMA, TRACE_SCHEMA
+
+            empty_seen = spark.createDataFrame([], SEEN_SCHEMA)
+            empty_trace = spark.createDataFrame([], TRACE_SCHEMA)
+            empty_fetched = spark.createDataFrame(
+                [], "round int, url_id long, url string, image_id string"
+            )
+            store.commit_round(0, frontier, empty_seen, empty_trace, empty_fetched)
+            ln0 = dict.fromkeys(LINEAGE_COLS, 0)
+            ln0["round"] = 0
+            ln0["n_eligible"] = frontier.count()
+            store.finalize_round(0, ln0)
 
     n_frontier = frontier.count()
     while n_frontier > 0 and r < cfg.max_rounds:

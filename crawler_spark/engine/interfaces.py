@@ -15,10 +15,50 @@ catalog SURVEY §1.4) — other interfaces implement the same two methods.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DETECTOR = "^i"  # matches caption tokens (image/ipsum)
+PRAGMA = "#pragma "  # annotation marker (X9 analog, crawler_si pattern.rs:35)
+
+PREPROCESS_SCHEMA = (
+    "url_id long, caption string, annotated string, n_pragmas int, line_map string"
+)
+
+
+def preprocess_annotate(fetched: DataFrame, detector: str = DETECTOR) -> DataFrame:
+    """X9 pragma insertion (`crawler_si/src/loops.rs:112-147`): splice an
+    annotation line before every detector-matching line of the payload text,
+    tracking the original->annotated line remap (`post_row` delta logic).
+    Runs as an Arrow-batched mapInPandas — the `preprocess` hook of the
+    Interface lifecycle."""
+    import re
+
+    det = re.compile(detector)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ["url_id", "caption", "annotated", "n_pragmas", "line_map"]}
+            for url_id, caption in zip(pdf["url_id"], pdf["caption"]):
+                words = str(caption).split(" ")
+                new_words, remap, delta = [], [], 0
+                for i, wrd in enumerate(words):
+                    if det.match(wrd):
+                        new_words.append(PRAGMA.strip())
+                        delta += 1
+                    new_words.append(wrd)
+                    remap.append(f"{i}:{i + delta}")
+                out["url_id"].append(url_id)
+                out["caption"].append(caption)
+                out["annotated"].append(" ".join(new_words))
+                out["n_pragmas"].append(delta)
+                out["line_map"].append(",".join(remap))
+            yield pd.DataFrame(out)
+
+    return fetched.select("url_id", "caption").mapInPandas(run, schema=PREPROCESS_SCHEMA)
 
 
 class CaptionSIInterface:

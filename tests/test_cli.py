@@ -1,0 +1,37 @@
+"""CLI surface (reference dispatch parity, lib.rs:19-51): search commits the
+seed frontier as round 0; crawl --resume continues from it."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from crawler_spark import datagen
+
+
+def test_cli_search_commits_round0(tmp_path):
+    world_dir = str(tmp_path / "world")
+    state_dir = str(tmp_path / "state")
+    datagen.write_world(
+        datagen.make_world(n_urls=120, n_hosts=5, n_images=10, with_corpus=False),
+        world_dir,
+    )
+    p = subprocess.run(
+        [
+            sys.executable, "-m", "crawler_spark.cli", "search",
+            "--world", world_dir, "--state", state_dir, "--cores", "8",
+            "--page-size", "20",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    assert line, p.stderr[-500:]
+    out = json.loads(line[-1])
+    assert out["cmd"] == "search" and out["rounds"] == 0
+    assert out["lineage_tail"][0]["n_eligible"] > 0
+    # round-0 frontier committed and visible via the manifest
+    manifest = json.load(open(os.path.join(state_dir, "manifest.json")))
+    assert manifest["rounds"] == [0]
+    assert os.path.isdir(os.path.join(state_dir, "round=0", "frontier"))

@@ -50,3 +50,27 @@ def test_si_intern_shares_round_visibility(spark, tmp_path):
     # aux rounds on disk == committed rounds
     rounds = {r["round"] for r in files.select("round").distinct().collect()}
     assert rounds <= set(res.store.rounds)
+
+
+def test_preprocess_annotate_line_remap(spark):
+    """X9 pragma insertion: annotation lines spliced before detector tokens
+    with an exact original->annotated position remap."""
+    import pandas as pd
+
+    from crawler_spark.engine.interfaces import PRAGMA, preprocess_annotate
+
+    pdf = pd.DataFrame(
+        {"url_id": [1, 2], "caption": ["image of iris flowers", "no matches here"]}
+    )
+    sdf = spark.createDataFrame(pdf, "url_id long, caption string")
+    got = (
+        preprocess_annotate(sdf.withColumn("round", sdf.url_id))
+        .toPandas()
+        .set_index("url_id")
+    )
+    assert got.loc[1, "n_pragmas"] == 2  # 'image' and 'iris'
+    assert got.loc[1, "annotated"].split(" ")[0] == PRAGMA.strip()
+    # remap: word 0 shifts by 1, word 2 (iris) by 2
+    assert got.loc[1, "line_map"] == "0:1,1:2,2:4,3:5"
+    assert got.loc[2, "n_pragmas"] == 0
+    assert got.loc[2, "annotated"] == "no matches here"
