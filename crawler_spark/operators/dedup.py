@@ -44,13 +44,25 @@ DUCK_SHINGLES = (
 
 
 def _spark_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h) rows, h = 32-bit hash of each DISTINCT shingle."""
+    """(doc_id, h) rows, h = 32-bit hash of each DISTINCT shingle.
+
+    Tokens materialize into a column FIRST: the shingle transform references
+    them three times per element, and inlining the tokenizer would evaluate
+    the regex split repeatedly per row."""
     docs = load(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle"))
-        .select("doc_id", F.expr(spark_h32("shingle")).alias("h"))
-        .distinct()
+    toks = docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 3 then "
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) "
+                "else cast(array() as array<string>) end"
+            )
+        ).alias("shingle"),
     )
+    return shingles.select("doc_id", F.expr(spark_h32("shingle")).alias("h")).distinct()
 
 
 DUCK_SHINGLE_ROWS = f"""
@@ -186,9 +198,9 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 # -- SimHash (32-bit, token-hash bit votes) ---------------------------------
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("tok")
-    ).select("doc_id", F.expr(spark_h32("tok")).alias("h"))
+    tok = docs.select("doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("tok")).select(
+        "doc_id", F.expr(spark_h32("tok")).alias("h")
+    )
     votes = [
         F.sum(
             F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
