@@ -310,7 +310,7 @@ def w2_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 W2_SQL = """
-SELECT user_id, session_no, count(*)::bigint AS n_events, round(sum(value),4) AS sum_value
+SELECT user_id, session_no::bigint AS session_no, count(*)::bigint AS n_events, round(sum(value),4) AS sum_value
 FROM (
   SELECT user_id, value,
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
