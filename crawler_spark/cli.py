@@ -22,7 +22,7 @@ import sys
 
 from .datagen import WORLD_SCHEMAS
 from .engine.crawl import crawl
-from .engine.interfaces import CaptionSIInterface
+from .engine.interfaces import ALL_INTERFACES
 from .engine.seen_filter import BloomSeenFilter
 from .oracle import CrawlConfig
 from .session import get_spark
@@ -40,7 +40,18 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n-salt", type=int, default=1)
     p.add_argument("--bloom", action="store_true", help="enable the Bloom seen pre-filter")
     p.add_argument("--payload", action="store_true", help="join fetched rows against the corpus")
-    p.add_argument("--intern-si", action="store_true", help="run the SI match-table interface per round")
+    p.add_argument(
+        "--intern",
+        action="append",
+        choices=["si", "rebasedl", "kernel_farer"],
+        default=None,
+        help="attach a match-table interface (repeatable; implies --payload)",
+    )
+    p.add_argument(
+        "--intern-si",
+        action="store_true",
+        help="shorthand for --intern si",
+    )
 
 
 def _cfg(args: argparse.Namespace, **over) -> CrawlConfig:
@@ -83,6 +94,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "mine":
         over["max_rounds"] = 1  # single round (§3.2)
 
+    iface_names = list(args.intern or [])
+    if args.intern_si and "si" not in iface_names:
+        iface_names.append("si")
+    if iface_names and "corpus" not in world:
+        print("--intern requires a corpus table (payload captions)", file=sys.stderr)
+        return 2
     res = crawl(
         spark,
         world,
@@ -90,8 +107,9 @@ def main(argv: list[str] | None = None) -> int:
         state_dir=args.state,
         resume=getattr(args, "resume", False),
         seen_prefilter=BloomSeenFilter(spark) if args.bloom else None,
-        with_payload=args.payload and "corpus" in world,
-        interfaces=[CaptionSIInterface()] if args.intern_si else None,
+        # interfaces extract from payload captions -> payload implied
+        with_payload=(args.payload or bool(iface_names)) and "corpus" in world,
+        interfaces=[ALL_INTERFACES[n]() for n in iface_names] or None,
         collect_outputs=False,
     )
     summary = {

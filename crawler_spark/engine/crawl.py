@@ -60,6 +60,8 @@ def crawl(
     world.pages.count(), world.links.count()  # materialize static graph once
 
     store = StateStore(spark, state_dir, keep_outputs=collect_outputs or with_payload)
+    for iface in interfaces or []:
+        iface.init(spark, store)  # seed-table bootstrap (reference init())
     if resume and store.rounds:
         frontier = store.frontier()
         r = store.last_round()
@@ -98,7 +100,8 @@ def crawl(
             )
         frontier = store.commit_round(r, res.frontier, res.seen_delta, res.trace, fetched)
         for iface in interfaces or []:
-            for tname, tdf in iface.extract(fetched).items():
+            pre = iface.preprocess(fetched)  # lifecycle: preprocess -> compile
+            for tname, tdf in iface.extract(pre).items():
                 store.commit_aux(r, iface.name, tname, tdf)
         n_next = frontier.count()
         # flow conservation closes the lineage row without extra jobs:
@@ -118,6 +121,8 @@ def crawl(
         n_frontier = n_next
 
     wall = time.monotonic() - t0
+    if seen_prefilter is not None:
+        seen_prefilter.release()
     if collect_outputs:
         trace = store.traces().orderBy("round", "seq").toPandas()
         seen = store.seen().select("url_id", "status", "round").orderBy("url_id").toPandas()

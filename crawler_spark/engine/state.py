@@ -38,6 +38,7 @@ class StateStore:
         self._fetched: list[DataFrame] = []
         self._lineage: list[dict] = []
         self._aux: dict[tuple[str, str], list[DataFrame]] = {}
+        self._seed: dict[tuple[str, str], DataFrame] = {}
         if root:
             os.makedirs(root, exist_ok=True)
             self.rounds = self._read_manifest()
@@ -116,6 +117,22 @@ class StateStore:
             self._aux.setdefault((iface, table), []).append(
                 df.coalesce(8).localCheckpoint(eager=True)
             )
+
+    # -- seeded dimension tables (interface init(), e.g. si_info_types —
+    # the reference's CREATE TABLE + INSERT IGNORE bootstrap,
+    # crawler_si/src/interface.rs:71-77). Idempotent overwrite. -----------
+    def commit_seed(self, iface: str, table: str, df: DataFrame) -> None:
+        if self.root:
+            d = os.path.join(self.root, "seed", iface, table)
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+        else:
+            self._seed[(iface, table)] = df.localCheckpoint(eager=True)
+
+    def seed(self, iface: str, table: str) -> DataFrame | None:
+        if self.root:
+            d = os.path.join(self.root, "seed", iface, table)
+            return self.spark.read.parquet(d) if os.path.isdir(d) else None
+        return self._seed.get((iface, table))
 
     def aux(self, iface: str, table: str) -> DataFrame | None:
         if self.root:

@@ -33,9 +33,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# word tokens of documents.text, identical in both engines
-SPARK_TOKENS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# word tokens of a text column, identical in both engines
+def spark_tokens(col: str) -> str:
+    return f"filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+
+
+def duck_tokens(col: str) -> str:
+    return f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+
+
+SPARK_TOKENS = spark_tokens("text")
+DUCK_TOKENS = duck_tokens("text")
 
 # 32-bit token hash from md5 hex
 def spark_h32(expr: str) -> str:

@@ -205,6 +205,70 @@ SELECT repo_id, line, m.type_id, type_name FROM m JOIN types USING (type_id)
 """
 
 
+# -- X9: pragma insertion + exact line remap (the SI preprocess hook) -------
+PRAGMA_TOKEN = "#pragma"
+
+
+def annotate_remap(
+    df: DataFrame, id_col: str, text_col: str, detector: str = DETECTOR
+) -> DataFrame:
+    """X9 (`crawler_si/src/loops.rs:112-147`): splice an annotation line
+    before every detector-matched token, tracking the original->annotated
+    position remap (the `post_row` delta / `by_pragma` join-key logic,
+    loops.rs:46-69). Fully relational — posexplode + running count + ordered
+    re-assembly; no Python in the plan. Output per id:
+    (id, n_pragmas, line_map, annotated)."""
+    from .common import spark_tokens
+
+    e = df.select(
+        F.col(id_col), F.posexplode(F.expr(spark_tokens(text_col))).alias("pos", "tok")
+    ).withColumn("flag", F.when(F.col("tok").rlike(detector), 1).otherwise(0))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    c = e.withColumn("cum", F.sum("flag").over(w)).select(
+        id_col,
+        "pos",
+        "flag",
+        F.concat_ws(":", F.col("pos"), F.col("pos") + F.col("cum")).alias("map_str"),
+        F.when(
+            F.col("flag") == 1, F.concat_ws(" ", F.lit(PRAGMA_TOKEN), F.col("tok"))
+        ).otherwise(F.col("tok")).alias("piece"),
+    )
+    g = c.groupBy(id_col).agg(
+        F.sum("flag").alias("n_pragmas"),
+        F.array_sort(F.collect_list(F.struct("pos", "map_str"))).alias("_maps"),
+        F.array_sort(F.collect_list(F.struct("pos", "piece"))).alias("_pieces"),
+    )
+    return g.select(
+        id_col,
+        "n_pragmas",
+        F.array_join(F.expr("transform(_maps, m -> m.map_str)"), ",").alias("line_map"),
+        F.array_join(F.expr("transform(_pieces, p -> p.piece)"), " ").alias("annotated"),
+    )
+
+
+def x9_annotate_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return annotate_remap(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+X9_SQL = f"""
+WITH e AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN regexp_matches(tok, '{DETECTOR}') THEN 1 ELSE 0 END AS flag
+  FROM (
+    SELECT doc_id, unnest({DUCK_TOKENS}) AS tok,
+           generate_subscripts({DUCK_TOKENS}, 1) - 1 AS pos
+    FROM documents) t
+), c AS (
+  SELECT *, sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS cum FROM e
+)
+SELECT doc_id, sum(flag)::bigint AS n_pragmas,
+       string_agg(pos || ':' || (pos + cum), ',' ORDER BY pos) AS line_map,
+       string_agg(CASE WHEN flag = 1 THEN '{PRAGMA_TOKEN} ' || tok ELSE tok END,
+                  ' ' ORDER BY pos) AS annotated
+FROM c GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "si_files": (si_files, SI_FILES_SQL),
     "si_matches": (si_matches, SI_MATCHES_SQL),
@@ -212,4 +276,5 @@ QUERIES = {
     "si_ir_mix": (si_ir_mix, SI_IR_MIX_SQL),
     "si_pattern": (si_pattern, SI_PATTERN_SQL),
     "si_info": (si_info, SI_INFO_SQL),
+    "x9_annotate_remap": (x9_annotate_remap, X9_SQL),
 }

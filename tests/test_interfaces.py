@@ -6,11 +6,15 @@ from __future__ import annotations
 
 from crawler_spark import datagen
 from crawler_spark.engine.crawl import crawl
-from crawler_spark.engine.interfaces import CaptionSIInterface
+from crawler_spark.engine.interfaces import (
+    CaptionSIInterface,
+    KernelFarerInterface,
+    RebaseDLInterface,
+)
 from crawler_spark.oracle import CrawlConfig
 
 
-def _run(spark, tmp=None):
+def _run(spark, tmp=None, interfaces=None):
     w = datagen.make_world(n_urls=200, n_hosts=6, n_images=30, with_corpus=True)
     cfg = CrawlConfig(page_size=40, tries=2, max_rounds=50)
     return crawl(
@@ -18,7 +22,7 @@ def _run(spark, tmp=None):
         datagen.to_spark(spark, w),
         cfg,
         with_payload=True,
-        interfaces=[CaptionSIInterface()],
+        interfaces=interfaces or [CaptionSIInterface()],
         state_dir=tmp,
     )
 
@@ -41,6 +45,64 @@ def test_si_intern_tables(spark):
     assert set(remarks["si"].unique()) <= {0, 1}
     # one files row per fetched URL
     assert len(files) == (res.seen["status"] == "fetched").sum()
+    # preprocess (X9 annotate) flowed into the intern: every caption has
+    # at least one detector token ('image'), so n_pragmas >= 1
+    assert (files["n_pragmas"] >= 1).all()
+
+
+def test_si_full_catalog_and_seed(spark):
+    """The SI intern covers all six reference tables + the seeded
+    si_info_types dimension (crawler_si/src/interface.rs:16-86)."""
+    res = _run(spark)
+    matches = res.store.aux("si", "matches").toPandas()
+    ir_mix = res.store.aux("si", "ir_mix").toPandas()
+    pattern = res.store.aux("si", "pattern").toPandas()
+    si_info = res.store.aux("si", "si_info").toPandas()
+    types = res.store.seed("si", "si_info_types").toPandas()
+
+    assert len(types) == 4 and set(types["type_id"]) == {0, 1, 2, 3}
+    # ir_mix / si_info are 1:1 with matches; component tally adds up
+    assert len(ir_mix) == len(matches) and len(si_info) == len(matches)
+    assert (ir_mix["count"] == ir_mix["mem"] + ir_mix["arith"] + ir_mix["other"]).all()
+    # si_info FKs: matches + the seeded dimension
+    assert set(si_info["match_id"]) <= set(matches["match_id"])
+    assert set(si_info["type_id"]) <= set(types["type_id"])
+    # pattern rows key the FIRST match of a repeated token (FK into matches)
+    assert len(pattern) > 0
+    assert set(pattern["match_id"]) <= set(matches["match_id"])
+    assert (pattern["stride"] >= 1).all()
+
+
+def test_multi_interface_dispatch(spark):
+    """All three reference interfaces attached to ONE crawl (the Arc<dyn
+    Interface> list, crawler/src/interface.rs:63): rebasedl interns files
+    unconditionally, kernel_farer applies the F8 empty-result skip."""
+    res = _run(
+        spark,
+        interfaces=[CaptionSIInterface(), RebaseDLInterface(), KernelFarerInterface()],
+    )
+    n_fetched = (res.seen["status"] == "fetched").sum()
+
+    rb_files = res.store.aux("rebasedl", "files").toPandas()
+    rb_matches = res.store.aux("rebasedl", "matches").toPandas()
+    kf_files = res.store.aux("kernel_farer", "files").toPandas()
+    kf_matches = res.store.aux("kernel_farer", "matches").toPandas()
+    si_files = res.store.aux("si", "files").toPandas()
+
+    # rebasedl: ensure_file regardless of matches (intern.rs:11-27)
+    assert len(rb_files) == n_fetched
+    assert {"line", "col", "maf", "cu", "cb"} <= set(rb_matches.columns)
+    assert rb_matches["maf"].between(0, 1).all()
+    assert set(rb_matches["file_id"]) <= set(rb_files["file_id"])
+    # kernel_farer F8: only files WITH matches are interned
+    # (crawler_kernel_farer/src/intern.rs:16-19)
+    assert 0 < len(kf_files) < n_fetched
+    assert set(kf_matches["file_id"]) == set(kf_files["file_id"])
+    assert set(kf_matches["type"].unique()) <= {1, 2, 3}
+    # shared deterministic file ids across interfaces (one files table in
+    # the reference DB)
+    assert set(rb_files["file_id"]) == set(si_files["file_id"])
+    assert set(kf_files["file_id"]) <= set(rb_files["file_id"])
 
 
 def test_si_intern_shares_round_visibility(spark, tmp_path):
