@@ -164,3 +164,14 @@ class BloomSeenFilter:
         maybe = marked.filter(F.col("_pf")).drop("_pf")
         new = marked.filter(F.col("_pf").isNull()).drop("_pf")
         return maybe, new
+
+    def release(self) -> None:
+        """Drop cached state (final round's marked frontier + the bitset
+        checkpoint) so a finished crawl pins no executor memory. The filter
+        is rebuilt via rebuild() on the next crawl/resume."""
+        if self._last_marked is not None:
+            self._last_marked.unpersist()
+            self._last_marked = None
+        if self.filter_df is not None:
+            self.filter_df.unpersist()
+            self.filter_df = None

@@ -89,8 +89,7 @@ FROM documents GROUP BY 1
 
 
 # -- MinHash signatures + LSH band buckets -> candidate pairs ---------------
-def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _spark_shingle_rows(spark, sf_dir)
+def _minhash_df(sh: DataFrame) -> DataFrame:
     aggs = []
     for i in range(N_MINHASH):
         a, b = _ab(i)
@@ -98,8 +97,8 @@ def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = _minhash_df(spark, sf_dir)
+def _bands_df(sh: DataFrame) -> DataFrame:
+    mh = _minhash_df(sh)
     stack_args = ", ".join(
         f"{j}, (mh{2 * j} * 31 + mh{2 * j + 1}) % {POLY_MOD}" for j in range(N_BANDS)
     )
@@ -108,8 +107,8 @@ def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _bands_df(spark, sf_dir)
+def _pairs_df(sh: DataFrame) -> DataFrame:
+    bands = _bands_df(sh)
     left = bands.select(
         F.col("doc_id").alias("doc_a"), "band_no", "band_hash"
     )
@@ -122,6 +121,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs_df(_spark_shingle_rows(spark, sf_dir))
 
 
 def _duck_minhash_cte() -> str:
@@ -153,8 +156,13 @@ FROM bands a JOIN bands b
 
 # -- n-gram Jaccard verification on the LSH candidates ----------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    sh = _spark_shingle_rows(spark, sf_dir).persist()
+    """One tokenize+shingle scan feeds BOTH the minhash/band candidate path
+    and the sizes/intersection verifier: the shingle rows are materialized
+    once via localCheckpoint (eager) — unlike persist(), the blocks are
+    released by the ContextCleaner when the plan is dropped, so no cache
+    entry leaks across the query catalog."""
+    sh = _spark_shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = _pairs_df(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")

@@ -1,7 +1,8 @@
 """Similarity search over the `embeddings` table (array<float>, 64-dim):
 brute-force cosine top-k as the correctness baseline, hyperplane-LSH bucket
-assignment as the scale path, and embedding-cosine near-dup pairs with
-label blocking. All arithmetic is JVM-side higher-order functions (zip_with
+assignment + banded candidate generation + cosine rerank as the scale path,
+and embedding-cosine near-dup pairs blocked by the same LSH bands.
+All arithmetic is JVM-side higher-order functions (zip_with
 + aggregate fold — sequential, so bit-comparable with DuckDB's
 list_dot_product); outputs carry ids/ranks, not raw floats, to make the
 value-hash robust.
@@ -115,15 +116,118 @@ def _lsh_sql() -> str:
     return f"SELECT vec_id, ({bits})::bigint AS bucket FROM embeddings"
 
 
-# -- embedding-cosine near-dup pairs (label-blocked) ------------------------
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("lbl"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lbl"), F.col("embedding").alias("eb"))
-    # blocking on label bounds the pair count (the LSH-bucket analog)
+# -- banded LSH candidate pairs (OR-amplification) --------------------------
+# The 16 sign bits split into 2 bands of 8; a pair is a candidate when it
+# shares EITHER band's 8-bit value. At 100 TB this is the scale path: the
+# band self-join is an equi-join on (band_no, band_val) — Spark
+# hash-partitions it; no label/key skew, no cross join anywhere.
+N_BAND_BITS = 8
+N_VEC_BANDS = N_PLANES // N_BAND_BITS
+
+
+def _band_pairs(emb_with_bucket: DataFrame) -> DataFrame:
+    stack_args = ", ".join(
+        f"{j}, cast(shiftright(bucket, {j * N_BAND_BITS}) & {(1 << N_BAND_BITS) - 1} as bigint)"
+        for j in range(N_VEC_BANDS)
+    )
+    bands = emb_with_bucket.select(
+        "vec_id", F.expr(f"stack({N_VEC_BANDS}, {stack_args}) as (band_no, band_val)")
+    )
+    left = bands.select(F.col("vec_id").alias("vec_a"), "band_no", "band_val")
+    right = bands.select(F.col("vec_id").alias("vec_b"), "band_no", "band_val")
     return (
-        a.join(b, "lbl")
+        left.join(right, ["band_no", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def _duck_band_pairs_cte() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS band_no, (bucket // {1 << (j * N_BAND_BITS)}) % {1 << N_BAND_BITS}"
+        f" AS band_val FROM buckets"
+        for j in range(N_VEC_BANDS)
+    )
+    return f"""
+WITH buckets AS ({_lsh_sql()}),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+)
+"""
+
+
+# -- end-to-end ANN: LSH bands -> candidate pairs -> cosine rerank ----------
+def ann_bucket_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scale-path ANN pipeline in one plan: hyperplane buckets,
+    banded candidate generation, exact cosine rerank, top-k per query.
+    Brute-force (`ann_cosine_topk`) stays as the small-Q oracle/rerank
+    baseline; this is the one that survives 100 TB."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = _band_pairs(ann_lsh_buckets(spark, sf_dir))
+    # candidate edges both directions: each side plays the query once
+    edges = pairs.unionByName(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    scored = (
+        edges.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="ea", b="eb"))
+            / (
+                F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
+                * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos"), F.asc("vec_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(F.col("vec_a").alias("query_id"), "rank", F.col("vec_b").alias("neighbor_id"))
+    )
+
+
+ANN_BUCKET_RERANK_SQL = (
+    _duck_band_pairs_cte()
+    + f""", edges AS (
+  SELECT vec_a, vec_b FROM pairs
+  UNION ALL SELECT vec_b AS vec_a, vec_a AS vec_b FROM pairs
+), scored AS (
+  SELECT e.vec_a, e.vec_b,
+         {_duck_dot('ea.embedding', 'eb.embedding')}
+           / (sqrt({_duck_dot('ea.embedding', 'ea.embedding')})
+              * sqrt({_duck_dot('eb.embedding', 'eb.embedding')})) AS cos
+  FROM edges e
+  JOIN embeddings ea ON ea.vec_id = e.vec_a
+  JOIN embeddings eb ON eb.vec_id = e.vec_b)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT vec_a AS query_id, vec_b AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+"""
+)
+
+
+# -- embedding-cosine near-dup pairs (LSH-band blocked) ---------------------
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs blocked by the hyperplane-LSH bands (NOT by label:
+    a hot label is quadratic at scale — the band blocking bounds every
+    block at the band-bucket population)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = _band_pairs(ann_lsh_buckets(spark, sf_dir))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn(
             "cos",
             F.expr(_DOT.format(a="ea", b="eb"))
@@ -133,22 +237,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cos") >= 0.3)
-        .select("vec_a", "vec_b", F.col("lbl").alias("label"))
+        .select("vec_a", "vec_b")
     )
 
 
-EMB_COSINE_SQL = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+EMB_COSINE_SQL = (
+    _duck_band_pairs_cte()
+    + f"""
+SELECT p.vec_a, p.vec_b
+FROM pairs p
+JOIN embeddings a ON a.vec_id = p.vec_a
+JOIN embeddings b ON b.vec_id = p.vec_b
 WHERE {_duck_dot('a.embedding', 'b.embedding')}
       / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
          * sqrt({_duck_dot('b.embedding', 'b.embedding')})) >= 0.3
 """
+)
 
 
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, _lsh_sql()),
+    "ann_bucket_rerank": (ann_bucket_rerank, ANN_BUCKET_RERANK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_COSINE_SQL),
 }
