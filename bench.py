@@ -50,13 +50,26 @@ def _fresh_spark(cores: int) -> SparkSession:
     if active is not None:
         active.stop()
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")  # local mode: one JVM holds all state
+    # shuffle partitions scale with the level (what a real cluster tuner
+    # does): BENCH_SHUFFLE_MULT * cores, floor 16. Mult 4 packs every stage
+    # in >= 4 waves per core so stragglers amortize at every level.
+    mult = int(os.environ.get("BENCH_SHUFFLE_MULT", "4"))
     return get_spark(
         cores=cores,
-        shuffle_partitions=max(cores, 16),
+        shuffle_partitions=max(mult * cores, 16),
         # tmpfs-backed shuffle: a single local disk is a serial resource this
         # one-box proxy would otherwise bottleneck on, where a real N-executor
         # cluster brings N sets of shuffle disks
-        extra={"spark.local.dir": "/dev/shm/spark-bench"},
+        extra={
+            "spark.local.dir": "/dev/shm/spark-bench",
+            # AQE's size-based coalescing would shrink the politeness-window
+            # shuffle to ~data_size/64MB partitions REGARDLESS of cores —
+            # a fixed serial width that caps scaling; keep the width tied
+            # to the parallelism level instead.
+            "spark.sql.adaptive.coalescePartitions.enabled": os.environ.get(
+                "BENCH_AQE_COALESCE", "false"
+            ),
+        },
     )
 
 

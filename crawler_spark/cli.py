@@ -29,8 +29,18 @@ from .session import get_spark
 from .sources import load_world
 
 
-def _add_common(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--world", required=True, help="dir of world parquet tables (datagen.write_world)")
+def _add_common(p: argparse.ArgumentParser, toml_defaults: dict) -> None:
+    p.add_argument(
+        "--config",
+        default=None,
+        help="TOML config file (reference `crawler <CONFIG>` parity, "
+        "config.rs:53-74); explicit flags override its values",
+    )
+    p.add_argument(
+        "--world",
+        required="world" not in toml_defaults,
+        help="dir of world parquet tables (datagen.write_world)",
+    )
     p.add_argument("--state", default=None, help="checkpoint dir (enables resume)")
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--page-size", type=int, default=100)
@@ -38,6 +48,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--round-ms", type=int, default=1000)
     p.add_argument("--max-rounds", type=int, default=1000)
     p.add_argument("--n-salt", type=int, default=1)
+    p.add_argument("--max-depth", type=int, default=None, help="link-depth cap")
     p.add_argument("--bloom", action="store_true", help="enable the Bloom seen pre-filter")
     p.add_argument("--payload", action="store_true", help="join fetched rows against the corpus")
     p.add_argument(
@@ -57,22 +68,63 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 def _cfg(args: argparse.Namespace, **over) -> CrawlConfig:
     base = dict(
         page_size=args.page_size, tries=args.tries, round_ms=args.round_ms,
-        max_rounds=args.max_rounds, n_salt=args.n_salt,
+        max_rounds=args.max_rounds, n_salt=args.n_salt, max_depth=args.max_depth,
     )
     base.update(over)
     return CrawlConfig(**base)
 
 
+# TOML section/key catalog — unknown sections/keys are ERRORS, the analog of
+# the reference's serde-strict config validation (config.rs:53-74 panics on
+# parse failure; the language subset check is config.rs:62-66 / U3)
+_TOML_SECTIONS = {
+    "crawl": {"page_size", "tries", "round_ms", "max_rounds", "n_salt", "max_depth"},
+    "runner": {"cores", "bloom", "payload", "intern"},
+    "io": {"world", "state"},
+}
+
+
+def load_config(path: str) -> dict:
+    """Flatten a validated TOML config into argparse dest defaults."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        data = tomllib.load(f)
+    out = {}
+    for section, keys in data.items():
+        allowed = _TOML_SECTIONS.get(section)
+        if allowed is None:
+            raise SystemExit(f"config: unknown section [{section}]")
+        if not isinstance(keys, dict):
+            raise SystemExit(f"config: [{section}] must be a table")
+        for k, v in keys.items():
+            if k not in allowed:
+                raise SystemExit(f"config: unknown key {section}.{k}")
+            out[k] = v
+    bad = set(out.get("intern", [])) - set(ALL_INTERFACES)
+    if bad:
+        raise SystemExit(f"config: unknown interfaces {sorted(bad)}")
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    # two-phase parse: --config supplies DEFAULTS, explicit flags override
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+    toml_defaults = load_config(pre_args.config) if pre_args.config else {}
+
     parser = argparse.ArgumentParser(prog="crawler_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("crawl", "search", "mine"):
         p = sub.add_parser(name)
-        _add_common(p)
+        _add_common(p, toml_defaults)
         if name == "crawl":
             p.add_argument("--resume", action="store_true")
         if name == "mine":
             p.add_argument("--host", default=None, help="restrict to one host")
+        p.set_defaults(**toml_defaults)
     args = parser.parse_args(argv)
 
     spark = get_spark(cores=args.cores)

@@ -55,9 +55,17 @@ def crawl(
     """
     t0 = time.monotonic()
     world = round_mod.prepare_world(spark, raw_world, cfg)
-    world.pages = world.pages.persist()
-    world.links = world.links.persist()
-    world.pages.count(), world.links.count()  # materialize static graph once
+    # Materialize the static graph once as CHECKPOINTS, not persist():
+    # persist caches blocks but every per-round join still re-ANALYZES the
+    # full canonicalize/id-stamp plan tree; checkpointing gives the ~60
+    # DataFrame ops built per round shallow leaves, cutting driver-side plan
+    # construction ~3x (the multi-round loop's fixed cost). At cluster scale
+    # this is the same one-time materialization cost as persist+count.
+    world.pages = world.pages.localCheckpoint(eager=True)
+    world.links = world.links.localCheckpoint(eager=True)
+    world.robots = world.robots.localCheckpoint(eager=True)
+    if world.corpus is not None and with_payload:
+        world.corpus = world.corpus.localCheckpoint(eager=True)
 
     store = StateStore(spark, state_dir, keep_outputs=collect_outputs or with_payload)
     for iface in interfaces or []:
@@ -103,20 +111,24 @@ def crawl(
             pre = iface.preprocess(fetched)  # lifecycle: preprocess -> compile
             for tname, tdf in iface.extract(pre).items():
                 store.commit_aux(r, iface.name, tname, tdf)
-        n_next = frontier.count()
-        # flow conservation closes the lineage row without extra jobs:
-        # next = eligible - dedup - denied - fetched - exhausted + discovered
-        ln = res.lineage
-        n_distinct = ln.pop("_n_distinct")
-        ln["n_discovered"] = n_next - (
-            ln["n_eligible"] - ln["n_dedup"] - ln["n_denied"] - ln["n_fetched"] - ln["n_exhausted"]
+        # ONE driver-synchronous job closes the round: the commit's
+        # checkpoint already materialized the round DAG (caching marked/att
+        # via their persist), so lineage counters + the next-frontier count
+        # collect together from cached inputs. Counting the seen delta here
+        # also finalizes its LAZY checkpoint inside the same job.
+        row = (
+            res.counts
+            .crossJoin(frontier.agg(F.count("*").alias("n_next")))
+            .crossJoin(store.last_seen_delta.agg(F.count("*").alias("_n_delta")))
+            .collect()[0]
         )
-        ln["n_dup_known"] = n_distinct - ln["n_discovered"]
-        store.finalize_round(r, ln)
+        n_next = int(row["n_next"])
+        store.finalize_round(r, res.lineage_from(row, n_next))
         if seen_prefilter is not None:
-            # OR this round's terminal ids into the Bloom filter BEFORE the
-            # next round probes it (no-false-negatives invariant)
-            seen_prefilter.update(res.seen_delta)
+            # register this round's terminal ids BEFORE the next round
+            # probes (no-false-negatives invariant): the filter batches the
+            # bitset merge and exact-checks pending deltas in split()
+            seen_prefilter.update(store.last_seen_delta)
         res.release()
         n_frontier = n_next
 
@@ -132,6 +144,9 @@ def crawl(
     lineage = pd.DataFrame(store.lineage_rows(), columns=LINEAGE_COLS)
     world.pages.unpersist()
     world.links.unpersist()
+    world.robots.unpersist()
+    if world.corpus is not None and with_payload:
+        world.corpus.unpersist()
     return CrawlResult(
         trace=trace,
         seen=seen,

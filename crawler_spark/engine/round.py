@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..oracle import LINEAGE_COLS, CrawlConfig
 from . import canon
 
-FRONTIER_COLS = ["url_id", "url", "host", "host_bucket", "priority", "discovered_round", "tries_left"]
+FRONTIER_COLS = ["url_id", "url", "host", "host_bucket", "priority", "depth", "discovered_round", "tries_left"]
 
 
 @dataclass
@@ -88,6 +88,7 @@ def seeds_frontier(spark: SparkSession, raw_seeds: DataFrame, world: World, cfg:
         ids.join(world.pages, "url_id")
         .select(
             "url_id", "url", "host", "host_bucket", "priority",
+            F.lit(0).alias("depth"),
             F.lit(0).alias("discovered_round"),
             F.lit(cfg.tries).alias("tries_left"),
         )
@@ -100,13 +101,42 @@ class RoundResult:
     seen_delta: DataFrame  # url_id, status, round, host_bucket
     trace: DataFrame       # round, seq, url_id
     fetched: DataFrame     # round, url_id, url, image_id
-    lineage: dict          # LINEAGE_COLS values
+    counts: DataFrame      # ONE-row cross-joined lineage aggregates (lazy —
+                           # the crawl loop collects it together with the
+                           # next-frontier count in a single job)
+    round_no: int
     _cached: list = None   # persisted intermediates; unpersist after commit
 
     def release(self) -> None:
         for df in self._cached or []:
             df.unpersist()
         self._cached = []
+
+    def lineage_from(self, row, n_next: int) -> dict:
+        """Populate the round's lineage from the collected counts row; the
+        last two fields come from flow conservation on n_next (no extra
+        jobs): next = eligible - dedup - denied - fetched - exhausted
+        + discovered."""
+        ln = dict.fromkeys(LINEAGE_COLS, 0)
+        ln["round"] = self.round_no
+        ln["n_eligible"] = row["n_eligible"] or 0
+        ln["n_dedup"] = row["n_dedup"] or 0
+        ln["n_denied"] = row["n_denied"] or 0
+        ln["n_deferred"] = row["n_deferred"] or 0
+        ln["n_attempts"] = (row["n_cand"] or 0) - ln["n_deferred"]
+        ln["n_fetched"] = row["n_fetched"] or 0
+        ln["n_retry"] = row["n_retry"] or 0
+        ln["n_exhausted"] = row["n_exhausted"] or 0
+        ln["n_system"] = row["n_system"] or 0
+        ln["n_dangling"] = row["n_dangling"] or 0
+        ln["n_depth_capped"] = row["n_depth_capped"] or 0
+        n_distinct = int(row["n_distinct"] or 0)
+        ln["n_dup_in_round"] = int(row["n_valid"] or 0) - n_distinct
+        ln["n_discovered"] = n_next - (
+            ln["n_eligible"] - ln["n_dedup"] - ln["n_denied"] - ln["n_fetched"] - ln["n_exhausted"]
+        )
+        ln["n_dup_known"] = n_distinct - ln["n_discovered"]
+        return ln
 
 
 def run_round(
@@ -118,9 +148,6 @@ def run_round(
     round_no: int,
     seen_prefilter=None,
 ) -> RoundResult:
-    ln = dict.fromkeys(LINEAGE_COLS, 0)
-    ln["round"] = round_no
-
     # -- 2+3: dedup vs seen (J1 anti-join semantics, run.rs:74-89) and robots
     # denial, computed in one annotated pass so lineage needs ONE aggregate.
     if seen_prefilter is not None:
@@ -164,7 +191,7 @@ def run_round(
 
     # -- 4: global priority page (TakeOrderedAndProject — scalable top-k; O1)
     candidates = (
-        alive.select("url_id", "url", "host", "host_bucket", "priority", "tries_left", "budget")
+        alive.select("url_id", "url", "host", "host_bucket", "priority", "depth", "tries_left", "budget")
         .orderBy(F.desc("priority"), F.asc("url_id"))
         .limit(cfg.page_size)
     )
@@ -225,47 +252,53 @@ def run_round(
     )
 
     # -- 7: parse + enqueue (X1 link extraction -> J2 discovery dedup).
-    # ONE aggregate covers all parse lineage (system/dangling/dup-in-round
-    # via count vs countDistinct of valid targets).
-    fetched_ids = att.filter(F.col("disp") == "fetched").select(F.col("url_id").alias("src_url_id"))
+    # ONE aggregate covers all parse lineage (system/dangling/depth-capped/
+    # dup-in-round via count vs countDistinct of valid targets). The parent
+    # rows carry (seq, depth) so discoveries inherit depth parent+1 from
+    # their first non-capped parent in attempt order — exactly the oracle's
+    # iteration order.
+    fetched_ids = attempts.filter(F.col("disp") == "fetched").select(
+        F.col("url_id").alias("src_url_id"),
+        F.col("seq").alias("_pseq"),
+        F.col("depth").alias("_pdepth"),
+    )
     hrefs = world.links.join(F.broadcast(fetched_ids), "src_url_id")
-    is_valid = (F.col("href_kind") != "system") & F.col("dst_url_id").isNotNull()
+    not_system = (F.col("href_kind") != "system") & F.col("dst_url_id").isNotNull()
+    depth_ok = (
+        F.lit(True) if cfg.max_depth is None
+        else (F.col("_pdepth") + 1 <= F.lit(cfg.max_depth))
+    )
+    is_valid = not_system & depth_ok
     counts_p = hrefs.agg(
         F.sum(F.when(F.col("href_kind") == "system", 1).otherwise(0)).alias("n_system"),
         F.sum(
             F.when((F.col("href_kind") != "system") & F.col("dst_url_id").isNull(), 1).otherwise(0)
         ).alias("n_dangling"),
+        F.sum(F.when(not_system & ~depth_ok, 1).otherwise(0)).alias("n_depth_capped"),
         F.sum(F.when(is_valid, 1).otherwise(0)).alias("n_valid"),
         F.countDistinct(F.when(is_valid, F.col("dst_url_id"))).alias("n_distinct"),
     )
 
-    # ONE collect for ALL lineage counters (cross-join of three one-row aggs
-    # evaluates the whole round DAG in a single job; marked/att persist as a
-    # side effect) — per-round job count is the scalability lever of the
-    # driver loop.
-    row = counts_m.crossJoin(counts_a).crossJoin(counts_p).collect()[0]
-    ln["n_eligible"] = row["n_eligible"] or 0
-    ln["n_dedup"] = row["n_dedup"] or 0
-    ln["n_denied"] = row["n_denied"] or 0
-    ln["n_deferred"] = row["n_deferred"] or 0
-    ln["n_attempts"] = (row["n_cand"] or 0) - ln["n_deferred"]
-    ln["n_fetched"] = row["n_fetched"] or 0
-    ln["n_retry"] = row["n_retry"] or 0
-    ln["n_exhausted"] = row["n_exhausted"] or 0
-    ln["n_system"] = row["n_system"] or 0
-    ln["n_dangling"] = row["n_dangling"] or 0
-    n_distinct = int(row["n_distinct"] or 0)
-    ln["n_dup_in_round"] = int(row["n_valid"] or 0) - n_distinct
-    ln["_n_distinct"] = n_distinct  # consumed by the crawl loop (see below)
+    # ONE lazy one-row DataFrame for ALL lineage counters (cross-join of
+    # three one-row aggs). The crawl loop collects it AFTER the round commit
+    # — by then marked/att are cached (persist materialized by the commit's
+    # checkpoint job), so the collect is one cheap job that also carries the
+    # next-frontier count. Per-round job count is the scalability lever of
+    # the driver loop.
+    counts = counts_m.crossJoin(counts_a).crossJoin(counts_p)
 
     valid = hrefs.filter(is_valid)
+    # min_by on the parent's attempt seq makes determinism EXPLICIT (dst
+    # attributes are functionally dependent on dst_url_id, but depth is not
+    # — it comes from the first non-capped parent in attempt order)
     distinct_new = (
         valid.groupBy("dst_url_id")
         .agg(
-            F.first("dst_url").alias("url"),
-            F.first("dst_host").alias("host"),
-            F.first("dst_host_bucket").alias("host_bucket"),
-            F.first("dst_priority").alias("priority"),
+            F.min_by("dst_url", "_pseq").alias("url"),
+            F.min_by("dst_host", "_pseq").alias("host"),
+            F.min_by("dst_host_bucket", "_pseq").alias("host_bucket"),
+            F.min_by("dst_priority", "_pseq").alias("priority"),
+            (F.min_by("_pdepth", "_pseq") + 1).alias("depth"),
         )
         .withColumnRenamed("dst_url_id", "url_id")
     )
@@ -287,13 +320,13 @@ def run_round(
         .distinct()
     )
     enqueue = distinct_new.join(F.broadcast(hits), "url_id", "left_anti").select(
-        "url_id", "url", "host", "host_bucket", "priority",
+        "url_id", "url", "host", "host_bucket", "priority", "depth",
         F.lit(round_no).alias("discovered_round"),
         F.lit(cfg.tries).alias("tries_left"),
     )
     # n_discovered / n_dup_known are NOT counted here — the crawl loop
-    # derives them from the (already needed) next-frontier count via flow
-    # conservation, saving two jobs per round.
+    # derives them from the next-frontier count (folded into the same
+    # collect as `counts`) via flow conservation, saving two jobs per round.
 
     # -- 8: commit — next frontier; retry rows decrement tries (A3)
     delta = att.select("url_id", "disp")
@@ -326,6 +359,7 @@ def run_round(
         seen_delta=seen_delta,
         trace=trace,
         fetched=fetched,
-        lineage=ln,
+        counts=counts,
+        round_no=round_no,
         _cached=[marked, att],
     )

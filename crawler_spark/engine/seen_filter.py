@@ -71,16 +71,33 @@ def _probe_bits(ids: np.ndarray, bits: np.ndarray, n_hashes: int) -> np.ndarray:
 
 class BloomSeenFilter:
     """Lifecycle: rebuild(seen) on start/resume, update(delta) per round,
-    split(frontier) inside the round (engine/round.py)."""
+    split(frontier) inside the round (engine/round.py).
 
-    def __init__(self, spark, bits_per_bucket: int = 1 << 17, n_hashes: int = 4):
+    Bitset merges are BATCHED: update() parks each round's (small,
+    checkpointed) delta in a pending list and only every `flush_every`
+    rounds pays the build+merge+checkpoint job. Until then split() routes
+    any frontier row whose id is in a pending delta to the maybe side via a
+    broadcast flag join — folded into the round DAG, no extra job. The
+    no-false-negative invariant is preserved because a pending id can never
+    land on the definitely-new side, and the exact seen anti-join remains
+    the authority for everything on the maybe side."""
+
+    def __init__(
+        self,
+        spark,
+        bits_per_bucket: int = 1 << 17,
+        n_hashes: int = 4,
+        flush_every: int = 8,
+    ):
         if bits_per_bucket % 8:
             raise ValueError("bits_per_bucket must be a multiple of 8")
         self.spark = spark
         self.bits_per_bucket = bits_per_bucket
         self.n_hashes = n_hashes
+        self.flush_every = flush_every
         self.filter_df: DataFrame | None = None
         self._last_marked: DataFrame | None = None
+        self._pending: list[DataFrame] = []  # checkpointed per-round deltas
 
     # -- build / merge ---------------------------------------------------
     def _bits_of(self, ids_df: DataFrame) -> DataFrame:
@@ -97,10 +114,25 @@ class BloomSeenFilter:
         )
 
     def rebuild(self, seen_df: DataFrame) -> None:
+        self._pending = []
         self._swap(self._bits_of(seen_df))
 
     def update(self, seen_delta: DataFrame) -> None:
-        delta = self._bits_of(seen_delta)
+        """Park the round's delta; merge bitsets once per flush window.
+        `seen_delta` must be materialized (checkpoint/parquet-backed) — it
+        is referenced for up to flush_every subsequent rounds."""
+        self._pending.append(seen_delta.select("url_id", "host_bucket"))
+        if len(self._pending) >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._pending:
+            return
+        batch = self._pending[0]
+        for d in self._pending[1:]:
+            batch = batch.unionByName(d)
+        self._pending = []
+        delta = self._bits_of(batch)
         if self.filter_df is None:
             self._swap(delta)
             return
@@ -151,18 +183,33 @@ class BloomSeenFilter:
 
     def split(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(maybe_seen, definitely_new); together they partition `frontier`.
-        The maybe-flag joins back on url_id — the same key as the downstream
-        exact seen anti-join, so the frontier exchange is reused."""
-        if self.filter_df is None:
+        A row is maybe-seen when the Bloom bitsets hit OR its id sits in a
+        not-yet-flushed pending delta (small broadcast flag). The maybe-flag
+        joins back on url_id — the same key as the downstream exact seen
+        anti-join, so the frontier exchange is reused."""
+        if self.filter_df is None and not self._pending:
             empty = self.spark.createDataFrame([], frontier.schema)
             return empty, frontier
         if self._last_marked is not None:
             self._last_marked.unpersist()
-        flag = self.probe_maybe_ids(frontier).withColumn("_pf", F.lit(True))
-        marked = frontier.join(flag, "url_id", "left").persist()
+        if self.filter_df is not None:
+            flag = self.probe_maybe_ids(frontier).withColumn("_pf", F.lit(True))
+            marked = frontier.join(flag, "url_id", "left")
+        else:
+            marked = frontier.withColumn("_pf", F.lit(None).cast("boolean"))
+        if self._pending:
+            pend = self._pending[0].select("url_id")
+            for d in self._pending[1:]:
+                pend = pend.unionByName(d.select("url_id"))
+            pend = pend.distinct().withColumn("_pp", F.lit(True))
+            marked = marked.join(F.broadcast(pend), "url_id", "left")
+        else:
+            marked = marked.withColumn("_pp", F.lit(None).cast("boolean"))
+        marked = marked.persist()
         self._last_marked = marked
-        maybe = marked.filter(F.col("_pf")).drop("_pf")
-        new = marked.filter(F.col("_pf").isNull()).drop("_pf")
+        is_maybe = F.coalesce(F.col("_pf"), F.lit(False)) | F.coalesce(F.col("_pp"), F.lit(False))
+        maybe = marked.filter(is_maybe).drop("_pf", "_pp")
+        new = marked.filter(~is_maybe).drop("_pf", "_pp")
         return maybe, new
 
     def release(self) -> None:
@@ -175,3 +222,4 @@ class BloomSeenFilter:
         if self.filter_df is not None:
             self.filter_df.unpersist()
             self.filter_df = None
+        self._pending = []  # owned by the StateStore, just drop the refs

@@ -39,6 +39,10 @@ class StateStore:
         self._lineage: list[dict] = []
         self._aux: dict[tuple[str, str], list[DataFrame]] = {}
         self._seed: dict[tuple[str, str], DataFrame] = {}
+        # the last committed (materialized) seen delta — safe to reference
+        # across rounds (checkpointed/parquet-backed, no lineage into the
+        # round's soon-unpersisted intermediates)
+        self.last_seen_delta: DataFrame | None = None
         if root:
             os.makedirs(root, exist_ok=True)
             self.rounds = self._read_manifest()
@@ -89,11 +93,19 @@ class StateStore:
             trace.write.mode("overwrite").parquet(os.path.join(d, "trace"))
             fetched.write.mode("overwrite").parquet(os.path.join(d, "fetched"))
             self._frontier = self.spark.read.parquet(os.path.join(d, "frontier"))
+            self.last_seen_delta = self.spark.read.parquet(os.path.join(d, "seen_delta"))
             self._seen = None
         else:
             old_f = self._frontier
             self._frontier = frontier.localCheckpoint(eager=True)
-            delta_ck = seen_delta.localCheckpoint(eager=True)
+            # LAZY checkpoint: the delta's blocks are saved when the crawl
+            # loop's single lineage-collect job (which counts it) first
+            # computes it — one job per round instead of two. It reads the
+            # att cache materialized by the frontier checkpoint above, so
+            # the deferred computation is cheap and crash-safe semantics
+            # are unchanged (memory mode is not resumable anyway).
+            delta_ck = seen_delta.localCheckpoint(eager=False)
+            self.last_seen_delta = delta_ck
             seen = self.seen().unionByName(delta_ck)
             # periodic re-checkpoint keeps the union chain (and its partition
             # count) shallow

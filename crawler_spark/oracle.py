@@ -33,6 +33,8 @@ canonical ids throughout:
   7. PARSE     hrefs of links whose src_url was fetched this round:
                kind='system' -> dropped, n_system (compile.rs:129-132)
                canonicalize href; not a pages url -> n_dangling, dropped;
+               if cfg.max_depth is set and parent_depth + 1 > max_depth ->
+               n_depth_capped, dropped (checked BEFORE the dup checks);
                distinct by url_id within the round (extra copies of any id ->
                n_dup_in_round); distinct ids already in seen or in the
                post-fetch frontier -> n_dup_known; rest ENQUEUED with pages priority, depth parent+1,
@@ -53,7 +55,7 @@ from .ids import canonicalize_url, url_host, url_id, url_path
 LINEAGE_COLS = [
     "round", "n_eligible", "n_dedup", "n_denied", "n_deferred", "n_attempts",
     "n_fetched", "n_retry", "n_exhausted", "n_system", "n_dangling",
-    "n_dup_in_round", "n_dup_known", "n_discovered",
+    "n_depth_capped", "n_dup_in_round", "n_dup_known", "n_discovered",
 ]
 
 
@@ -66,6 +68,8 @@ class CrawlConfig:
     n_buckets: int = 32  # host-hash partition count (engine side)
     n_salt: int = 1  # >1: two-phase salted politeness window (engine-only
     #                  skew knob — result-identical, oracle ignores it)
+    max_depth: int | None = None  # link-depth cap: discoveries deeper than
+    #                  this are dropped at parse time (n_depth_capped)
 
     def host_budget(self, crawl_delay_ms: int) -> int:
         if crawl_delay_ms is None or crawl_delay_ms <= 0:
@@ -163,7 +167,7 @@ def simulate(world: dict[str, pd.DataFrame], cfg: CrawlConfig) -> OracleResult:
                 del frontier[uid]
                 seen[uid] = ("fetched", r)
                 fetched_rows.append((r, uid, u, image_id))
-                fetched_urls.append(u)
+                fetched_urls.append((u, row[3]))  # (url, depth of the page)
                 ln["n_fetched"] += 1
             else:
                 row[4] -= 1
@@ -174,10 +178,10 @@ def simulate(world: dict[str, pd.DataFrame], cfg: CrawlConfig) -> OracleResult:
                     seen[uid] = ("exhausted", r)
                     ln["n_exhausted"] += 1
 
-        # 7. parse + enqueue
+        # 7. parse + enqueue (depth = parent's depth + 1; the first
+        # non-capped parent in attempt order assigns it)
         seen_this_round: set[int] = set()
-        for u in fetched_urls:
-            depth = 0  # depth comes from the fetched row's parent
+        for u, depth in fetched_urls:
             for href, kind in out_links.get(u, []):
                 if kind == "system":
                     ln["n_system"] += 1
@@ -185,6 +189,9 @@ def simulate(world: dict[str, pd.DataFrame], cfg: CrawlConfig) -> OracleResult:
                 cu = canonicalize_url(href)
                 if cu not in by_url:
                     ln["n_dangling"] += 1
+                    continue
+                if cfg.max_depth is not None and depth + 1 > cfg.max_depth:
+                    ln["n_depth_capped"] += 1
                     continue
                 uid = id_of[cu]
                 if uid in seen_this_round:

@@ -35,3 +35,40 @@ def test_cli_search_commits_round0(tmp_path):
     manifest = json.load(open(os.path.join(state_dir, "manifest.json")))
     assert manifest["rounds"] == [0]
     assert os.path.isdir(os.path.join(state_dir, "round=0", "frontier"))
+
+
+def test_cli_toml_config(tmp_path):
+    """Reference `crawler <CONFIG>` parity: a validated TOML file supplies
+    the run configuration; explicit flags override it."""
+    world_dir = str(tmp_path / "world")
+    datagen.write_world(
+        datagen.make_world(n_urls=100, n_hosts=5, n_images=10, with_corpus=True),
+        world_dir,
+    )
+    cfg_file = tmp_path / "cfg.toml"
+    cfg_file.write_text(
+        "[crawl]\npage_size = 20\nmax_rounds = 3\nmax_depth = 2\n"
+        "[runner]\ncores = 8\nintern = [\"kernel_farer\"]\n"
+        f"[io]\nworld = \"{world_dir}\"\n"
+    )
+    p = subprocess.run(
+        [
+            sys.executable, "-m", "crawler_spark.cli", "crawl",
+            "--config", str(cfg_file), "--max-rounds", "2",  # flag wins
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    assert line, p.stderr[-800:]
+    out = json.loads(line[-1])
+    assert out["cmd"] == "crawl" and out["rounds"] == 2
+    assert out["total_fetched"] > 0
+
+    # strict validation: unknown key is rejected (serde-panic analog)
+    bad = tmp_path / "bad.toml"
+    bad.write_text("[crawl]\npage_sze = 20\n")
+    p2 = subprocess.run(
+        [sys.executable, "-m", "crawler_spark.cli", "crawl", "--config", str(bad)],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert p2.returncode != 0 and "unknown key" in (p2.stderr + p2.stdout)

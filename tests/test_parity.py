@@ -60,6 +60,20 @@ def test_generated_world_parity_local32():
     assert_parity(spark_at(32), w, CrawlConfig(page_size=25, tries=2, max_rounds=100))
 
 
+def test_max_depth_parity_local32():
+    """Depth is carried in the frontier (parent+1, first non-capped parent
+    in attempt order) and the max_depth cap drops too-deep discoveries
+    identically in engine and oracle (n_depth_capped lineage)."""
+    w = datagen.make_world(n_urls=300, n_hosts=10, n_images=20, with_corpus=False)
+    cfg = CrawlConfig(page_size=25, tries=2, max_rounds=100, max_depth=2)
+    o, r = assert_parity(spark_at(32), w, cfg)
+    # the cap must actually bind on this world — otherwise the test is vacuous
+    assert o.lineage["n_depth_capped"].sum() > 0
+    # and the capped crawl resolves fewer URLs than the uncapped one
+    o_uncapped = simulate(w, CrawlConfig(page_size=25, tries=2, max_rounds=100))
+    assert len(o.seen) < len(o_uncapped.seen)
+
+
 def test_generated_world_parity_local8_same_result():
     """Same world at 1/4 the cores: identical trace/seen/lineage — order is
     partition-invariant (the N vs 4N determinism half of the scaling rule)."""

@@ -36,9 +36,34 @@ def test_small_dims_broadcast(spark):
 
 
 def test_no_cartesian_in_catalog(spark):
-    for name in ("q3_shipping_priority", "q5_join_chain", "crawl_round_schedule"):
+    for name in (
+        "q3_shipping_priority", "q5_join_chain", "crawl_round_schedule",
+        # the ANN/near-dup scale paths must stay band-equi-joins, never a
+        # cross product, and the interface extractors are single-scan
+        "ann_bucket_rerank", "dedup_embedding_cosine",
+        "rb_matches", "kf_matches", "x9_annotate_remap",
+    ):
         fn, _ = ALL_QUERIES[name]
         assert_no_cartesian(fn(spark, SF))
+
+
+def test_decode_features_single_python_stage(spark):
+    """mm_decode_features must be mapInPandas stages over Arrow batches —
+    no per-row Python dispatch (BatchEvalPython) anywhere in the plan."""
+    from crawler_spark.plans import explain_str
+
+    fn, _ = ALL_QUERIES["mm_decode_features"]
+    plan = explain_str(fn(spark, SF), "simple")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF marker
+
+
+def test_ngram_jaccard_single_shingle_scan(spark):
+    """The shingle pipeline is materialized once (checkpoint leaf): the
+    jaccard plan must not contain a second tokenize+shingle subtree."""
+    fn, _ = ALL_QUERIES["dedup_ngram_jaccard"]
+    plan = fn(spark, SF)._jdf.queryExecution().analyzed().toString()
+    assert plan.count("concat_ws") == 0  # shingling happened pre-checkpoint
 
 
 def test_topk_plans_as_take_ordered(spark):
