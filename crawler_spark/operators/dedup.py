@@ -19,6 +19,12 @@ from pyspark.sql import functions as F
 
 from .common import DUCK_TOKENS, POLY_MOD, SPARK_TOKENS, duck_h32, load, spark_h32
 
+# Signature size / banding tuned for the small test corpora (the DuckDB
+# oracle SQL is generated from the SAME constants, so both engines move
+# together). Production sizing at 100 TB: recall at threshold t for b bands
+# of r rows is 1-(1-t^r)^b — e.g. 128 hashes as 32 bands x 4 rows catches
+# ~97% of pairs at jaccard 0.5; the pipeline shape (band equi-join, no
+# all-pairs) is unchanged, only these two numbers grow.
 N_MINHASH = 12
 N_BANDS = 6  # bands of 2 rows each
 

@@ -31,6 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow co-partitioned joins when children are hash-partitioned on a
+        # SUBSET of the join keys (e.g. state bucketed by host_bucket joined
+        # on (url_id, host_bucket)) — the partitioning-reuse design the
+        # engine's seen joins and politeness windows rely on
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

@@ -1,1 +1,5 @@
-from .rounds import stream_link_extract, stream_windowed_lineage  # noqa: F401
+from .rounds import (  # noqa: F401
+    stream_first_seen,
+    stream_link_extract,
+    stream_windowed_lineage,
+)

@@ -5,7 +5,11 @@ from __future__ import annotations
 
 import pandas as pd
 
-from crawler_spark.streaming import stream_link_extract, stream_windowed_lineage
+from crawler_spark.streaming import (
+    stream_first_seen,
+    stream_link_extract,
+    stream_windowed_lineage,
+)
 
 LINKS_SCHEMA = "src_url string, href string, href_kind string, ts timestamp"
 
@@ -79,3 +83,38 @@ def test_stream_windowed_lineage(spark, tmp_path):
     # stays open (held back by the watermark)
     assert got["n_discovered"].sum() == 36
     assert got["window_start"].nunique() == 4
+
+
+def test_stream_first_seen_cross_batch_state(spark, tmp_path):
+    """The stateful first-seen gate must dedup ACROSS micro-batches: ids
+    repeated in a later batch are dropped, new ids still pass."""
+    src = str(tmp_path / "ids")
+    schema = "url_id long, host_bucket int, ts timestamp"
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    batch1 = pd.DataFrame(
+        {"url_id": [1, 2, 3, 4, 2], "host_bucket": [0, 0, 1, 1, 0],
+         "ts": [base] * 5}
+    )
+    batch2 = pd.DataFrame(  # 2,3 are repeats; 5,6 are new
+        {"url_id": [2, 3, 5, 6], "host_bucket": [0, 1, 0, 1],
+         "ts": [base + pd.Timedelta(seconds=5)] * 4}
+    )
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from first_seen").toPandas()
+    # each id exactly once, across both batches
+    assert sorted(got["url_id"]) == [1, 2, 3, 4, 5, 6]
+    assert got["url_id"].is_unique
+    # bucket affinity preserved
+    assert set(got.loc[got["host_bucket"] == 0, "url_id"]) == {1, 2, 5}
+    assert set(got.loc[got["host_bucket"] == 1, "url_id"]) == {3, 4, 6}
