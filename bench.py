@@ -85,7 +85,12 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
 def crawl_throughput(spark: SparkSession, n_urls: int = 100_000) -> dict:
     """Multi-round engine run; URLs resolved (fetched+deduped+denied+
-    exhausted) per second of crawl wall time."""
+    exhausted) per second of crawl wall time. Shuffle width is sized to the
+    workload at runtime: the multi-round loop moves small per-round pages,
+    so the wide layout tuned for the 16M single round only adds task-launch
+    overhead here."""
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 16)))
     world = datagen.make_world(
         n_urls=n_urls, n_hosts=50, n_images=N_IMAGES, img_side=IMG_SIDE, with_corpus=False
     )
@@ -295,11 +300,13 @@ def run_scaling(n_urls: int) -> str:
 
 Sandbox stand-in for two cluster sizes: the SAME job on identical input at
 N and 4N `local[k]` threads on one 32-core machine, each level in its own
-clean JVM subprocess, best of 2 runs.
+clean JVM subprocess, best of 3 runs.
 
 ### Full-scale crawl round (synthetic {n_urls:,}-URL frontier)
 
-Stages: Bloom seen-filter split -> exact anti-join dedup ({results[8]['n_deduped']:,}
+Stages (one partition-preserving chain over host_bucket-bucketed,
+join-key-sorted state — zero big-side exchanges): Bloom bitset probe ->
+exact seen merge-join dedup ({results[8]['n_deduped']:,}
 URLs deduped) -> priority top-k page -> per-host politeness window ->
 broadcast fetch-join against the image corpus -> per-row decode + PSNR>=40dB
 + caption/phash verify ({results[8]['n_fetched']:,} URLs fetched+verified,
