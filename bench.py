@@ -38,7 +38,8 @@ HEADLINE = [
     "crawl_round_schedule", "o1_priority_topk", "q3_shipping_priority",
     "q5_join_chain", "g6_conditional_mix", "w2_events_sessionize",
     "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
-    "text_fingerprint", "mm_decode_features",
+    "ann_bucket_rerank", "text_fingerprint", "mm_decode_features",
+    "kf_matches", "x9_annotate_remap",
 ]
 
 N_IMAGES = 400
