@@ -38,24 +38,30 @@ def _duck_dot(a: str, b: str) -> str:
     )
 
 
+# norm precomputed ONCE per vector (index-time work at scale): every pair
+# then pays one dot-product fold instead of three; sqrt(dot(x,x)) is the
+# same expression as before, so cosine values are bit-identical and the
+# rank order matches the oracles exactly
+def _with_norm(emb: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    return emb.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").alias(vec_alias),
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias(f"_n_{vec_alias}"),
+    )
+
+
 # -- brute-force cosine top-k -----------------------------------------------
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
-    )
-    cands = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c"))
+    queries = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "q")
+    cands = _with_norm(emb, "neighbor_id", "c")
     # broadcast the (tiny) query side; candidates stream through one pass
     scored = (
         F.broadcast(queries)
         .join(cands, F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            F.expr(_DOT.format(a="q", b="c"))
-            / (
-                F.sqrt(F.expr(_DOT.format(a="q", b="q")))
-                * F.sqrt(F.expr(_DOT.format(a="c", b="c")))
-            ),
+            F.expr(_DOT.format(a="q", b="c")) / (F.col("_n_q") * F.col("_n_c")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -172,18 +178,14 @@ def ann_bucket_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = _with_norm(emb, "vec_a", "ea")
+    b = _with_norm(emb, "vec_b", "eb")
     scored = (
         edges.join(a, "vec_a")
         .join(b, "vec_b")
         .withColumn(
             "cos",
-            F.expr(_DOT.format(a="ea", b="eb"))
-            / (
-                F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
-                * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
-            ),
+            F.expr(_DOT.format(a="ea", b="eb")) / (F.col("_n_ea") * F.col("_n_eb")),
         )
     )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos"), F.asc("vec_b"))
@@ -223,18 +225,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     block at the band-bucket population)."""
     emb = load(spark, sf_dir, "embeddings")
     pairs = _band_pairs(ann_lsh_buckets(spark, sf_dir))
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = _with_norm(emb, "vec_a", "ea")
+    b = _with_norm(emb, "vec_b", "eb")
     return (
         pairs.join(a, "vec_a")
         .join(b, "vec_b")
         .withColumn(
             "cos",
-            F.expr(_DOT.format(a="ea", b="eb"))
-            / (
-                F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
-                * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
-            ),
+            F.expr(_DOT.format(a="ea", b="eb")) / (F.col("_n_ea") * F.col("_n_eb")),
         )
         .filter(F.col("cos") >= 0.3)
         .select("vec_a", "vec_b")
