@@ -1,7 +1,8 @@
 """Similarity search over the `embeddings` table (array<float>, 64-dim):
 brute-force cosine top-k as the correctness baseline, hyperplane-LSH bucket
-assignment + banded candidate generation + cosine rerank as the scale path,
-and embedding-cosine near-dup pairs blocked by the same LSH bands.
+assignment + banded candidate generation + cosine rerank as one scale path,
+an IVF pipeline (coarse quantizer -> nprobe lists -> rerank) as the other,
+and embedding-cosine near-dup pairs blocked by the LSH bands.
 All arithmetic is JVM-side higher-order functions (zip_with
 + aggregate fold — sequential, so bit-comparable with DuckDB's
 list_dot_product); outputs carry ids/ranks, not raw floats, to make the
@@ -253,8 +254,111 @@ WHERE {_duck_dot('a.embedding', 'b.embedding')}
 )
 
 
+# -- IVF: coarse quantizer -> probe lists -> rerank -------------------------
+# Deterministic centroids (the first N_CENTROIDS vectors) stand in for the
+# k-means codebook so the full IVF pipeline is oracle-checkable end-to-end;
+# swapping in trained centroids changes none of the dataflow. Scale shape:
+# centroids broadcast (one pass assigns every vector to its nearest list),
+# the probe join touches only nprobe lists per query — candidate count is
+# nprobe/nlist of the corpus instead of all of it.
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _centroid_affinity(emb: DataFrame, id_col: str) -> DataFrame:
+    """(id, c_id, cos) for every vector x centroid, centroids broadcast."""
+    cents = _with_norm(
+        emb.filter(F.col("vec_id") < N_CENTROIDS), "c_id", "ce"
+    )
+    vecs = _with_norm(emb, id_col, "ve")
+    return vecs.join(F.broadcast(cents)).select(
+        id_col,
+        "c_id",
+        (F.expr(_DOT.format(a="ve", b="ce")) / (F.col("_n_ve") * F.col("_n_ce"))).alias("c_cos"),
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid list, probe the
+    N_PROBE nearest lists per query, exact-cosine rerank the union of those
+    lists. Ties broken by c_id / neighbor_id for cross-engine determinism."""
+    emb = load(spark, sf_dir, "embeddings")
+    aff = _centroid_affinity(emb, "vec_id")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+    members = (
+        aff.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("c_id").alias("list_id"))
+    )
+    probes = (
+        aff.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("c_id").alias("list_id"))
+    )
+    cands = probes.join(members, "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    q = _with_norm(emb, "query_id", "qe")
+    n = _with_norm(emb, "neighbor_id", "ne")
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="qe", b="ne")) / (F.col("_n_qe") * F.col("_n_ne")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+aff AS (
+  SELECT e.vec_id, c.c_id,
+         {_duck_dot('e.embedding', 'c.ce')}
+           / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
+              * sqrt({_duck_dot('c.ce', 'c.ce')})) AS c_cos
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id ASC) AS r
+  FROM aff
+),
+members AS (SELECT vec_id AS neighbor_id, c_id AS list_id FROM ranked WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, c_id AS list_id FROM ranked
+  WHERE r <= {N_PROBE} AND vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT p.query_id, m.neighbor_id,
+         {_duck_dot('eq.embedding', 'en.embedding')}
+           / (sqrt({_duck_dot('eq.embedding', 'eq.embedding')})
+              * sqrt({_duck_dot('en.embedding', 'en.embedding')})) AS cos
+  FROM probes p
+  JOIN members m ON m.list_id = p.list_id AND m.neighbor_id <> p.query_id
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings en ON en.vec_id = m.neighbor_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, _lsh_sql()),
     "ann_bucket_rerank": (ann_bucket_rerank, ANN_BUCKET_RERANK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_COSINE_SQL),
