@@ -187,6 +187,86 @@ FROM q GROUP BY k
 """
 
 
+# -- resize (vectorized nearest-neighbor downsample) ------------------------
+MM_RESIZE_FACTOR = 2  # 16x16 -> 8x8; strided view, no interpolation kernel
+
+RESIZE_SCHEMA = (
+    "image_id string, fmt string, w int, h int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def _resize_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    side, f = MM_SIDE, MM_RESIZE_FACTOR
+    out_side = side // f
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        blobs = pdf["bytes"].to_numpy()
+        full = np.stack([np.frombuffer(b, np.uint8) for b in blobs])
+        px = full[:, _MM_HDR:].reshape(n, side, side, 3)
+        small = px[:, ::f, ::f, :]  # whole-batch strided nearest-neighbor
+        fmt = np.where(full[:, 4] == ord("j"), "jpg", "png")
+        sums = np.einsum("nijc->nc", small, dtype=np.int64).astype(np.float64)
+        means = sums / (out_side * out_side)  # exact: power-of-two divisor
+        yield pd.DataFrame(
+            {
+                "image_id": pdf["image_id"],
+                "fmt": fmt,
+                "w": np.full(n, out_side, dtype=np.int32),
+                "h": np.full(n, out_side, dtype=np.int32),
+                "mean_r": means[:, 0],
+                "mean_g": means[:, 1],
+                "mean_b": means[:, 2],
+            }
+        )
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize over the binary payloads, whole
+    batches at a time (strided numpy view — no per-image Python). The
+    oracle recomputes the resized means from the closed-form pattern at the
+    sampled (even) pixel coordinates."""
+    n = load(spark, sf_dir, "documents").count() // 5
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_pattern_corpus, schema=datagen.WORLD_SCHEMAS["corpus"]
+    )
+    return corpus.mapInPandas(_resize_features, schema=RESIZE_SCHEMA)
+
+
+_OUT_SIDE = MM_SIDE // MM_RESIZE_FACTOR
+RESIZE_SQL = f"""
+WITH ks AS (
+  SELECT k FROM (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
+  ) WHERE k < (SELECT count(*) // 5 FROM documents)
+),
+px AS (
+  SELECT k,
+         (k*7919 + (i.range*{MM_RESIZE_FACTOR})*131 + (j.range*{MM_RESIZE_FACTOR})*17) % 256 AS r0,
+         (k*7919 + (i.range*{MM_RESIZE_FACTOR})*131 + (j.range*{MM_RESIZE_FACTOR})*17 + 101) % 256 AS g0,
+         (k*7919 + (i.range*{MM_RESIZE_FACTOR})*131 + (j.range*{MM_RESIZE_FACTOR})*17 + 202) % 256 AS b0,
+         k % 2 = 1 AS lossy
+  FROM ks, range(0, {_OUT_SIDE}) i, range(0, {_OUT_SIDE}) j
+),
+q AS (
+  SELECT k, lossy,
+         CASE WHEN lossy THEN (r0//4)*4+2 ELSE r0 END AS r,
+         CASE WHEN lossy THEN (g0//4)*4+2 ELSE g0 END AS g,
+         CASE WHEN lossy THEN (b0//4)*4+2 ELSE b0 END AS b
+  FROM px
+)
+SELECT 'img' || k AS image_id,
+       CASE WHEN k % 2 = 1 THEN 'jpg' ELSE 'png' END AS fmt,
+       {_OUT_SIDE} AS w, {_OUT_SIDE} AS h,
+       sum(r)::double / {_OUT_SIDE * _OUT_SIDE} AS mean_r,
+       sum(g)::double / {_OUT_SIDE * _OUT_SIDE} AS mean_g,
+       sum(b)::double / {_OUT_SIDE * _OUT_SIDE} AS mean_b
+FROM q GROUP BY k
+"""
+
+
 # -- frame/sample selection on metadata (oracle-checked) --------------------
 def mm_sample_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 1-in-8 sampling by content hash (the frame-sampling
@@ -206,5 +286,6 @@ WHERE {duck_h32('text')} % 8 = 0
 QUERIES = {
     "mm_binary_stats": (mm_binary_stats, BINARY_STATS_SQL),
     "mm_decode_features": (mm_decode_features, DECODE_FEATURES_SQL),
+    "mm_resize": (mm_resize, RESIZE_SQL),
     "mm_sample_select": (mm_sample_select, SAMPLE_SQL),
 }
