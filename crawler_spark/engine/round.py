@@ -315,6 +315,13 @@ def run_round(
     # tables (a full shuffle of the big side), broadcast the small side and
     # take the intersection ("hits"), then broadcast-anti-join the hits back.
     # Zero shuffle of seen/frontier on the discovery path.
+    # 10^10-seen design note: this is still a per-round SCAN of seen. The fix
+    # is storage-level, not plan-level — seen lives as a table bucketed by
+    # host_bucket (the layout StateStore already writes), so the broadcast
+    # hash-semi-join prunes to the buckets present in the (small) discovery
+    # set via runtime filtering / DPP, and only those buckets are read. A
+    # Bloom pre-probe cannot help here: the bitsets answer "maybe seen",
+    # but the scan cost is the read itself, which only pruning removes.
     terminal_ids = att.filter(F.col("disp").isin("fetched", "exhausted")).select("url_id")
     survivors = alive.select("url_id").join(F.broadcast(terminal_ids), "url_id", "left_anti")
     known = seen_ids.select("url_id").unionByName(survivors).unionByName(
