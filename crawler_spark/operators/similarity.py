@@ -89,11 +89,23 @@ WHERE rank <= {TOP_K}
 
 
 # -- hyperplane LSH buckets -------------------------------------------------
+# The hyperplane weights are a pure function of (plane, dim); computing the
+# modular-hash per element per row re-evaluated it n_vectors x 16 x 64
+# times. Precompute the 16x64 codebook ONCE in Python and inline the exact
+# float64 literals into BOTH engines' expressions — repr() round-trips
+# doubles, so the values are bit-identical.
+def _plane_weight(p: int, d: int) -> float:
+    return ((p * 131 + d) * 2654435761 % 1000003) / 1000003.0 - 0.5
+
+
+_PLANE_W = [[_plane_weight(p, d) for d in range(64)] for p in range(N_PLANES)]
+
+
 def _spark_plane_dot(p: int) -> str:
+    w = ", ".join(f"{x!r}D" for x in _PLANE_W[p])
     return (
-        f"aggregate(transform(sequence(0, 63), d -> cast(embedding[d] as double) * "
-        f"(((({p} * 131 + d) * 2654435761) % 1000003) / 1000003.0 - 0.5)), "
-        f"0D, (acc, v) -> acc + v)"
+        f"aggregate(zip_with(embedding, array({w}), "
+        f"(x, wt) -> cast(x as double) * wt), 0D, (acc, v) -> acc + v)"
     )
 
 
@@ -107,10 +119,10 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_plane_dot(p: int) -> str:
+    w = ", ".join(repr(x) for x in _PLANE_W[p])
     return (
         f"list_reduce(list_prepend(0.0::DOUBLE, "
-        f"list_transform(range(0, 64), d -> embedding[d+1]::DOUBLE * "
-        f"(((({p} * 131 + d) * 2654435761) % 1000003) / 1000003.0 - 0.5))), "
+        f"list_transform(range(0, 64), d -> embedding[d+1]::DOUBLE * ([{w}])[d+1])), "
         f"(acc, v) -> acc + v)"
     )
 
