@@ -103,7 +103,11 @@ def crawl(
         )
         fetched = res.fetched
         if with_payload and world.corpus is not None:
-            fetched = fetched.join(F.broadcast(world.corpus), "image_id").select(
+            # no broadcast HINT: the optimizer broadcasts a corpus under the
+            # auto threshold (the test/bench worlds) and falls back to a
+            # shuffle join when the payload table is 100 TB — a forced
+            # broadcast would OOM the driver there
+            fetched = fetched.join(world.corpus, "image_id").select(
                 "round", "url_id", "url", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
             )
         frontier = store.commit_round(r, res.frontier, res.seen_delta, res.trace, fetched)
