@@ -21,13 +21,22 @@ LANG_MARKERS = {
 }
 
 
-# -- token counting (whitespace/regex tokenizer) ----------------------------
+# -- token counting: whitespace, word-regex, and BPE-ish piece counts ------
+# BPE-ish pre-tokenizer: maximal letter runs | digit runs | single
+# non-alnum-non-space marks (the GPT-2-style split classes, ASCII form so
+# the Java and RE2 regex dialects agree)
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = F.expr(SPARK_TOKENS)
+    ws = "filter(split(text, ' +'), x -> x != '')"
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
+        F.expr(f"size({ws})").cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0)).cast("long").alias("n_bpe_pieces"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
         F.round(
             F.expr(f"aggregate({SPARK_TOKENS}, 0L, (acc,x) -> acc + length(x))")
@@ -40,6 +49,8 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKENS_SQL = f"""
 SELECT doc_id,
        len({DUCK_TOKENS})::bigint AS n_tokens,
+       len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))::bigint AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_RE}'))::bigint AS n_bpe_pieces,
        len(list_distinct({DUCK_TOKENS}))::bigint AS n_uniq,
        round(list_reduce(list_prepend(0::bigint,
                  list_transform({DUCK_TOKENS}, x -> length(x)::bigint)),
