@@ -352,16 +352,21 @@ CPU-bound, not DRAM-bandwidth-bound, at every level.
 
 ### Multi-round crawl engine (100,000-URL world, politeness + retries + Bloom)
 
+Shuffle width sized to the workload at runtime (max(cores, 16)):
+
 | cluster | rounds | resolved URLs | wall (s) | URLs/s |
 | --- | --- | --- | --- | --- |
 | local[8]  | {results[8]['crawl']['rounds']} | {results[8]['crawl']['resolved_urls']:,} | {results[8]['crawl']['wall_s']} | {c8:,.0f} |
 | local[32] | {results[32]['crawl']['rounds']} | {results[32]['crawl']['resolved_urls']:,} | {results[32]['crawl']['wall_s']} | {c32:,.0f} |
 
-Multi-round efficiency N->4N: {c32 / (4 * c8):.2f}. The multi-round loop is
-dominated by per-round fixed costs (driver job scheduling over ~10 rounds of
-small pages), not compute — the single-round number above is the
-representative per-URL-work scaling; at 10^10-frontier scale each round
-processes ~10^6-10^8 URLs and sits squarely in the compute-bound regime.
+Multi-round N->4N ratio: {c32 / (4 * c8):.2f}. At a 12,500-row page the
+loop is wholly driver-bound (plan construction + job scheduling, ~2-3s/round
+floor), so extra cores neither help nor hurt — the single-round number above
+is the representative per-URL-work scaling; at 10^10-frontier scale each
+round processes ~10^6-10^8 URLs and sits squarely in the compute-bound
+regime. (Round-1 recording for reference: 637 / 678 urls/s; the round-2
+driver-floor work — world-table checkpointing, one collect per round,
+batched Bloom merges — roughly doubled this.)
 
 ## Reference baseline
 

@@ -88,8 +88,13 @@ def load_config(path: str) -> dict:
     """Flatten a validated TOML config into argparse dest defaults."""
     import tomllib
 
-    with open(path, "rb") as f:
-        data = tomllib.load(f)
+    try:
+        with open(path, "rb") as f:
+            data = tomllib.load(f)
+    except OSError as e:
+        raise SystemExit(f"config: cannot read {path}: {e.strerror or e}")
+    except tomllib.TOMLDecodeError as e:
+        raise SystemExit(f"config: parse error in {path}: {e}")
     out = {}
     for section, keys in data.items():
         allowed = _TOML_SECTIONS.get(section)
@@ -115,6 +120,10 @@ def main(argv: list[str] | None = None) -> int:
     pre_args, _ = pre.parse_known_args(argv)
     toml_defaults = load_config(pre_args.config) if pre_args.config else {}
 
+    # `intern` is an append action: feeding it through set_defaults would
+    # make explicit --intern flags EXTEND the TOML list instead of
+    # overriding it — handled separately below
+    arg_defaults = {k: v for k, v in toml_defaults.items() if k != "intern"}
     parser = argparse.ArgumentParser(prog="crawler_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("crawl", "search", "mine"):
@@ -124,8 +133,10 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--resume", action="store_true")
         if name == "mine":
             p.add_argument("--host", default=None, help="restrict to one host")
-        p.set_defaults(**toml_defaults)
+        p.set_defaults(**arg_defaults)
     args = parser.parse_args(argv)
+    if args.intern is None and "intern" in toml_defaults:
+        args.intern = list(toml_defaults["intern"])
 
     spark = get_spark(cores=args.cores)
     world = load_world(spark, args.world)
@@ -146,7 +157,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "mine":
         over["max_rounds"] = 1  # single round (§3.2)
 
-    iface_names = list(args.intern or [])
+    iface_names = list(dict.fromkeys(args.intern or []))  # order-stable dedupe
     if args.intern_si and "si" not in iface_names:
         iface_names.append("si")
     if iface_names and "corpus" not in world:

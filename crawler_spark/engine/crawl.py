@@ -146,11 +146,10 @@ def crawl(
         trace = pd.DataFrame(columns=["round", "seq", "url_id"])
         seen = pd.DataFrame(columns=["url_id", "status", "round"])
     lineage = pd.DataFrame(store.lineage_rows(), columns=LINEAGE_COLS)
-    world.pages.unpersist()
-    world.links.unpersist()
-    world.robots.unpersist()
-    if world.corpus is not None and with_payload:
-        world.corpus.unpersist()
+    # world tables are localCheckpoint-ed: their blocks are NOT cache-manager
+    # entries (df.unpersist() would be a no-op) — the ContextCleaner frees
+    # them when the DataFrames are garbage collected, so just drop the refs
+    world.pages = world.links = world.robots = world.corpus = None
     return CrawlResult(
         trace=trace,
         seen=seen,

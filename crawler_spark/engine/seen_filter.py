@@ -153,11 +153,10 @@ class BloomSeenFilter:
         self._swap(merged)
 
     def _swap(self, new_df: DataFrame) -> None:
-        old = self.filter_df
-        # localCheckpoint truncates the round-over-round merge lineage
+        # localCheckpoint truncates the round-over-round merge lineage; the
+        # superseded bitsets' blocks are checkpoint storage (not cache
+        # entries), freed by the ContextCleaner once the old reference drops
         self.filter_df = new_df.localCheckpoint(eager=True)
-        if old is not None:
-            old.unpersist()
 
     # -- probe -----------------------------------------------------------
     def probe_maybe_ids(self, frontier: DataFrame) -> DataFrame:
@@ -220,13 +219,14 @@ class BloomSeenFilter:
         return maybe, new
 
     def release(self) -> None:
-        """Drop cached state (final round's marked frontier + the bitset
-        checkpoint) so a finished crawl pins no executor memory. The filter
-        is rebuilt via rebuild() on the next crawl/resume."""
+        """Drop cached state so a finished crawl pins no executor memory.
+        The marked frontier is persist()-ed -> unpersist() frees it now; the
+        bitset filter is localCheckpoint-ed, so dropping the reference lets
+        the ContextCleaner free its blocks on GC (df.unpersist() would be a
+        no-op for checkpoint storage). rebuild() restores the filter on the
+        next crawl/resume."""
         if self._last_marked is not None:
             self._last_marked.unpersist()
             self._last_marked = None
-        if self.filter_df is not None:
-            self.filter_df.unpersist()
-            self.filter_df = None
+        self.filter_df = None
         self._pending = []  # owned by the StateStore, just drop the refs

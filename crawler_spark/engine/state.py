@@ -96,7 +96,8 @@ class StateStore:
             self.last_seen_delta = self.spark.read.parquet(os.path.join(d, "seen_delta"))
             self._seen = None
         else:
-            old_f = self._frontier
+            # the superseded frontier's checkpoint blocks are freed by the
+            # ContextCleaner once this reassignment drops the last reference
             self._frontier = frontier.localCheckpoint(eager=True)
             # LAZY checkpoint: the delta's blocks are saved when the crawl
             # loop's single lineage-collect job (which counts it) first
@@ -115,8 +116,6 @@ class StateStore:
             if self.keep_outputs:
                 self._traces.append(trace.localCheckpoint(eager=True))
                 self._fetched.append(fetched.localCheckpoint(eager=True))
-            if old_f is not None:
-                old_f.unpersist()
         return self._frontier
 
     # -- aux (interface match) tables: written before finalize_round, so
@@ -181,9 +180,16 @@ class StateStore:
         if self._frontier is not None:
             return self._frontier
         if self.root and self.rounds:
-            self._frontier = self.spark.read.parquet(
+            f = self.spark.read.parquet(
                 os.path.join(self.root, f"round={self.last_round()}", "frontier")
             )
+            # migration: checkpoints written before the depth column default
+            # to depth 0 instead of failing the resume
+            if "depth" not in f.columns:
+                from pyspark.sql import functions as F
+
+                f = f.withColumn("depth", F.lit(0))
+            self._frontier = f
             return self._frontier
         return None
 
@@ -223,10 +229,13 @@ class StateStore:
 
     def lineage_rows(self) -> list[dict]:
         if self.root:
-            # disk is authoritative: a resumed store must include pre-resume rounds
+            # disk is authoritative: a resumed store must include pre-resume
+            # rounds; counters added after a row was written default to 0
+            from ..oracle import LINEAGE_COLS
+
             rows = []
             for r in self.rounds:
                 with open(os.path.join(self.root, f"round={r}", "lineage.json")) as f:
-                    rows.append(json.load(f))
+                    rows.append({**dict.fromkeys(LINEAGE_COLS, 0), **json.load(f)})
             return rows
         return list(self._lineage)

@@ -57,3 +57,49 @@ def test_resume_noop_when_complete(spark, tmp_path):
     pd.testing.assert_frame_equal(
         _norm(first.seen, ["url_id"]), _norm(again.seen, ["url_id"])
     )
+
+
+def test_resume_from_pre_depth_checkpoint(spark, tmp_path):
+    """Migration: a state dir written before the frontier carried `depth`
+    (and before n_depth_capped lineage) must resume cleanly — depth defaults
+    to 0, old lineage rows default the new counter to 0."""
+    import json
+    import os
+
+    w = datagen.make_world(n_urls=120, n_hosts=8, n_images=20, with_corpus=False)
+    sdf = datagen.to_spark(spark, w)
+    cfg = CrawlConfig(page_size=15, tries=2, max_rounds=100)
+
+    full = crawl(spark, sdf, cfg, state_dir=str(tmp_path / "full"))
+
+    cut = dataclasses.replace(cfg, max_rounds=3)
+    state = str(tmp_path / "old")
+    crawl(spark, sdf, cut, state_dir=state)
+
+    # simulate the old on-disk format: strip depth from the last frontier
+    # and the new counter from every lineage row
+    last = max(int(d.split("=")[1]) for d in os.listdir(state) if d.startswith("round="))
+    fdir = os.path.join(state, f"round={last}", "frontier")
+    old_frontier = spark.read.parquet(fdir).drop("depth").toPandas()
+    import shutil
+
+    shutil.rmtree(fdir)
+    spark.createDataFrame(old_frontier).write.parquet(fdir)
+    for d in os.listdir(state):
+        if not d.startswith("round="):
+            continue
+        lp = os.path.join(state, d, "lineage.json")
+        row = json.load(open(lp))
+        row.pop("n_depth_capped", None)
+        json.dump(row, open(lp, "w"))
+
+    resumed = crawl(spark, sdf, cfg, state_dir=state, resume=True)
+    assert resumed.rounds == full.rounds
+    pd.testing.assert_frame_equal(
+        _norm(full.trace, ["round", "seq"]), _norm(resumed.trace, ["round", "seq"])
+    )
+    pd.testing.assert_frame_equal(
+        _norm(full.seen, ["url_id"]), _norm(resumed.seen, ["url_id"])
+    )
+    # old rounds' lineage reads back with the new counter defaulted to 0
+    assert (resumed.lineage["n_depth_capped"] == 0).all()
