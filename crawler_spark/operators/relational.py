@@ -388,6 +388,41 @@ GROUP BY r_name, n_name
 """
 
 
+# -- Q1-style pricing summary (the canonical wide-agg scan: map-side partial
+# aggregation over the fact table, no joins — G2/G3 at relational scale) ----
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::bigint AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 # -- flagship: one crawl-round schedule composed of J1+O1+P6 over orders ----
 def crawl_round_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier = open orders (priority = o_totalprice, host = o_custkey);
@@ -445,6 +480,7 @@ QUERIES = {
     "w1_events_tumbling": (w1_events_tumbling, W1_SQL),
     "w2_events_sessionize": (w2_events_sessionize, W2_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q5_join_chain": (q5_join_chain, Q5_SQL),
     "crawl_round_schedule": (crawl_round_schedule, CRAWL_ROUND_SQL),
 }
