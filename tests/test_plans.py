@@ -47,6 +47,17 @@ def test_no_cartesian_in_catalog(spark):
         assert_no_cartesian(fn(spark, SF))
 
 
+def test_q1_partial_aggregation_and_pushdown(spark):
+    """The wide-agg scan must combine map-side (partial + final
+    HashAggregate) and push the shipdate predicate into the parquet scan."""
+    from crawler_spark.plans import explain_str
+
+    fn, _ = ALL_QUERIES["q1_pricing_summary"]
+    df = fn(spark, SF)
+    assert explain_str(df, "simple").count("HashAggregate") >= 2
+    assert_pushed_filters(df, ["l_shipdate"])
+
+
 def test_decode_features_single_python_stage(spark):
     """mm_decode_features must be mapInPandas stages over Arrow batches —
     no per-row Python dispatch (BatchEvalPython) anywhere in the plan."""
