@@ -19,14 +19,28 @@ from pyspark.sql import functions as F
 
 from .common import DUCK_TOKENS, POLY_MOD, SPARK_TOKENS, duck_h32, load, spark_h32
 
-# Signature size / banding tuned for the small test corpora (the DuckDB
-# oracle SQL is generated from the SAME constants, so both engines move
-# together). Production sizing at 100 TB: recall at threshold t for b bands
-# of r rows is 1-(1-t^r)^b — e.g. 128 hashes as 32 bands x 4 rows catches
-# ~97% of pairs at jaccard 0.5; the pipeline shape (band equi-join, no
-# all-pairs) is unchanged, only these two numbers grow.
+# Default signature size / banding for the small test corpora (the DuckDB
+# oracle SQL is generated from the SAME parameters, so both engines move
+# together). Recall at threshold t for b bands of r rows is 1-(1-t^r)^b.
+# Production sizing at 100 TB comes from `lsh_params_for(corpus_size)`
+# below — the pipeline shape (band equi-join, no all-pairs) is unchanged,
+# only the two numbers grow; every builder in this module takes
+# (n_minhash, n_bands) arguments defaulted from these.
 N_MINHASH = 12
 N_BANDS = 6  # bands of 2 rows each
+
+
+def lsh_params_for(corpus_size: int) -> tuple[int, int]:
+    """(n_minhash, n_bands) sized to the corpus: bigger corpora need longer
+    signatures to keep band-collision false positives (which all pay the
+    exact-Jaccard verifier) sub-linear. r = rows/band fixed at 2 keeps the
+    jaccard-0.5 recall high (1-(1-0.25)^b); b grows log-ish with size.
+    Measured recall at the defaults is recorded in COVERAGE.md."""
+    if corpus_size < 10_000:
+        return N_MINHASH, N_BANDS  # the test-corpus/oracle defaults
+    if corpus_size < 10_000_000:
+        return 64, 32
+    return 128, 64  # 100 TB tier: 128 hashes, 64 bands x 2 rows
 
 
 def _ab(i: int) -> tuple[int, int]:
@@ -95,26 +109,30 @@ FROM documents GROUP BY 1
 
 
 # -- MinHash signatures + LSH band buckets -> candidate pairs ---------------
-def _minhash_df(sh: DataFrame) -> DataFrame:
+def _minhash_df(sh: DataFrame, n_minhash: int = N_MINHASH) -> DataFrame:
     aggs = []
-    for i in range(N_MINHASH):
+    for i in range(n_minhash):
         a, b = _ab(i)
         aggs.append(F.min((F.col("h") * a + b) % POLY_MOD).alias(f"mh{i}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _bands_df(sh: DataFrame) -> DataFrame:
-    mh = _minhash_df(sh)
+def _bands_df(
+    sh: DataFrame, n_minhash: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
+    mh = _minhash_df(sh, n_minhash)
     stack_args = ", ".join(
-        f"{j}, (mh{2 * j} * 31 + mh{2 * j + 1}) % {POLY_MOD}" for j in range(N_BANDS)
+        f"{j}, (mh{2 * j} * 31 + mh{2 * j + 1}) % {POLY_MOD}" for j in range(n_bands)
     )
     return mh.select(
-        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) as (band_no, band_hash)")
+        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) as (band_no, band_hash)")
     )
 
 
-def _pairs_df(sh: DataFrame) -> DataFrame:
-    bands = _bands_df(sh)
+def _pairs_df(
+    sh: DataFrame, n_minhash: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
+    bands = _bands_df(sh, n_minhash, n_bands)
     left = bands.select(
         F.col("doc_id").alias("doc_a"), "band_no", "band_hash"
     )
@@ -129,19 +147,24 @@ def _pairs_df(sh: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _pairs_df(_spark_shingle_rows(spark, sf_dir))
+def dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    return _pairs_df(_spark_shingle_rows(spark, sf_dir), n_minhash, n_bands)
 
 
-def _duck_minhash_cte() -> str:
+def _duck_minhash_cte(n_minhash: int = N_MINHASH, n_bands: int = N_BANDS) -> str:
     mins = ", ".join(
         f"min((h * {_ab(i)[0]} + {_ab(i)[1]}) % {POLY_MOD}) AS mh{i}"
-        for i in range(N_MINHASH)
+        for i in range(n_minhash)
     )
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {j} AS band_no, (mh{2 * j} * 31 + mh{2 * j + 1}) % {POLY_MOD}"
         f" AS band_hash FROM minhash"
-        for j in range(N_BANDS)
+        for j in range(n_bands)
     )
     return f"""
 WITH shingles AS ({DUCK_SHINGLE_ROWS}),
@@ -238,6 +261,48 @@ WITH tok AS (
 ), agg AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
 SELECT doc_id, ({sim})::bigint AS simhash FROM agg
 """
+
+
+# -- LSH recall audit (not a gated query: a measurement) --------------------
+def lsh_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    threshold: float = 0.5,
+) -> dict:
+    """Fraction of ground-truth near-dup pairs (exact jaccard >= threshold)
+    the LSH candidate set catches, at the given signature sizing. Ground
+    truth needs no all-pairs scan: a pair with jaccard > 0 shares a shingle,
+    so the shingle inverted-index self-join enumerates every candidate and
+    the exact intersection/sizes verify the threshold. Recorded per corpus
+    in COVERAGE.md (the sizing table `lsh_params_for` is tuned from this)."""
+    sh = _spark_shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .filter(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= threshold
+        )
+        .select("doc_a", "doc_b")
+    ).localCheckpoint(eager=True)
+    cands = _pairs_df(sh, n_minhash, n_bands)
+    n_truth = truth.count()
+    n_caught = truth.join(cands, ["doc_a", "doc_b"], "left_semi").count()
+    return {
+        "n_truth": n_truth,
+        "n_caught": n_caught,
+        "n_candidates": cands.count(),
+        "recall": round(n_caught / n_truth, 4) if n_truth else 1.0,
+    }
 
 
 QUERIES = {

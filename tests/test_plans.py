@@ -85,3 +85,64 @@ def test_topk_plans_as_take_ordered(spark):
     from crawler_spark.plans import explain_str
 
     assert "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def test_ann_family_single_embeddings_scan(spark):
+    """ann_bucket_rerank / dedup_embedding_cosine / ann_ivf_topk draw bands,
+    norms, and rerank sides from ONE materialized index (checkpoint leaf):
+    their plans must contain no parquet scan of `embeddings` and at most one
+    zip_with dot-product fold (the pair cosine) — round 2 measured 6 scans /
+    67 folds for the rerank plan before the fix."""
+    for name in ("ann_bucket_rerank", "dedup_embedding_cosine", "ann_ivf_topk"):
+        fn, _ = ALL_QUERIES[name]
+        plan = fn(spark, SF)._jdf.queryExecution().analyzed().toString()
+        assert "parquet" not in plan.lower(), name
+        assert plan.count("zip_with") <= 1, (name, plan.count("zip_with"))
+
+
+def test_seen_probe_prunes_to_discovery_buckets(spark, tmp_path):
+    """The 10^10-seen design: StateStore writes seen deltas PARTITIONED by
+    host_bucket, and the discovery-dedup probe joins seen on
+    (url_id, host_bucket) against the broadcast discovery set — dynamic
+    partition pruning then reads ONLY the buckets present in the discovery
+    set (round.py step 7). Asserted on the real store layout."""
+    from crawler_spark.engine.state import StateStore
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    seen_delta = spark.range(10000).select(
+        F.col("id").alias("url_id"),
+        F.pmod("id", F.lit(16)).cast("int").alias("host_bucket"),
+        F.lit("fetched").alias("status"),
+        F.lit(1).cast("int").alias("round"),
+    )
+    empty_frontier = spark.createDataFrame(
+        [], "url_id long, url string, host string, host_bucket int, priority double,"
+        " depth int, discovered_round int, tries_left int"
+    )
+    store.commit_round(
+        1,
+        empty_frontier,
+        seen_delta,
+        spark.createDataFrame([], "round int, seq int, url_id long"),
+        spark.createDataFrame([], "round int, url_id long, url string, image_id string"),
+    )
+    store.finalize_round(1, {"round": 1})
+    seen_r = store.seen()
+    # discovery-set shape from round.py: groupBy over a filtered href base
+    base = spark.range(100).select(
+        (F.col("id") * 7 + 1).alias("dst_url_id"),
+        F.pmod("id", F.lit(3)).cast("int").alias("dst_host_bucket"),
+        F.col("id").alias("_pseq"),
+    ).filter("dst_url_id % 2 = 1")
+    distinct_new = (
+        base.groupBy("dst_url_id")
+        .agg(F.min_by("dst_host_bucket", "_pseq").alias("host_bucket"))
+        .withColumnRenamed("dst_url_id", "url_id")
+    )
+    hits_seen = seen_r.select("url_id", "host_bucket").join(
+        F.broadcast(distinct_new), ["url_id", "host_bucket"], "inner"
+    )
+    from crawler_spark.plans import explain_str
+
+    plan = explain_str(hits_seen)
+    assert "dynamicpruning" in plan.lower(), plan
