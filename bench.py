@@ -178,13 +178,12 @@ def scaling_round(spark: SparkSession, n_urls: int) -> dict:
     # ONE partition-preserving chain — no union, so the stored host_bucket
     # layout survives from the probe through the politeness window and the
     # round runs with ZERO big-side exchanges (flag/bitset sides are small):
-    #   probe flag join -> exact seen merge-join (the authority; the Bloom
-    #   guarantees its definitely-new verdicts are never in seen, so
-    #   checking every row is semantically identical to the split) ->
-    #   filter (keeps partitioning) -> per-host window (clustering already
-    #   satisfied by host_bucket).
-    flag = filt.probe_maybe_ids(frontier).withColumn("_pf", F.lit(True))
-    marked = frontier.join(flag, ["url_id", "host_bucket"], "left")
+    #   Bloom mark (broadcast bitset dim + codegen bit test, no Arrow hop)
+    #   -> exact seen merge-join (the authority; the Bloom guarantees its
+    #   definitely-new verdicts are never in seen, so checking every row is
+    #   semantically identical to the split) -> filter (keeps partitioning)
+    #   -> per-host window (clustering already satisfied by host_bucket).
+    marked = filt.mark(frontier)
     checked = marked.join(
         seen.withColumn("_seen", F.lit(True)), ["url_id", "host_bucket"], "left"
     )

@@ -49,8 +49,20 @@ def _add_common(p: argparse.ArgumentParser, toml_defaults: dict) -> None:
     p.add_argument("--max-rounds", type=int, default=1000)
     p.add_argument("--n-salt", type=int, default=1)
     p.add_argument("--max-depth", type=int, default=None, help="link-depth cap")
-    p.add_argument("--bloom", action="store_true", help="enable the Bloom seen pre-filter")
-    p.add_argument("--payload", action="store_true", help="join fetched rows against the corpus")
+    # BooleanOptionalAction so a TOML `bloom = true` can still be overridden
+    # back off on the command line (--no-bloom / --no-payload)
+    p.add_argument(
+        "--bloom",
+        action=argparse.BooleanOptionalAction,
+        default=False,
+        help="enable the Bloom seen pre-filter",
+    )
+    p.add_argument(
+        "--payload",
+        action=argparse.BooleanOptionalAction,
+        default=False,
+        help="join fetched rows against the corpus",
+    )
     p.add_argument(
         "--intern",
         action="append",

@@ -96,49 +96,68 @@ def crawl(
             store.finalize_round(0, ln0)
 
     n_frontier = frontier.count()
-    while n_frontier > 0 and r < cfg.max_rounds:
-        r += 1
-        res = round_mod.run_round(
-            spark, frontier, store.seen(), world, cfg, r, seen_prefilter=seen_prefilter
-        )
-        fetched = res.fetched
-        if with_payload and world.corpus is not None:
-            # no broadcast HINT: the optimizer broadcasts a corpus under the
-            # auto threshold (the test/bench worlds) and falls back to a
-            # shuffle join when the payload table is 100 TB — a forced
-            # broadcast would OOM the driver there
-            fetched = fetched.join(world.corpus, "image_id").select(
-                "round", "url_id", "url", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    res = None
+    # try/finally: an exception mid-round must not leak the round's persisted
+    # blocks or the Bloom's cached marked frontier into the (shared, in
+    # tests/bench) Spark session
+    try:
+        while n_frontier > 0 and r < cfg.max_rounds:
+            r += 1
+            res = round_mod.run_round(
+                spark, frontier, store.seen(), world, cfg, r, seen_prefilter=seen_prefilter
             )
-        frontier = store.commit_round(r, res.frontier, res.seen_delta, res.trace, fetched)
-        for iface in interfaces or []:
-            pre = iface.preprocess(fetched)  # lifecycle: preprocess -> compile
-            for tname, tdf in iface.extract(pre).items():
-                store.commit_aux(r, iface.name, tname, tdf)
-        # ONE driver-synchronous job closes the round: the commit's
-        # checkpoint already materialized the round DAG (caching marked/att
-        # via their persist), so lineage counters + the next-frontier count
-        # collect together from cached inputs. Counting the seen delta here
-        # also finalizes its LAZY checkpoint inside the same job.
-        row = (
-            res.counts
-            .crossJoin(frontier.agg(F.count("*").alias("n_next")))
-            .crossJoin(store.last_seen_delta.agg(F.count("*").alias("_n_delta")))
-            .collect()[0]
-        )
-        n_next = int(row["n_next"])
-        store.finalize_round(r, res.lineage_from(row, n_next))
+            fetched = res.fetched
+            if with_payload and world.corpus is not None:
+                # no broadcast HINT: the optimizer broadcasts a corpus under
+                # the auto threshold (the test/bench worlds) and falls back
+                # to a shuffle join when the payload table is 100 TB — a
+                # forced broadcast would OOM the driver there
+                fetched = fetched.join(world.corpus, "image_id").select(
+                    "round", "url_id", "url", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+                )
+            frontier = store.commit_round(r, res.frontier, res.seen_delta, res.trace, fetched)
+            # interfaces extract over the COMMITTED fetched table (checkpoint
+            # or parquet leaves), so their plans stay valid and cheap after
+            # the round's persisted intermediates are released — commit_aux
+            # stores the plan and fires zero per-round jobs (memory mode)
+            fetched_src = store.last_fetched()
+            fetched_src = fetched if fetched_src is None else fetched_src
+            for iface in interfaces or []:
+                pre = iface.preprocess(fetched_src)  # lifecycle: preprocess -> compile
+                for tname, tdf in iface.extract(pre).items():
+                    store.commit_aux(r, iface.name, tname, tdf)
+            # ONE driver-synchronous job closes the round: the commit's
+            # checkpoint already materialized the round DAG (caching
+            # marked/att via their persist), so lineage counters + the
+            # next-frontier count collect together from cached inputs.
+            # Counting the seen delta here also finalizes its LAZY
+            # checkpoint inside the same job, and pending_force_aggs folds
+            # the trace/fetched lazy checkpoints into the same
+            # materialization point (StateStore.commit_round's contract).
+            row_df = (
+                res.counts
+                .crossJoin(frontier.agg(F.count("*").alias("n_next")))
+                .crossJoin(store.last_seen_delta.agg(F.count("*").alias("_n_delta")))
+            )
+            for agg in store.pending_force_aggs():
+                row_df = row_df.crossJoin(agg)
+            row = row_df.collect()[0]
+            n_next = int(row["n_next"])
+            store.finalize_round(r, res.lineage_from(row, n_next))
+            if seen_prefilter is not None:
+                # register this round's terminal ids BEFORE the next round
+                # probes (no-false-negatives invariant): the filter batches
+                # the bitset merge and exact-checks pending deltas in split()
+                seen_prefilter.update(store.last_seen_delta)
+            res.release()
+            n_frontier = n_next
+    finally:
+        if res is not None:
+            res.release()  # idempotent; frees a mid-round failure's caches
         if seen_prefilter is not None:
-            # register this round's terminal ids BEFORE the next round
-            # probes (no-false-negatives invariant): the filter batches the
-            # bitset merge and exact-checks pending deltas in split()
-            seen_prefilter.update(store.last_seen_delta)
-        res.release()
-        n_frontier = n_next
+            seen_prefilter.release()
 
     wall = time.monotonic() - t0
-    if seen_prefilter is not None:
-        seen_prefilter.release()
     if collect_outputs:
         trace = store.traces().orderBy("round", "seq").toPandas()
         seen = store.seen().select("url_id", "status", "round").orderBy("url_id").toPandas()

@@ -315,23 +315,24 @@ def run_round(
     # tables (a full shuffle of the big side), broadcast the small side and
     # take the intersection ("hits"), then broadcast-anti-join the hits back.
     # Zero shuffle of seen/frontier on the discovery path.
-    # 10^10-seen design note: this is still a per-round SCAN of seen. The fix
-    # is storage-level, not plan-level — seen lives as a table bucketed by
-    # host_bucket (the layout StateStore already writes), so the broadcast
-    # hash-semi-join prunes to the buckets present in the (small) discovery
-    # set via runtime filtering / DPP, and only those buckets are read. A
-    # Bloom pre-probe cannot help here: the bitsets answer "maybe seen",
-    # but the scan cost is the read itself, which only pruning removes.
+    # 10^10-seen pruning: the seen side joins on (url_id, host_bucket) —
+    # host_bucket is functionally dependent on url_id, so the hit set is
+    # identical — and StateStore writes seen deltas PARTITIONED by
+    # host_bucket, so dynamic partition pruning narrows the scan to the
+    # buckets present in the (small, broadcast) discovery set; only those
+    # directories are read (plan-asserted in tests/test_plans.py). A Bloom
+    # pre-probe cannot help here: the bitsets answer "maybe seen", but the
+    # scan cost is the read itself, which only pruning removes.
     terminal_ids = att.filter(F.col("disp").isin("fetched", "exhausted")).select("url_id")
     survivors = alive.select("url_id").join(F.broadcast(terminal_ids), "url_id", "left_anti")
-    known = seen_ids.select("url_id").unionByName(survivors).unionByName(
-        denied_delta.select("url_id")
-    ).unionByName(terminal_ids)
-    hits = (
-        known.join(F.broadcast(distinct_new.select("url_id")), "url_id", "inner")
-        .select("url_id")
-        .distinct()
-    )
+    hits_seen = seen_ids.select("url_id", "host_bucket").join(
+        F.broadcast(distinct_new.select("url_id", "host_bucket")),
+        ["url_id", "host_bucket"],
+        "inner",
+    ).select("url_id")
+    rest = survivors.unionByName(denied_delta.select("url_id")).unionByName(terminal_ids)
+    hits_rest = rest.join(F.broadcast(distinct_new.select("url_id")), "url_id", "inner")
+    hits = hits_seen.unionByName(hits_rest).select("url_id").distinct()
     enqueue = distinct_new.join(F.broadcast(hits), "url_id", "left_anti").select(
         "url_id", "url", "host", "host_bucket", "priority", "depth",
         F.lit(round_no).alias("discovered_round"),

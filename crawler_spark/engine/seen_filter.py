@@ -9,15 +9,21 @@ through the exact join); false negatives are impossible by construction
 (every committed seen-delta is OR-ed in before the next round).
 
 Scale design — everything stays DataFrame-side, nothing driver-side:
- * the filter is a DataFrame ``(host_bucket int, bits binary)`` with ONE row
-   per host bucket, persisted across rounds;
- * probe = ``frontier.cogroup(filter).applyInPandas`` on ``host_bucket``:
-   each task sees one bucket's rows plus that bucket's bits exactly once
-   (no per-row duplication of the bitset, no driver broadcast of 10^10-bit
-   state), and probes vectorized in numpy;
- * build/merge = ``applyInPandas`` per bucket OR-ing bitsets.
+ * the filter is a DataFrame ``(host_bucket int, bits array<bigint>)`` with
+   ONE row per host bucket, persisted across rounds;
+ * probe = broadcast join of the per-bucket word arrays + a pure-codegen
+   bit test (``mark()``): bit positions are slices of ``xxhash64(url_id)``
+   — the SAME function on both sides, evaluated by the JVM during the probe
+   and by vectorized numpy during build/merge. No Arrow hop, no cogroup
+   exchange: at 16M rows the old Python-cogroup probe cost ~120 task-seconds
+   vs ~0 for the codegen test (profiled round 3);
+ * build/merge = ``applyInPandas`` per bucket OR-ing word arrays (index
+   maintenance — runs on the small seen deltas, not the frontier).
 At P buckets the filter memory is P × bits_per_bucket/8 spread across the
-cluster; sizing: bits_per_bucket ≈ 10 × expected seen per bucket keeps the
+cluster (the broadcast ships it once per executor, same as any broadcast
+dim; at 10^10 seen ids the bitsets are ~12 GB total at 1% fp — size P so
+each executor's share fits, or shard the broadcast by bucket range);
+sizing: bits_per_bucket ≈ 10 × expected seen per bucket keeps the
 false-positive rate ≈ 1%.
 """
 
@@ -28,44 +34,92 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_C1 = np.uint64(0x9E3779B97F4A7C15)
-_C2 = np.uint64(0xBF58476D1CE4E5B9)
-_C3 = np.uint64(0x94D049BB133111EB)
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
 
 
-def _splitmix(x: np.ndarray) -> np.ndarray:
-    z = (x + _C1).astype(np.uint64)
-    z ^= z >> np.uint64(30)
-    z *= _C2
-    z ^= z >> np.uint64(27)
-    z *= _C3
-    z ^= z >> np.uint64(31)
-    return z
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xxh64_long(v: np.ndarray | int, seed: np.ndarray | int) -> np.ndarray:
+    """Vectorized XXH64 of a single 64-bit word — bit-identical to Spark's
+    ``xxhash64`` on a LongType column (and to ``ids.xxhash64`` of the
+    little-endian 8 bytes; property-tested in tests/test_ids.py)."""
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        v = np.asarray(v, dtype=np.uint64)
+        h = np.asarray(seed, dtype=np.uint64) + _P5 + np.uint64(8)
+        h = h ^ (_rotl(v * _P2, 31) * _P1)
+        h = _rotl(h, 27) * _P1 + _P4
+        h ^= h >> np.uint64(33)
+        h *= _P2
+        h ^= h >> np.uint64(29)
+        h *= _P3
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def _slice_plan(n_bits: int, n_hashes: int) -> list[tuple[int, int]]:
+    """(hash_no, shift) per position: log2(n_bits)-bit slices of the xxhash64
+    chain h_0 = xxhash64(id), h_k = xxhash64(id, k). Both engines (numpy
+    build, JVM probe) derive their positions from this one plan."""
+    log2 = n_bits.bit_length() - 1
+    per = 64 // log2
+    return [(k // per, (k % per) * log2) for k in range(n_hashes)]
 
 
 def _positions(ids: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
-    """(len(ids), n_hashes) bit positions via double hashing."""
+    """(len(ids), n_hashes) bit positions: xxhash64-slice scheme."""
+    mask = np.uint64(n_bits - 1)
     x = ids.astype(np.int64).view(np.uint64)
-    h1 = _splitmix(x)
-    h2 = _splitmix(x ^ _C2) | np.uint64(1)
-    i = np.arange(n_hashes, dtype=np.uint64)
-    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
+    h0 = _xxh64_long(x, 42)
+    hashes = {0: h0}
+    out = np.empty((len(ids), n_hashes), dtype=np.int64)
+    for j, (hno, shift) in enumerate(_slice_plan(n_bits, n_hashes)):
+        if hno not in hashes:
+            # Spark's multi-arg xxhash64 chains: the previous hash seeds the
+            # next word, so xxhash64(id, k) == XXH64(k, XXH64(id, 42))
+            hashes[hno] = _xxh64_long(np.uint64(hno), h0)
+        out[:, j] = ((hashes[hno] >> np.uint64(shift)) & mask).astype(np.int64)
+    return out
+
+
+def _probe_sql(n_bits: int, n_hashes: int, id_col: str = "url_id", bits_col: str = "_bits") -> str:
+    """JVM twin of ``_positions`` + bit test: ANSI-safe shifts/masks only."""
+    mask = n_bits - 1
+    terms = []
+    for hno, shift in _slice_plan(n_bits, n_hashes):
+        h = (
+            f"xxhash64({id_col})"
+            if hno == 0
+            else f"xxhash64({id_col}, cast({hno} as bigint))"
+        )
+        pos = f"(shiftright({h}, {shift}) & {mask})"
+        word = f"element_at({bits_col}, cast(shiftright({pos}, 6) as int) + 1)"
+        terms.append(f"((shiftright({word}, cast(({pos} & 63) as int)) & 1) = 1)")
+    return " AND ".join(terms)
 
 
 def _build_bits(ids: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
-    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    """int64 word array (little-endian bit order: bit p lives in word p>>6
+    at bit p&63 — the layout the JVM probe reads via element_at+shift)."""
+    words = np.zeros(n_bits // 64, dtype=np.uint64)
     if len(ids):
         pos = _positions(ids, n_bits, n_hashes).ravel()
-        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-    return bits
+        np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+    return words.view(np.int64)
 
 
-def _probe_bits(ids: np.ndarray, bits: np.ndarray, n_hashes: int) -> np.ndarray:
+def _probe_bits(ids: np.ndarray, words: np.ndarray, n_hashes: int) -> np.ndarray:
     if len(ids) == 0:
         return np.zeros(0, dtype=bool)
-    n_bits = len(bits) * 8
+    words = np.asarray(words, dtype=np.int64)
+    n_bits = len(words) * 64
     pos = _positions(ids, n_bits, n_hashes)
-    hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    hit = (words[pos >> 6] >> (pos & 63)) & 1
     return hit.all(axis=1).astype(bool)
 
 
@@ -89,8 +143,8 @@ class BloomSeenFilter:
         n_hashes: int = 4,
         flush_every: int = 8,
     ):
-        if bits_per_bucket % 8:
-            raise ValueError("bits_per_bucket must be a multiple of 8")
+        if bits_per_bucket < 64 or bits_per_bucket & (bits_per_bucket - 1):
+            raise ValueError("bits_per_bucket must be a power of two >= 64")
         self.spark = spark
         self.bits_per_bucket = bits_per_bucket
         self.n_hashes = n_hashes
@@ -106,11 +160,11 @@ class BloomSeenFilter:
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             bits = _build_bits(pdf["url_id"].to_numpy(), n_bits, n_hashes)
             return pd.DataFrame(
-                {"host_bucket": [int(pdf["host_bucket"].iloc[0])], "bits": [bits.tobytes()]}
+                {"host_bucket": [int(pdf["host_bucket"].iloc[0])], "bits": [bits]}
             )
 
         return ids_df.select("host_bucket", "url_id").groupBy("host_bucket").applyInPandas(
-            build, schema="host_bucket int, bits binary"
+            build, schema="host_bucket int, bits array<bigint>"
         )
 
     def rebuild(self, seen_df: DataFrame) -> None:
@@ -138,17 +192,17 @@ class BloomSeenFilter:
             return
 
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-            acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+            acc = np.asarray(pdf["bits"].iloc[0], dtype=np.int64).copy()
             for b in pdf["bits"].iloc[1:]:
-                acc |= np.frombuffer(b, dtype=np.uint8)
+                acc |= np.asarray(b, dtype=np.int64)
             return pd.DataFrame(
-                {"host_bucket": [int(pdf["host_bucket"].iloc[0])], "bits": [acc.tobytes()]}
+                {"host_bucket": [int(pdf["host_bucket"].iloc[0])], "bits": [acc]}
             )
 
         merged = (
             self.filter_df.unionByName(delta)
             .groupBy("host_bucket")
-            .applyInPandas(merge, schema="host_bucket int, bits binary")
+            .applyInPandas(merge, schema="host_bucket int, bits array<bigint>")
         )
         self._swap(merged)
 
@@ -159,48 +213,42 @@ class BloomSeenFilter:
         self.filter_df = new_df.localCheckpoint(eager=True)
 
     # -- probe -----------------------------------------------------------
-    def probe_maybe_ids(self, frontier: DataFrame) -> DataFrame:
-        """(url_id, host_bucket) rows that MAY be seen. Only ids+buckets
-        cross the Arrow boundary — the payload columns stay JVM-side. The
-        bucket is carried through so downstream joins can use
-        (url_id, host_bucket) keys and reuse a host_bucket partitioning."""
-        n_hashes = self.n_hashes
-
-        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            ids = left["url_id"].to_numpy()
-            if len(right):
-                bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
-                maybe = _probe_bits(ids, bits, n_hashes)
-            else:
-                maybe = np.zeros(len(ids), dtype=bool)
-            bucket = int(left["host_bucket"].iloc[0]) if len(left) else 0
-            return pd.DataFrame({"url_id": ids[maybe], "host_bucket": bucket})
-
+    def mark(self, frontier: DataFrame) -> DataFrame:
+        """frontier + ``_pf`` boolean (Bloom maybe-hit). The per-bucket word
+        arrays join in as a broadcast dim (one row per bucket) and the bit
+        test is a pure whole-stage-codegen expression over xxhash64 slices —
+        the frontier never leaves the JVM and never shuffles. A bucket with
+        no bitset row (nothing seen there yet) probes false."""
+        probe = _probe_sql(self.bits_per_bucket, self.n_hashes)
         return (
-            frontier.select("url_id", "host_bucket")
-            .groupBy("host_bucket")
-            .cogroup(self.filter_df.groupBy("host_bucket"))
-            .applyInPandas(probe, schema="url_id long, host_bucket int")
+            frontier.join(
+                F.broadcast(self.filter_df.withColumnRenamed("bits", "_bits")),
+                "host_bucket",
+                "left",
+            )
+            .withColumn(
+                "_pf",
+                F.when(F.col("_bits").isNull(), F.lit(False)).otherwise(F.expr(probe)),
+            )
+            .drop("_bits")
         )
+
+    def probe_maybe_ids(self, frontier: DataFrame) -> DataFrame:
+        """(url_id, host_bucket) rows that MAY be seen (thin mark() view)."""
+        return self.mark(frontier).filter(F.col("_pf")).select("url_id", "host_bucket")
 
     def split(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(maybe_seen, definitely_new); together they partition `frontier`.
         A row is maybe-seen when the Bloom bitsets hit OR its id sits in a
-        not-yet-flushed pending delta (small broadcast flag). The maybe-flag
-        joins back on url_id — the same key as the downstream exact seen
-        anti-join, so the frontier exchange is reused."""
+        not-yet-flushed pending delta (small broadcast flag). Both checks
+        are broadcast-side — the frontier's own partitioning is untouched."""
         if self.filter_df is None and not self._pending:
             empty = self.spark.createDataFrame([], frontier.schema)
             return empty, frontier
         if self._last_marked is not None:
             self._last_marked.unpersist()
         if self.filter_df is not None:
-            flag = self.probe_maybe_ids(frontier).withColumn("_pf", F.lit(True))
-            # join on (url_id, host_bucket): host_bucket is functionally
-            # dependent on url_id, so semantics are unchanged, but a
-            # frontier already hash-partitioned by host_bucket satisfies the
-            # join's clustering requirement and skips its exchange
-            marked = frontier.join(flag, ["url_id", "host_bucket"], "left")
+            marked = self.mark(frontier)
         else:
             marked = frontier.withColumn("_pf", F.lit(None).cast("boolean"))
         if self._pending:

@@ -19,6 +19,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 SEEN_SCHEMA = "url_id long, host_bucket int, status string, round int"
 TRACE_SCHEMA = "round int, seq int, url_id long"
@@ -39,6 +40,10 @@ class StateStore:
         self._lineage: list[dict] = []
         self._aux: dict[tuple[str, str], list[DataFrame]] = {}
         self._seed: dict[tuple[str, str], DataFrame] = {}
+        # memory mode: this round's LAZY localCheckpoints (trace/fetched)
+        # awaiting materialization in the round-closing collect job
+        self._pending_force: list[DataFrame] = []
+        self._last_fetched_dir: str | None = None
         # the last committed (materialized) seen delta — safe to reference
         # across rounds (checkpointed/parquet-backed, no lineage into the
         # round's soon-unpersisted intermediates)
@@ -89,11 +94,25 @@ class StateStore:
         if self.root:
             d = os.path.join(self.root, f"round={round_no}")
             frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
-            seen_delta.write.mode("overwrite").parquet(os.path.join(d, "seen_delta"))
+            # ONE seen table partitioned by (round, host_bucket) — the
+            # physical substrate for two prunings: the discovery-dedup probe
+            # (engine/round.py step 7) joins seen on (url_id, host_bucket)
+            # against the broadcast discovery set, so DPP reads only the
+            # buckets present in it; resume reads only the manifest's
+            # committed rounds. Dynamic partition overwrite makes a re-run
+            # of a crashed round replace exactly its own partitions (the
+            # idempotent-insert analog, `search.rs:120-124`).
+            (
+                seen_delta.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("round", "host_bucket")
+                .parquet(self._seen_dir())
+            )
             trace.write.mode("overwrite").parquet(os.path.join(d, "trace"))
             fetched.write.mode("overwrite").parquet(os.path.join(d, "fetched"))
+            self._last_fetched_dir = os.path.join(d, "fetched")
             self._frontier = self.spark.read.parquet(os.path.join(d, "frontier"))
-            self.last_seen_delta = self.spark.read.parquet(os.path.join(d, "seen_delta"))
+            self.last_seen_delta = self._read_seen().filter(F.col("round") == round_no)
             self._seen = None
         else:
             # the superseded frontier's checkpoint blocks are freed by the
@@ -114,20 +133,61 @@ class StateStore:
                 seen = seen.coalesce(n_part).localCheckpoint(eager=True)
             self._seen = seen
             if self.keep_outputs:
-                self._traces.append(trace.localCheckpoint(eager=True))
-                self._fetched.append(fetched.localCheckpoint(eager=True))
+                # LAZY like the seen delta: one eager checkpoint per table
+                # would fire one driver job each, per round. All of them
+                # materialize together inside the round-closing collect
+                # (pending_force_aggs), while the round's persisted
+                # intermediates are still alive.
+                t_ck = trace.localCheckpoint(eager=False)
+                f_ck = fetched.localCheckpoint(eager=False)
+                self._traces.append(t_ck)
+                self._fetched.append(f_ck)
+                self._pending_force += [t_ck, f_ck]
         return self._frontier
+
+    # CONTRACT (memory mode): commit_round leaves this round's trace/fetched
+    # checkpoints LAZY. The caller must compute them while the round's
+    # persisted inputs are still cached — either by crossJoining
+    # pending_force_aggs() into its round-closing collect (the crawl loop
+    # does) or implicitly via finalize_round, which forces any leftovers as
+    # the commit boundary. Skipping both would be correct but silently
+    # expensive: later reads would recompute the round subtree after its
+    # persist()s are gone. (Measured: the lazy calls fire at most the trace
+    # window's one exchange-stage job at commit; the result stages fold into
+    # the closing collect. Aux plans shuffle more — see commit_aux for why
+    # they skip checkpointing entirely.)
+    def pending_force_aggs(self) -> list[DataFrame]:
+        """One-row count aggs over this round's lazy checkpoints; crossJoin
+        them into one collect to materialize everything in a single job."""
+        out, self._pending_force = self._pending_force, []
+        return [d.agg(F.count("*").alias(f"_n_force_{i}")) for i, d in enumerate(out)]
 
     # -- aux (interface match) tables: written before finalize_round, so
     # they share the round's atomic visibility (P10 transaction analog) ----
     def commit_aux(self, round_no: int, iface: str, table: str, df: DataFrame) -> None:
+        """Memory mode stores the PLAN, not a checkpoint: `df` must be built
+        over this round's checkpointed fetched table (last_fetched()), so it
+        is shallow, deterministic, and recompute-safe after the round's
+        persisted intermediates are released. With all three interfaces
+        attached, an eager checkpoint here cost ~10 extra driver jobs per
+        round (round 2) — and a lazy one is no better: under AQE even
+        localCheckpoint(eager=False) synchronously materializes every
+        exchange stage at call time. Deferring the whole extract to read
+        time is the only genuinely job-free commit."""
         if self.root:
             d = os.path.join(self.root, f"round={round_no}", "aux", iface, table)
             df.coalesce(8).write.mode("overwrite").parquet(d)
         else:
-            self._aux.setdefault((iface, table), []).append(
-                df.coalesce(8).localCheckpoint(eager=True)
-            )
+            self._aux.setdefault((iface, table), []).append(df)
+
+    def last_fetched(self) -> DataFrame | None:
+        """This round's committed fetched table (checkpoint/parquet-backed
+        leaves) — the input interface extracts must build on."""
+        if self.root:
+            if not self._last_fetched_dir:
+                return None
+            return self.spark.read.parquet(self._last_fetched_dir)
+        return self._fetched[-1] if self._fetched else None
 
     # -- seeded dimension tables (interface init(), e.g. si_info_types —
     # the reference's CREATE TABLE + INSERT IGNORE bootstrap,
@@ -169,6 +229,15 @@ class StateStore:
             self.rounds.append(round_no)
             self._commit_manifest()
         else:
+            if self._pending_force:
+                # commit boundary: a caller that did not fold the lazy
+                # checkpoints into its own collect pays one job here instead
+                # of silently recomputing the round subtree later
+                aggs = self.pending_force_aggs()
+                row = aggs[0]
+                for a in aggs[1:]:
+                    row = row.crossJoin(a)
+                row.collect()
             self.rounds.append(round_no)
             self._lineage.append(dict(lineage_row))
 
@@ -193,12 +262,30 @@ class StateStore:
             return self._frontier
         return None
 
+    def _seen_dir(self) -> str:
+        return os.path.join(self.root, "seen")
+
+    def _read_seen(self) -> DataFrame:
+        """Partition-discovered read of the seen table with an EXPLICIT
+        schema (column order stays SEEN_SCHEMA regardless of the physical
+        data/partition-column split; an all-empty table reads as empty
+        instead of failing inference)."""
+        return self.spark.read.schema(SEEN_SCHEMA).parquet(self._seen_dir())
+
     def seen(self) -> DataFrame:
         if self._seen is not None:
             return self._seen
         if self.root and self.rounds:
-            paths = [os.path.join(self.root, f"round={r}", "seen_delta") for r in self.rounds]
-            self._seen = self.spark.read.parquet(*paths)
+            if os.path.isdir(self._seen_dir()):
+                # manifest filter = snapshot isolation: a crashed round's
+                # orphan partitions are pruned out, never read
+                self._seen = self._read_seen().filter(F.col("round").isin(self.rounds))
+            else:
+                # legacy layout (pre round-3): plain per-round parquet dirs
+                paths = [
+                    os.path.join(self.root, f"round={r}", "seen_delta") for r in self.rounds
+                ]
+                self._seen = self.spark.read.schema(SEEN_SCHEMA).parquet(*paths)
         else:
             self._seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         return self._seen

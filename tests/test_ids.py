@@ -81,3 +81,30 @@ def test_canonical_idempotent():
     for u in URLS:
         c = ids.canonicalize_url(u)
         assert ids.canonicalize_url(c) == c
+
+
+def test_xxh64_long_vectorized_matches_scalar_twin():
+    """The seen filter's vectorized numpy XXH64-of-a-long must equal the
+    property-tested scalar twin on the little-endian 8 bytes (and thus
+    Spark's xxhash64 on a LongType column)."""
+    import struct
+
+    import numpy as np
+
+    from crawler_spark.engine.seen_filter import _xxh64_long
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.integers(-(1 << 62), 1 << 62, size=200, dtype=np.int64),
+            np.array([0, 1, -1, (1 << 63) - 1, -(1 << 63)], dtype=np.int64),
+        ]
+    )
+    got = _xxh64_long(vals.view(np.uint64), 42).view(np.int64)
+    for v, g in zip(vals.tolist(), got.tolist()):
+        assert g == ids.xxhash64(struct.pack("<q", v)), v
+    # seed chaining (multi-arg xxhash64): XXH64(k, XXH64(v, 42))
+    h0 = _xxh64_long(vals.view(np.uint64), 42)
+    h1 = _xxh64_long(np.uint64(1), h0).view(np.int64)
+    for v, h, g in zip(vals.tolist(), h0.view(np.int64).tolist(), h1.tolist()):
+        assert g == ids.xxhash64(struct.pack("<q", 1), seed=h & ((1 << 64) - 1)), v

@@ -136,3 +136,29 @@ def test_preprocess_annotate_line_remap(spark):
     assert got.loc[1, "line_map"] == "0:1,1:2,2:4,3:5"
     assert got.loc[2, "n_pragmas"] == 0
     assert got.loc[2, "annotated"] == "no matches here"
+
+
+def test_commit_aux_fires_no_jobs_at_commit(spark):
+    """The driver-floor contract: commit_aux (memory mode) stores the PLAN
+    and fires ZERO driver jobs at commit time (round 2 paid one eager
+    checkpoint job per table per round, ~10 with all three interfaces —
+    and a lazy localCheckpoint is no fix: AQE materializes its exchange
+    stages synchronously). The extract work runs only when aux() is read,
+    over the round's checkpointed fetched table."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.engine.state import StateStore
+
+    store = StateStore(spark, root=None)
+    tracker = spark.sparkContext.statusTracker
+    base = spark.range(100).select(
+        F.col("id").alias("file_id"), (F.col("id") % 7).alias("line")
+    )
+    j0 = len(tracker().getJobIdsForGroup(None))
+    for iface, table in (("si", "files"), ("rebasedl", "matches"), ("kernel_farer", "matches")):
+        store.commit_aux(1, iface, table, base.groupBy("line").count())
+    store.finalize_round(1, {"round": 1})
+    assert len(tracker().getJobIdsForGroup(None)) == j0, "commit_aux fired a job"
+    # read time pays the (shallow) extract; results are correct
+    assert store.aux("si", "files").count() == 7
+    assert store.aux("rebasedl", "matches").count() == 7

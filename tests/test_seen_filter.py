@@ -69,3 +69,34 @@ def test_crawl_parity_with_prefilter(spark):
     pd.testing.assert_frame_equal(
         o.lineage.astype("int64"), r.lineage.astype("int64").reset_index(drop=True)
     )
+
+
+def test_jvm_mark_matches_numpy_probe(spark):
+    """The codegen probe (mark()) and the numpy probe (_probe_bits) must
+    agree row-for-row — they are twins of the same xxhash64-slice plan."""
+    rng = np.random.default_rng(11)
+    ids = rng.integers(-(1 << 62), 1 << 62, size=4000, dtype=np.int64)
+    buckets = rng.integers(0, 8, size=4000)
+    rows = [(int(i), int(b)) for i, b in zip(ids, buckets)]
+    frontier = spark.createDataFrame(rows, "url_id long, host_bucket int")
+    filt = BloomSeenFilter(spark, bits_per_bucket=1 << 12)
+    seen = frontier.filter("pmod(url_id, 3) = 0")
+    filt.rebuild(seen)
+    got = {
+        r["url_id"]: r["_pf"]
+        for r in filt.mark(frontier).select("url_id", "_pf").collect()
+    }
+    # numpy expectation, per bucket
+    bitsets = {
+        r["host_bucket"]: np.asarray(r["bits"], dtype=np.int64)
+        for r in filt.filter_df.collect()
+    }
+    for i, b in rows:
+        if b in bitsets:
+            exp = bool(sf._probe_bits(np.array([i], dtype=np.int64), bitsets[b], 4)[0])
+        else:
+            exp = False
+        assert got[i] == exp, (i, b)
+    # and still zero false negatives through the JVM path
+    seen_ids = {r["url_id"] for r in seen.collect()}
+    assert all(got[i] for i in seen_ids)
