@@ -1,5 +1,6 @@
 from .rounds import (  # noqa: F401
     stream_first_seen,
+    stream_first_seen_rocksdb,
     stream_link_extract,
     stream_windowed_lineage,
 )

@@ -4,6 +4,7 @@ finite parquet input (deterministic, no wall-clock)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from crawler_spark.streaming import (
     stream_first_seen,
@@ -116,5 +117,72 @@ def test_stream_first_seen_cross_batch_state(spark, tmp_path):
     assert sorted(got["url_id"]) == [1, 2, 3, 4, 5, 6]
     assert got["url_id"].is_unique
     # bucket affinity preserved
+    assert set(got.loc[got["host_bucket"] == 0, "url_id"]) == {1, 2, 5}
+    assert set(got.loc[got["host_bucket"] == 1, "url_id"]) == {3, 4, 6}
+
+
+def test_stream_first_seen_rocksdb_guard_without_protobuf(spark):
+    """In an environment without protobuf (this sandbox), the rocksdb
+    variant must fail fast with an actionable error instead of the
+    streaming runner's opaque worker-crash."""
+    from crawler_spark.streaming import stream_first_seen_rocksdb
+    from crawler_spark.streaming.rounds import _has_protobuf
+
+    if _has_protobuf():
+        pytest.skip("protobuf present — guard not reachable")
+
+    src = spark.createDataFrame([(1, 0)], "url_id long, host_bucket int")
+    with pytest.raises(ModuleNotFoundError, match="protobuf"):
+        stream_first_seen_rocksdb(src)
+
+
+def test_stream_first_seen_rocksdb_cross_batch_state(spark, tmp_path):
+    """The transformWithStateInPandas variant (per-url_id ValueState in the
+    RocksDB store — incremental state, no per-batch rewrite) must match the
+    applyInPandasWithState gate's exactly-once semantics."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas's Python runner needs protobuf",
+    )
+    from crawler_spark.streaming import stream_first_seen_rocksdb
+
+    src = str(tmp_path / "ids_v2")
+    schema = "url_id long, host_bucket int, ts timestamp"
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    batch1 = pd.DataFrame(
+        {"url_id": [1, 2, 3, 4, 2], "host_bucket": [0, 0, 1, 1, 0],
+         "ts": [base] * 5}
+    )
+    batch2 = pd.DataFrame(
+        {"url_id": [2, 3, 5, 6], "host_bucket": [0, 1, 0, 1],
+         "ts": [base + pd.Timedelta(seconds=5)] * 4}
+    )
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream_first_seen_rocksdb(stream)
+            .writeStream.format("memory")
+            .queryName("first_seen_v2")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_v2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = spark.sql("select * from first_seen_v2").toPandas()
+    assert sorted(got["url_id"]) == [1, 2, 3, 4, 5, 6]
+    assert got["url_id"].is_unique
     assert set(got.loc[got["host_bucket"] == 0, "url_id"]) == {1, 2, 5}
     assert set(got.loc[got["host_bucket"] == 1, "url_id"]) == {3, 4, 6}
