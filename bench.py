@@ -115,11 +115,15 @@ def crawl_throughput(spark: SparkSession, n_urls: int = 100_000) -> dict:
 
 # -- full-scale single round for the scaling evidence -----------------------
 
-def synth_frontier(spark: SparkSession, n_urls: int, n_hosts: int = 1000):
+def synth_frontier(
+    spark: SparkSession, n_urls: int, n_hosts: int = 1000, parts: int | None = None
+):
     """Generator-expression frontier (SURVEY §7.1): no external data, scales
-    to any row count without materialization outside Spark."""
+    to any row count without materialization outside Spark. `parts` pins the
+    partition count AT THE SOURCE so downstream stages can run exchange-free
+    (spark.range splits evenly — no repartition shuffle needed)."""
     return (
-        spark.range(n_urls)
+        spark.range(0, n_urls, numPartitions=parts)
         .select(
             F.concat(
                 F.lit("http://host"), (F.col("id") % n_hosts).cast("string"),
@@ -227,15 +231,20 @@ def scaling_round(spark: SparkSession, n_urls: int) -> dict:
 def verify_stage_bench(spark: SparkSession, n_rows: int) -> dict:
     """The per-URL payload work (decode + PSNR + phash + caption verify) in
     isolation, 64 fixed partitions — the compute-bound stage whose scaling
-    is the per-executor-work proxy."""
+    is the per-executor-work proxy. The 64 partitions are pinned AT THE
+    SOURCE (spark.range) so the timed region is cached-scan -> broadcast
+    join -> mapInPandas with ZERO exchanges: an in-region repartition would
+    make the proxy measure the machine's one shared shuffle store (~6 GB of
+    payload through /dev/shm) instead of the per-executor compute it claims
+    to represent."""
     corpus = spark.createDataFrame(
         datagen.make_corpus(N_IMAGES, img_side=IMG_SIDE),
         schema=datagen.WORLD_SCHEMAS["corpus"],
     ).persist()
     corpus.count()
-    frontier = synth_frontier(spark, n_rows).persist()
+    frontier = synth_frontier(spark, n_rows, parts=64).persist()
     frontier.count()
-    fetched = frontier.repartition(64).join(F.broadcast(corpus), "image_id").select(
+    fetched = frontier.join(F.broadcast(corpus), "image_id").select(
         F.lit(1).alias("round"), "url_id", "image_id", "bytes", "fmt", "caption", "phash"
     )
     t0 = time.monotonic()
@@ -245,24 +254,30 @@ def verify_stage_bench(spark: SparkSession, n_rows: int) -> dict:
     return {"n_rows": int(n), "wall_s": round(wall, 2), "rows_per_sec": round(n / wall, 1)}
 
 
-def _scaling_worker(cores: int, n_urls: int, with_crawl: bool) -> None:
-    """Subprocess entry: one clean JVM per parallelism level."""
+def _scaling_worker(cores: int, n_urls: int, mode: str) -> None:
+    """Subprocess entry: one clean JVM per parallelism level. `mode`
+    "round" = the 16M single round + isolated verify stage; "crawl" = the
+    multi-round engine ALONE — it must not share a JVM with the heavy round
+    (measured: the crawl at local[32] ran 4x slower after a 16M round +
+    8M-row verify in the same JVM — GC/driver-state contamination, not
+    engine behavior)."""
     spark = _fresh_spark(cores)
-    out = scaling_round(spark, n_urls)
-    out["verify_stage"] = verify_stage_bench(spark, n_urls // 2)
-    if with_crawl:
-        out["crawl"] = crawl_throughput(spark, n_urls=100_000)
+    if mode == "crawl":
+        out = {"crawl": crawl_throughput(spark, n_urls=100_000)}
+    else:
+        out = scaling_round(spark, n_urls)
+        out["verify_stage"] = verify_stage_bench(spark, n_urls // 2)
     spark.stop()
     print("SCALING_RESULT " + json.dumps(out))
 
 
-def _run_worker(cores: int, n_urls: int, with_crawl: bool) -> dict:
+def _run_worker(cores: int, n_urls: int, mode: str = "round") -> dict:
     import subprocess
 
     proc = subprocess.run(
         [
             sys.executable, os.path.abspath(__file__), "--scaling-worker",
-            str(cores), str(n_urls), "1" if with_crawl else "0",
+            str(cores), str(n_urls), mode,
         ],
         capture_output=True, text=True, timeout=1800,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -279,16 +294,12 @@ def run_scaling(n_urls: int) -> str:
     # reaches 3x, with the first rep after a config switch usually slowest)
     results = {}
     for cores in (4, 8, 16, 32):
-        reps = [
-            _run_worker(cores, n_urls, with_crawl=(cores in (8, 32) and i == 0))
-            for i in range(3)
-        ]
-        crawl_part = next((r["crawl"] for r in reps if "crawl" in r), None)
+        reps = [_run_worker(cores, n_urls) for i in range(3)]
         best = min(reps, key=lambda r: r["wall_s"])
         best["verify_stage"] = min((r["verify_stage"] for r in reps), key=lambda v: v["wall_s"])
         results[cores] = best
-        if crawl_part is not None:
-            results[cores]["crawl"] = crawl_part
+    for cores in (8, 32):
+        results[cores]["crawl"] = _run_worker(cores, n_urls, mode="crawl")["crawl"]
     t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
     t4, t16 = results[4]["urls_per_sec"], results[16]["urls_per_sec"]
     eff = t32 / (4 * t8)
@@ -326,7 +337,8 @@ cores >= 3.2x throughput; 1.0 = perfectly linear).
 ### Per-URL payload work in isolation (decode + PSNR + phash verify)
 
 The fetch/verify stage is the work that grows per-executor on a real
-cluster; its isolated scaling (64 fixed partitions, {n_urls // 2:,} rows):
+cluster; its isolated scaling (64 source-pinned partitions, zero exchanges
+in the timed region, {n_urls // 2:,} rows):
 
 | cluster | wall (s) | rows/s |
 | --- | --- | --- |
@@ -382,7 +394,7 @@ analogs of this engine's page_size / shuffle partitions / tries.
 def main() -> None:
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
-        _scaling_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3] == "1")
+        _scaling_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3])
         return
     if "--scaling" in sys.argv:
         # 16M is the recorded regime: at 2M the round is fixed-cost-dominated
