@@ -248,6 +248,11 @@ def run_round(
         F.sum(F.when(F.col("disp") == "exhausted", 1).otherwise(0)).alias("n_exhausted"),
     )
 
+    # Global (partition-less) window — SAFE BY CONSTRUCTION: its input is
+    # `att`, already capped at cfg.page_size rows by the top-k page, so the
+    # single-partition WindowExec the warning flags holds <= one page, never
+    # the frontier. The global seq is the reference's strict total attempt
+    # order (parity-tested); don't "fix" the warning by partitioning it.
     w_all = Window.orderBy(F.desc("priority"), F.asc("url_id"))
     attempts = att.filter(F.col("disp") != "deferred").withColumn(
         "seq", F.row_number().over(w_all)

@@ -61,6 +61,7 @@ def o1_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orderBy+limit plans as TakeOrderedAndProject: per-partition heaps +
     # driver merge — no global sort even at 10^10 rows
     page = orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
+    # partition-less window is safe: input is the 100-row page, not orders
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return page.select(
         "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank")
@@ -440,6 +441,8 @@ def crawl_round_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     page = alive.orderBy(F.desc("priority"), F.asc("url_id")).limit(200)
     w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_id"))
     sched = page.withColumn("hrank", F.row_number().over(w_host)).filter(F.col("hrank") <= 2)
+    # partition-less window is safe: input is the 200-row page after the
+    # per-host cap, and the global seq is the round's total attempt order
     w_all = Window.orderBy(F.desc("priority"), F.asc("url_id"))
     return sched.select(
         "url_id", "host", "priority", F.row_number().over(w_all).alias("seq")
