@@ -65,18 +65,24 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def phash64(pixels: np.ndarray) -> int:
     """Tiny deterministic perceptual hash: 8x8 block-mean > global-mean bits.
-    Signed 64-bit to fit Spark LongType."""
-    gray = pixels.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
+    Signed 64-bit to fit Spark LongType.
+
+    Integer-exact semantics: bit[i,j] = (64 * block_sum[i,j] > total_sum),
+    which is algebraically identical to block-mean(gray) > global-mean(gray)
+    for equal-size blocks (both sides scaled by 64*c*bh*bw) but has no float
+    rounding — so the scalar and the batch twin (engine.verify._phash_batch)
+    agree bit-for-bit by construction, and no float64 gray plane (2 KB/row)
+    is ever materialized. Remainder rows/cols when a side is not divisible
+    by 8 are ignored, matching the old slice-based fallback."""
+    h, w, _ = pixels.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
-    if h == 8 * bh and w == 8 * bw:
-        # vectorized block means (hot path: sides divisible by 8)
-        blocks = gray.reshape(8, bh, 8, bw).mean(axis=(1, 3))
-    else:
-        blocks = np.zeros((8, 8))
-        for i in range(8):
-            for j in range(8):
-                blocks[i, j] = gray[i * bh : (i + 1) * bh, j * bw : (j + 1) * bw].mean()
-    bits = (blocks > blocks.mean()).flatten()
+    s = (
+        pixels[: 8 * bh, : 8 * bw]
+        .astype(np.int64)
+        .sum(axis=2)
+        .reshape(8, bh, 8, bw)
+        .sum(axis=(1, 3))
+    )
+    bits = (s * 64 > s.sum()).flatten()
     val = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
     return val - (1 << 64) if val >= (1 << 63) else val

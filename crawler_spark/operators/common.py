@@ -33,6 +33,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footers only — no Spark job. Sizing decisions
+    (e.g. the multimodal pattern-corpus cardinality) need |table| but not a
+    cluster scan: footers are KBs per file even on a 100 TB table."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return ds.dataset(path, format="parquet").count_rows()
+
+
 # word tokens of a text column, identical in both engines
 def spark_tokens(col: str) -> str:
     return f"filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import codec, datagen
-from .common import duck_h32, load, spark_h32
+from .common import duck_h32, load, spark_h32, table_rows
 
 
 # -- binary column stats (oracle-checked byte math) -------------------------
@@ -148,7 +148,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pattern corpus sized from sf_dir (|documents| // 5 images), generated
     and decoded entirely on executors in Arrow batches. Oracle: DuckDB
     recomputes the expected means from the closed-form pixel pattern."""
-    n = load(spark, sf_dir, "documents").count() // 5
+    n = table_rows(sf_dir, "documents") // 5
     corpus = spark.range(0, n, 1, 8).mapInPandas(
         _gen_pattern_corpus, schema=datagen.WORLD_SCHEMAS["corpus"]
     )
@@ -228,7 +228,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches at a time (strided numpy view — no per-image Python). The
     oracle recomputes the resized means from the closed-form pattern at the
     sampled (even) pixel coordinates."""
-    n = load(spark, sf_dir, "documents").count() // 5
+    n = table_rows(sf_dir, "documents") // 5
     corpus = spark.range(0, n, 1, 8).mapInPandas(
         _gen_pattern_corpus, schema=datagen.WORLD_SCHEMAS["corpus"]
     )

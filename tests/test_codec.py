@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from crawler_spark import codec, datagen
-from crawler_spark.engine.verify import PSNR_EXACT, verify_fetched
+from crawler_spark.engine.verify import PSNR_EXACT, verify_fetched, verify_stats
 
 
 def _pixels(seed=7, side=16):
@@ -90,3 +90,33 @@ def test_verify_fetched_catches_corruption(spark):
     assert not res.loc["img0", "psnr_ok"]  # png must decode byte-exact
     assert not res.loc["img1", "caption_ok"]
     assert res.loc["img2", "psnr_ok"] and res.loc["img3", "psnr_ok"]
+
+
+def test_verify_stats_matches_per_row(spark):
+    """The aggregate form (JVM k-parse + caption twin, per-batch count fold)
+    must agree with the per-row API on every counter — including corrupted
+    payloads, corrupted captions, and a malformed image_id."""
+    corpus = datagen.make_corpus(8)
+    corrupt = corpus.copy()
+    b = bytearray(corrupt.loc[0, "bytes"])
+    b[-1] ^= 0xFF
+    corrupt.loc[0, "bytes"] = bytes(b)
+    corrupt.loc[1, "caption"] = corrupt.loc[1, "caption"] + "!"
+    corrupt.loc[2, "image_id"] = "not-an-image-id"
+    corrupt.loc[3, "bytes"] = corrupt.loc[3, "bytes"][:10]  # truncated
+    sdf = spark.createDataFrame(corrupt, schema=datagen.WORLD_SCHEMAS["corpus"])
+    fetched = sdf.select(
+        F.lit(1).alias("round"),
+        F.xxhash64("image_id").alias("url_id"),
+        "image_id", "bytes", "fmt", "caption", "phash",
+    )
+    per_row = verify_fetched(fetched).toPandas()
+    stats = verify_stats(fetched).collect()[0]
+    assert stats["n"] == len(per_row) == 8
+    assert stats["n_psnr_ok"] == int(per_row["psnr_ok"].sum())
+    assert stats["n_caption_ok"] == int(per_row["caption_ok"].sum())
+    assert stats["n_phash_ok"] == int(per_row["phash_ok"].sum())
+    assert stats["n_ok"] == int(
+        (per_row["psnr_ok"] & per_row["caption_ok"] & per_row["phash_ok"]).sum()
+    )
+    assert stats["n_ok"] == 4  # rows 4-7 untouched
