@@ -240,18 +240,30 @@ def ann_bucket_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one scan of `embeddings` total, not one per join side."""
     base = _indexed_embeddings(spark, sf_dir)
     pairs = _band_pairs(base.select("vec_id", "bucket"))
-    # candidate edges both directions: each side plays the query once
-    edges = pairs.unionByName(
-        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
-    )
     a = _side(base, "vec_a", "ea")
     b = _side(base, "vec_b", "eb")
-    scored = (
-        edges.join(a, "vec_a")
+    # score each UNDIRECTED pair once: cos is symmetric, and the 64-dim
+    # fold (a higher-order function — interpreted, not codegen'd) is the
+    # rerank's dominant cost, so directed edges would double it. The
+    # checkpoint pins the scored pairs (3 narrow columns) so the union's
+    # two branches read them instead of re-running the join+fold each.
+    scored_once = (
+        pairs.join(a, "vec_a")
         .join(b, "vec_b")
-        .withColumn(
-            "cos",
-            F.expr(_DOT.format(a="ea", b="eb")) / (F.col("_n_ea") * F.col("_n_eb")),
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                F.expr(_DOT.format(a="ea", b="eb"))
+                / (F.col("_n_ea") * F.col("_n_eb"))
+            ).alias("cos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # each side of a candidate pair plays the query once
+    scored = scored_once.unionByName(
+        scored_once.select(
+            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"), "cos"
         )
     )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos"), F.asc("vec_b"))
