@@ -325,7 +325,14 @@ def _scaling_worker(cores: int, n_urls: int, mode: str, width: int, reps: int) -
     contamination, not engine behavior)."""
     spark = _fresh_spark(cores, width=width if width > 0 else None)
     if mode == "crawl":
-        out = {"crawl": crawl_throughput(spark, n_urls=100_000)}
+        # best-of-2, same as headline mode: the driver-bound loop's wall is
+        # mostly scheduling floor, where this VM's noise hits hardest
+        out = {
+            "crawl": max(
+                (crawl_throughput(spark, n_urls=100_000) for _ in range(2)),
+                key=lambda r: r["urls_per_sec"],
+            )
+        }
     else:
         rounds = []
         for _ in range(reps):
