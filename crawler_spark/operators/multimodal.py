@@ -267,6 +267,142 @@ FROM q GROUP BY k
 """
 
 
+# -- perceptual-hash near-duplicate detection over image payloads -----------
+#
+# THE image-side dedup primitive for a crawl-scale training pipeline: two
+# crawled images are near-dups when their 64-bit perceptual hashes are within
+# a small Hamming distance (re-encodes, lossy roundtrips, small edits). The
+# scale shape mirrors dedup_minhash_lsh: band the 64-bit phash into 4x16-bit
+# slices, equi-join on (band_no, band_val) — a near pair (ham <= 4) shares at
+# least one intact band unless all flipped bits straddle 4 distinct bands, so
+# band recall is high and every candidate pays only one popcount — then
+# verify ham(xor) <= PHASH_HAM_MAX and canonicalize each image to the min-id
+# member of its neighborhood (the exact-dedup keep-min pattern). No all-pairs
+# comparison anywhere; at 100 TB the phash is an index-time artifact computed
+# once at decode (the engine's verify stage already emits it) and the band
+# join shuffles only (band_val, id, phash) tuples.
+#
+# The pattern corpus repeats every 256 ids (gcd(7919, 256) = 1 and 256 is
+# even, so k and k+256 produce byte-identical images WITH the same lossy
+# treatment) — real duplicate classes, not an artificial pair list. DuckDB
+# recomputes the phash bit-exactly from the closed form (integer average-hash:
+# bit = 64*block_sum > total_sum, packed MSB-first) and runs the same
+# band-join + popcount pipeline.
+
+PHASH_HAM_MAX = 4
+N_PHASH_BANDS = 4
+PHASH_BAND_BITS = 64 // N_PHASH_BANDS
+
+
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table_rows(sf_dir, "documents") // 5
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_pattern_corpus, schema=datagen.WORLD_SCHEMAS["corpus"]
+    )
+    # (k, phash) materialized ONCE (the ANN-family lesson from round 2: both
+    # band-join sides must read one checkpoint leaf, not re-run the decode)
+    idx = corpus.select(
+        F.expr("cast(substring(image_id, 4) as long)").alias("k"), "phash"
+    ).localCheckpoint(eager=True)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    stack_args = ", ".join(
+        # arithmetic shiftright then mask keeps exactly bits [16b, 16b+16)
+        # of the two's-complement pattern, sign bits masked away
+        f"{b}, cast(shiftright(phash, {b * PHASH_BAND_BITS}) & {mask} as bigint)"
+        for b in range(N_PHASH_BANDS)
+    )
+    bands = idx.select(
+        "k", "phash",
+        F.expr(f"stack({N_PHASH_BANDS}, {stack_args}) as (band_no, band_val)"),
+    )
+    left = bands.select(
+        F.col("k").alias("ka"), F.col("phash").alias("pa"), "band_no", "band_val"
+    )
+    right = bands.select(
+        F.col("k").alias("kb"), F.col("phash").alias("pb"), "band_no", "band_val"
+    )
+    edges = (
+        left.join(right, ["band_no", "band_val"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb", "pa", "pb")
+        .distinct()  # a pair sharing several bands is one candidate
+        .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= PHASH_HAM_MAX)
+        .select("ka", "kb")
+    )
+    directed = edges.unionByName(
+        edges.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
+    )
+    agg = directed.groupBy("ka").agg(
+        F.min("kb").alias("min_nb"), F.count("*").alias("n_near")
+    )
+    return idx.join(agg, idx["k"] == agg["ka"], "left").select(
+        F.concat(F.lit("img"), F.col("k").cast("string")).alias("image_id"),
+        "phash",
+        F.concat(
+            F.lit("img"),
+            F.least(F.col("k"), F.coalesce("min_nb", F.col("k"))).cast("string"),
+        ).alias("rep_id"),
+        F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+        (F.coalesce("min_nb", F.col("k")) < F.col("k")).alias("is_dup"),
+    )
+
+
+PHASH_NEARDUP_SQL = f"""
+WITH ks AS (
+  SELECT k FROM (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
+  ) WHERE k < (SELECT count(*) // 5 FROM documents)
+),
+px AS (
+  SELECT k, i.range AS i, j.range AS j,
+         (k*7919 + i.range*131 + j.range*17) % 256 AS r0,
+         (k*7919 + i.range*131 + j.range*17 + 101) % 256 AS g0,
+         (k*7919 + i.range*131 + j.range*17 + 202) % 256 AS b0,
+         k % 2 = 1 AS lossy
+  FROM ks, range(0, {MM_SIDE}) i, range(0, {MM_SIDE}) j
+),
+g AS (
+  SELECT k, i//2 AS bi, j//2 AS bj,
+         (CASE WHEN lossy THEN (r0//4)*4+2 ELSE r0 END
+        + CASE WHEN lossy THEN (g0//4)*4+2 ELSE g0 END
+        + CASE WHEN lossy THEN (b0//4)*4+2 ELSE b0 END) AS gray
+  FROM px
+),
+bs AS (SELECT k, bi, bj, sum(gray)::bigint AS bsum FROM g GROUP BY k, bi, bj),
+tot AS (SELECT k, sum(bsum)::hugeint AS total FROM bs GROUP BY k),
+bits AS (
+  SELECT bs.k, (bi*8 + bj) AS idx,
+         CASE WHEN 64::hugeint * bsum > total THEN 1::hugeint ELSE 0::hugeint END AS bit
+  FROM bs JOIN tot ON bs.k = tot.k
+),
+packed AS (SELECT k, sum(bit * (1::hugeint << (63 - idx))) AS s FROM bits GROUP BY k),
+ph AS (
+  SELECT k, s,
+         (CASE WHEN s >= (1::hugeint << 63) THEN s - (1::hugeint << 64) ELSE s END)::bigint AS phash
+  FROM packed
+),
+bands AS (
+  SELECT k, phash, b.range AS band_no,
+         ((s >> ({PHASH_BAND_BITS} * b.range)::int) & {(1 << PHASH_BAND_BITS) - 1})::bigint AS band_val
+  FROM ph, range(0, {N_PHASH_BANDS}) b
+),
+edges AS (
+  SELECT ka, kb FROM (
+    SELECT DISTINCT a.k AS ka, b.k AS kb, a.phash AS pa, b.phash AS pb
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.k < b.k
+  ) WHERE bit_count(xor(pa, pb)) <= {PHASH_HAM_MAX}
+),
+directed AS (SELECT ka, kb FROM edges UNION ALL SELECT kb AS ka, ka AS kb FROM edges),
+agg AS (SELECT ka, min(kb) AS min_nb, count(*)::bigint AS n_near FROM directed GROUP BY ka)
+SELECT 'img' || ph.k AS image_id, phash,
+       'img' || least(ph.k, coalesce(min_nb, ph.k)) AS rep_id,
+       coalesce(n_near, 0)::bigint AS n_near,
+       coalesce(min_nb, ph.k) < ph.k AS is_dup
+FROM ph LEFT JOIN agg ON ph.k = agg.ka
+"""
+
+
 # -- frame/sample selection on metadata (oracle-checked) --------------------
 def mm_sample_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 1-in-8 sampling by content hash (the frame-sampling
@@ -287,5 +423,6 @@ QUERIES = {
     "mm_binary_stats": (mm_binary_stats, BINARY_STATS_SQL),
     "mm_decode_features": (mm_decode_features, DECODE_FEATURES_SQL),
     "mm_resize": (mm_resize, RESIZE_SQL),
+    "mm_phash_neardup": (mm_phash_neardup, PHASH_NEARDUP_SQL),
     "mm_sample_select": (mm_sample_select, SAMPLE_SQL),
 }

@@ -28,10 +28,22 @@ LANG_MARKERS = {
 BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
-def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring fused into ONE scan of `documents`
+    (they were separate gates through round 2; the per-doc text metrics a
+    training pipeline computes together should share the tokenize pass — at
+    100 TB the tokenizer split is the dominant cost and runs once here)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.expr(SPARK_TOKENS)
     ws = "filter(split(text, ' +'), x -> x != '')"
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    stop_ratio = F.size(
+        F.expr(f"filter({SPARK_TOKENS}, x -> x in ({_STOP_SQL}))")
+    ) / n_tokens
+    alpha_ratio = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    score = F.round(0.6 * stop_ratio + 0.4 * alpha_ratio, 6)
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -43,37 +55,6 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size(toks), F.lit(1)),
             4,
         ).alias("avg_token_len"),
-    )
-
-
-TOKENS_SQL = f"""
-SELECT doc_id,
-       len({DUCK_TOKENS})::bigint AS n_tokens,
-       len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))::bigint AS n_ws_tokens,
-       len(regexp_extract_all(lower(text), '{BPE_RE}'))::bigint AS n_bpe_pieces,
-       len(list_distinct({DUCK_TOKENS}))::bigint AS n_uniq,
-       round(list_reduce(list_prepend(0::bigint,
-                 list_transform({DUCK_TOKENS}, x -> length(x)::bigint)),
-             (acc,x) -> acc + x)
-             / greatest(len({DUCK_TOKENS}), 1), 4) AS avg_token_len
-FROM documents
-"""
-
-
-# -- quality scoring (length / stopword / alpha ratios) ---------------------
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = F.expr(SPARK_TOKENS)
-    n_tokens = F.greatest(F.size(toks), F.lit(1))
-    stop_ratio = F.size(
-        F.expr(f"filter({SPARK_TOKENS}, x -> x in ({_STOP_SQL}))")
-    ) / n_tokens
-    alpha_ratio = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")) / F.greatest(
-        F.length("text"), F.lit(1)
-    )
-    score = F.round(0.6 * stop_ratio + 0.4 * alpha_ratio, 6)
-    return docs.select(
-        "doc_id",
         F.length("text").alias("n_chars"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -82,8 +63,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUALITY_SQL = f"""
-SELECT doc_id, length(text)::bigint AS n_chars,
+METRICS_SQL = f"""
+SELECT doc_id,
+       len({DUCK_TOKENS})::bigint AS n_tokens,
+       len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))::bigint AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_RE}'))::bigint AS n_bpe_pieces,
+       len(list_distinct({DUCK_TOKENS}))::bigint AS n_uniq,
+       round(list_reduce(list_prepend(0::bigint,
+                 list_transform({DUCK_TOKENS}, x -> length(x)::bigint)),
+             (acc,x) -> acc + x)
+             / greatest(len({DUCK_TOKENS}), 1), 4) AS avg_token_len,
+       length(text)::bigint AS n_chars,
        round(sr, 6) AS stop_ratio, round(ar, 6) AS alpha_ratio,
        round(0.6*sr + 0.4*ar, 6) AS quality_score,
        (round(0.6*sr + 0.4*ar, 6) > 0.4) AS keep
@@ -156,8 +146,7 @@ FROM documents
 
 
 QUERIES = {
-    "text_tokens": (text_tokens, TOKENS_SQL),
-    "text_quality": (text_quality, QUALITY_SQL),
+    "text_metrics": (text_metrics, METRICS_SQL),
     "text_langid": (text_langid, _langid_sql()),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
 }

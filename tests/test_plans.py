@@ -40,7 +40,7 @@ def test_no_cartesian_in_catalog(spark):
         "q3_shipping_priority", "q5_join_chain", "crawl_round_schedule",
         # the ANN/near-dup scale paths must stay band-equi-joins, never a
         # cross product, and the interface extractors are single-scan
-        "ann_bucket_rerank", "dedup_embedding_cosine",
+        "ann_bucket_rerank", "dedup_embedding_cosine", "mm_phash_neardup",
         "rb_matches", "kf_matches", "x9_annotate_remap",
     ):
         fn, _ = ALL_QUERIES[name]
@@ -98,6 +98,17 @@ def test_ann_family_single_embeddings_scan(spark):
         plan = fn(spark, SF)._jdf.queryExecution().analyzed().toString()
         assert "parquet" not in plan.lower(), name
         assert plan.count("zip_with") <= 1, (name, plan.count("zip_with"))
+
+
+def test_phash_neardup_single_decode(spark):
+    """mm_phash_neardup's (k, phash) index is materialized once (checkpoint
+    leaf): the band self-join, Hamming verify, and final left join must all
+    read that leaf — zero MapInPandas decode stages downstream (the
+    ANN-family single-scan property applied to the image corpus)."""
+    fn, _ = ALL_QUERIES["mm_phash_neardup"]
+    plan = fn(spark, SF)._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # the checkpoint leaf
 
 
 def test_seen_probe_prunes_to_discovery_buckets(spark, tmp_path):
