@@ -184,13 +184,10 @@ FROM bands a JOIN bands b
 
 
 # -- n-gram Jaccard verification on the LSH candidates ----------------------
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One tokenize+shingle scan feeds BOTH the minhash/band candidate path
-    and the sizes/intersection verifier: the shingle rows are materialized
-    once via localCheckpoint (eager) — unlike persist(), the blocks are
-    released by the ContextCleaner when the plan is dropped, so no cache
-    entry leaks across the query catalog."""
-    sh = _spark_shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
+def _pair_overlap(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) for every LSH candidate pair — the
+    integer facts both the Jaccard verifier and the group builder derive
+    from (jaccard = n_inter / (n_a + n_b - n_inter))."""
     pairs = _pairs_df(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -202,16 +199,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
-        )
     )
 
 
-NGRAM_JACCARD_SQL = (
-    _duck_minhash_cte()
-    + """
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One tokenize+shingle scan feeds BOTH the minhash/band candidate path
+    and the sizes/intersection verifier: the shingle rows are materialized
+    once via localCheckpoint (eager) — unlike persist(), the blocks are
+    released by the ContextCleaner when the plan is dropped, so no cache
+    entry leaks across the query catalog."""
+    sh = _spark_shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
+    return _pair_overlap(sh).select(
+        "doc_a", "doc_b",
+        F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
+    )
+
+
+_DUCK_PAIR_CTES = """
 , pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -223,11 +227,106 @@ inter AS (
   JOIN shingles sa ON sa.doc_id = p.doc_a
   JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
   GROUP BY p.doc_a, p.doc_b)
+"""
+
+NGRAM_JACCARD_SQL = (
+    _duck_minhash_cte()
+    + _DUCK_PAIR_CTES
+    + """
 SELECT i.doc_a::bigint AS doc_a, i.doc_b::bigint AS doc_b,
        round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
 FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+)
+
+
+# -- near-dup GROUPS: connected components over the verified pair graph -----
+def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 16) -> DataFrame:
+    """Duplicate clusters + representative pick: the step that turns
+    near-dup PAIRS into an actual dedup decision. Edges are the LSH
+    candidates verified at jaccard >= 0.5 — compared in INTEGER form
+    (3*n_inter >= n_a + n_b  <=>  n_inter/(n_a+n_b-n_inter) >= 1/2) so both
+    engines agree bit-exactly with no float boundary. Components are found
+    by min-label propagation: label(v) <- min(label(v), min of neighbor
+    labels), iterated to fixpoint. Each iteration is one equi-join + one
+    groupBy-min; the labels frame is localCheckpoint-ed per iteration to
+    truncate the iterative lineage (the standard Spark iterative-algorithm
+    requirement). Convergence takes O(component diameter) rounds — LSH
+    near-dup clusters are near-cliques (each band links most members
+    directly), so 2-3 rounds in practice; for adversarial long-chain graphs
+    the large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce") bounds rounds at O(log^2 n) with the same
+    join-shape per round. Every document gets a group (singletons are their
+    own representative), so the output is a full dedup verdict over the
+    corpus: keep rows where is_rep."""
+    sh = _spark_shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
+    edges = (
+        _pair_overlap(sh)
+        .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
+        .select("doc_a", "doc_b")
+    )
+    # symmetric closure, materialized once — every iteration re-joins it
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels.select(F.col("doc_id").alias("doc_a"), "label"), "doc_a")
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_label = F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label")))
+        upd = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                new_label.alias("label"),
+                (new_label < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = upd.agg(F.sum(F.when(F.col("_chg"), 1).otherwise(0))).collect()[0][0]
+        labels = upd.drop("_chg")
+        if not changed:
+            break
+    group_sizes = labels.groupBy("label").agg(F.count("*").alias("group_size"))
+    return labels.join(group_sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("group_id"),
+        "group_size",
+        (F.col("doc_id") == F.col("label")).alias("is_rep"),
+    )
+
+
+GROUPS_SQL = (
+    _duck_minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + _DUCK_PAIR_CTES
+    + """
+, edges AS (
+  SELECT i.doc_a AS a, i.doc_b AS b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE 3 * i.n_inter >= za.n_sh + zb.n_sh
+), sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+reach(v, r) AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT s.b AS v, reach.r FROM reach JOIN sym s ON s.a = reach.v
+), grp AS (SELECT v AS doc_id, min(r) AS group_id FROM reach GROUP BY v),
+gs AS (SELECT group_id, count(*) AS group_size FROM grp GROUP BY group_id)
+SELECT g.doc_id::bigint AS doc_id, g.group_id::bigint AS group_id,
+       gs.group_size::bigint AS group_size,
+       (g.doc_id = g.group_id) AS is_rep
+FROM grp g JOIN gs USING (group_id)
 """
 )
 
@@ -309,5 +408,6 @@ QUERIES = {
     "dedup_exact": (dedup_exact, EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_LSH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_groups": (dedup_groups, GROUPS_SQL),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
 }

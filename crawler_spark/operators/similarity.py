@@ -194,7 +194,17 @@ N_BAND_BITS = 8
 N_VEC_BANDS = N_PLANES // N_BAND_BITS
 
 
-def _band_pairs(emb_with_bucket: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+def _band_pairs(
+    emb_with_bucket: DataFrame, n_planes: int = N_PLANES, multiprobe: bool = False
+) -> DataFrame:
+    """Candidate pairs sharing a band value. multiprobe=True additionally
+    probes every single-bit flip of the band value on ONE join side (the
+    standard multi-probe LSH recall lever): a pair is then a candidate when
+    some band's sketches differ by Hamming <= 1. Cost model: the probe side
+    grows by a factor of N_BAND_BITS+1 (linear, no index change) and the
+    candidate set by the neighbor-bucket populations — measured recall/cost
+    points are recorded in COVERAGE.md. The gated queries keep
+    multiprobe=False so the oracle SQL stays the exact-collision form."""
     n_vec_bands = n_planes // N_BAND_BITS
     stack_args = ", ".join(
         f"{j}, cast(shiftright(bucket, {j * N_BAND_BITS}) & {(1 << N_BAND_BITS) - 1} as bigint)"
@@ -204,6 +214,15 @@ def _band_pairs(emb_with_bucket: DataFrame, n_planes: int = N_PLANES) -> DataFra
         "vec_id", F.expr(f"stack({n_vec_bands}, {stack_args}) as (band_no, band_val)")
     )
     left = bands.select(F.col("vec_id").alias("vec_a"), "band_no", "band_val")
+    if multiprobe:
+        masks = [0] + [1 << b for b in range(N_BAND_BITS)]
+        left = left.select(
+            "vec_a",
+            "band_no",
+            F.explode(
+                F.array(*[F.expr(f"cast(band_val ^ {m} as bigint)") for m in masks])
+            ).alias("band_val"),
+        )
     right = bands.select(F.col("vec_id").alias("vec_b"), "band_no", "band_val")
     return (
         left.join(right, ["band_no", "band_val"])
@@ -478,6 +497,69 @@ SELECT query_id, rank, neighbor_id FROM (
   FROM scored) t
 WHERE rank <= {TOP_K}
 """
+
+
+# -- ANN recall audit (not a gated query: a measurement) ---------------------
+def ann_recall(spark: SparkSession, sf_dir: str, sim_floor: float = 0.5) -> dict:
+    """Recall@k of the two approximate paths vs the exact brute-force top-k
+    over the same N_QUERIES query vectors (the quality number an ANN index
+    is tuned by; the oracle gates prove both engines compute the SAME
+    approximate answer, this measures how approximate it is).
+
+    Reported twice: over ALL exact top-k pairs, and restricted to pairs with
+    cosine >= sim_floor — the near-dup regime the pipeline actually acts on.
+    On a corpus where most 'nearest' neighbors sit barely above the random
+    noise floor (cos ~0.2 at 64 dims), no sublinear index can recall them —
+    sign-LSH band collisions and IVF list assignments carry no signal there
+    by construction — so the high-similarity recall is the meaningful
+    number. Recorded per corpus in COVERAGE.md alongside lsh_recall."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "q")
+    cands = _with_norm(emb, "neighbor_id", "c")
+    scored = (
+        F.broadcast(queries)
+        .join(cands, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="q", b="c")) / (F.col("_n_q") * F.col("_n_c")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos")
+        .localCheckpoint(eager=True)
+    )
+    exact_hi = exact.filter(F.col("cos") >= sim_floor).localCheckpoint(eager=True)
+    total, total_hi = exact.count(), exact_hi.count()
+    out = {"n_exact": total, f"n_exact_cos>={sim_floor}": total_hi}
+    for name, fn in (("ivf", ann_ivf_topk), ("bucket_rerank", ann_bucket_rerank)):
+        approx = fn(spark, sf_dir).filter(F.col("query_id") < N_QUERIES)
+        approx = approx.localCheckpoint(eager=True)
+        hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        hit_hi = exact_hi.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        out[f"recall_{name}"] = round(hit / total, 4) if total else 1.0
+        out[f"recall_{name}_cos>={sim_floor}"] = (
+            round(hit_hi / total_hi, 4) if total_hi else 1.0
+        )
+    # candidate recall/cost of the band stage itself, with and without
+    # multi-probe (exact cosine rerank cannot demote a true top-k neighbor
+    # below rank k, so candidate recall ~ end recall; candidates are what
+    # the rerank pays for)
+    base = _indexed_embeddings(spark, sf_dir)
+    exact_pairs = exact.select(
+        F.least("query_id", "neighbor_id").alias("vec_a"),
+        F.greatest("query_id", "neighbor_id").alias("vec_b"),
+    ).distinct().localCheckpoint(eager=True)
+    n_pairs = exact_pairs.count()
+    for name, mp in (("band", False), ("band_multiprobe", True)):
+        cands = _band_pairs(base.select("vec_id", "bucket"), multiprobe=mp)
+        cands = cands.localCheckpoint(eager=True)
+        caught = exact_pairs.join(cands, ["vec_a", "vec_b"], "left_semi").count()
+        out[f"cand_recall_{name}"] = round(caught / n_pairs, 4) if n_pairs else 1.0
+        out[f"n_cands_{name}"] = cands.count()
+    return out
 
 
 # ann_lsh_buckets is not a standalone gated entry (the driver checks at most

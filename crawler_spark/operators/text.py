@@ -29,10 +29,11 @@ BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality scoring fused into ONE scan of `documents`
-    (they were separate gates through round 2; the per-doc text metrics a
-    training pipeline computes together should share the tokenize pass — at
-    100 TB the tokenizer split is the dominant cost and runs once here)."""
+    """Token counting + quality scoring + language-ID fused into ONE scan of
+    `documents` (tokens+quality were separate gates through round 2, langid
+    through round 3's first half; the per-doc text metrics a training
+    pipeline computes together should share the tokenize pass — at 100 TB
+    the tokenizer split is the dominant cost and runs once here)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.expr(SPARK_TOKENS)
     ws = "filter(split(text, ' +'), x -> x != '')"
@@ -44,6 +45,26 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text"), F.lit(1)
     )
     score = F.round(0.6 * stop_ratio + 0.4 * alpha_ratio, 6)
+    # language-ID: marker-token ratio per language, stable argmax (first
+    # lang in LANG_MARKERS order achieving the max)
+    lang_scores = {
+        lang: F.round(
+            F.size(
+                F.expr(
+                    f"filter({SPARK_TOKENS}, x -> x in ({', '.join(repr(m) for m in ms)}))"
+                )
+            )
+            / n_tokens,
+            6,
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.greatest(*lang_scores.values())
+    pred = (
+        F.when(lang_scores["en"] == best, "en")
+        .when(lang_scores["fr"] == best, "fr")
+        .otherwise("de")
+    )
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -60,7 +81,20 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         score.alias("quality_score"),
         (score > 0.4).alias("keep"),
+        *[lang_scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
     )
+
+
+def _lang_score_sql() -> str:
+    exprs = []
+    for lang, ms in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{m}'" for m in ms)
+        exprs.append(
+            f"round(len(list_filter({DUCK_TOKENS}, x -> x IN ({in_list})))"
+            f" / greatest(len({DUCK_TOKENS}), 1), 6) AS score_{lang}"
+        )
+    return ", ".join(exprs)
 
 
 METRICS_SQL = f"""
@@ -76,54 +110,19 @@ SELECT doc_id,
        length(text)::bigint AS n_chars,
        round(sr, 6) AS stop_ratio, round(ar, 6) AS alpha_ratio,
        round(0.6*sr + 0.4*ar, 6) AS quality_score,
-       (round(0.6*sr + 0.4*ar, 6) > 0.4) AS keep
+       (round(0.6*sr + 0.4*ar, 6) > 0.4) AS keep,
+       score_en, score_fr, score_de,
+       CASE WHEN score_en = greatest(score_en, score_fr, score_de) THEN 'en'
+            WHEN score_fr = greatest(score_en, score_fr, score_de) THEN 'fr'
+            ELSE 'de' END AS pred_lang
 FROM (
   SELECT doc_id, text,
          len(list_filter({DUCK_TOKENS}, x -> x IN ({_STOP_SQL})))
            / greatest(len({DUCK_TOKENS}), 1) AS sr,
          length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-           / greatest(length(text), 1) AS ar
+           / greatest(length(text), 1) AS ar,
+         {_lang_score_sql()}
   FROM documents) t
-"""
-
-
-# -- language-ID scoring (marker-token ratios, argmax with stable ties) -----
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    n_tokens = F.greatest(F.size(F.expr(SPARK_TOKENS)), F.lit(1))
-    scores = {
-        lang: F.round(
-            F.size(
-                F.expr(
-                    f"filter({SPARK_TOKENS}, x -> x in ({', '.join(repr(m) for m in ms)}))"
-                )
-            )
-            / n_tokens,
-            6,
-        )
-        for lang, ms in LANG_MARKERS.items()
-    }
-    # stable argmax: first lang (in dict order) achieving the max score
-    best = F.greatest(*scores.values())
-    pred = F.when(scores["en"] == best, "en").when(scores["fr"] == best, "fr").otherwise("de")
-    sel = [F.col("doc_id")] + [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
-    return docs.select(*sel, pred.alias("pred_lang"))
-
-
-def _langid_sql() -> str:
-    score_exprs = []
-    for lang, ms in LANG_MARKERS.items():
-        in_list = ", ".join(f"'{m}'" for m in ms)
-        score_exprs.append(
-            f"round(len(list_filter({DUCK_TOKENS}, x -> x IN ({in_list})))"
-            f" / greatest(len({DUCK_TOKENS}), 1), 6) AS score_{lang}"
-        )
-    return f"""
-SELECT doc_id, score_en, score_fr, score_de,
-       CASE WHEN score_en = greatest(score_en, score_fr, score_de) THEN 'en'
-            WHEN score_fr = greatest(score_en, score_fr, score_de) THEN 'fr'
-            ELSE 'de' END AS pred_lang
-FROM (SELECT doc_id, {', '.join(score_exprs)} FROM documents) t
 """
 
 
@@ -147,6 +146,5 @@ FROM documents
 
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
-    "text_langid": (text_langid, _langid_sql()),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
 }

@@ -12,7 +12,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_catalog_well_formed():
     qs, osql = entry.queries(), entry.oracle_sql()
-    assert len(qs) >= 30
+    # EXACTLY 50: the driver gates at most 50 queries per round — a 51st
+    # entry would silently rotate out of the correctness gate (CLAUDE.md
+    # invariant; round 2 lost x7/x13 coverage this way)
+    assert len(qs) == 50, len(qs)
     assert set(osql) <= set(qs)
     # at most a couple of rows-only (non-SQL-expressible) entries
     assert len(set(qs) - set(osql)) <= 3
