@@ -39,9 +39,9 @@ from crawler_spark.session import get_spark
 HEADLINE = [
     "crawl_round_schedule", "o1_priority_topk", "q3_shipping_priority",
     "q5_join_chain", "g6_conditional_mix", "w2_events_sessionize",
-    "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
-    "ann_bucket_rerank", "text_fingerprint", "mm_decode_features",
-    "kf_matches", "x9_annotate_remap",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_groups", "ann_cosine_topk",
+    "ann_bucket_rerank", "ann_sq8_topk", "text_metrics", "mm_decode_features",
+    "mm_phash_neardup", "kf_matches", "x9_annotate_remap",
 ]
 
 N_IMAGES = 400

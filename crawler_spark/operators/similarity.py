@@ -499,6 +499,149 @@ WHERE rank <= {TOP_K}
 """
 
 
+# -- SQ8: int8 scalar-quantized scan + full-precision rerank -----------------
+#
+# The memory/IO lever at 100 TB: a 64-dim float32 corpus scanned through an
+# int8 codebook is 4x less bytes off storage and per candidate-scan cache
+# line; the full-precision vectors are touched only for the shortlist. Two
+# stages: (1) quantized cosine over int8 codes picks SQ8_SHORTLIST_MULT*k
+# candidates per query, (2) exact float cosine reranks the shortlist. Both
+# stages are deterministic across engines: the per-vector symmetric scale is
+# max(|x|)/127 (max is order-independent), codes are round-half-up ints, the
+# quantized dot is an exact small-integer sum (<= 64 * 127^2 << 2^53 — exact
+# in float64 regardless of summation order), so qcos is bit-identical.
+SQ8_SHORTLIST_MULT = 3
+
+_SQ8_MX = "aggregate(embedding, 0D, (acc, x) -> greatest(acc, abs(cast(x as double))))"
+_SQ8_CODES = (
+    "transform(embedding, x -> cast(floor(cast(x as double) * 127.0D"
+    " / greatest(mx, 1e-30D) + 0.5D) as int))"
+)
+
+
+def _sq8_index(base: DataFrame) -> DataFrame:
+    """(vec_id, embedding, norm, q8, qn) materialized once — at 100 TB the
+    int8 codes live next to the vectors as an index-time artifact; the
+    checkpoint is their in-session analog (same pattern as
+    `_indexed_embeddings`, which this derives from: one `embeddings` scan)."""
+    withmx = base.select("vec_id", "embedding", "norm", F.expr(_SQ8_MX).alias("mx"))
+    qz = withmx.select(
+        "vec_id", "embedding", "norm", F.expr(_SQ8_CODES).alias("q8")
+    )
+    return qz.withColumn(
+        "qn",
+        F.greatest(
+            F.sqrt(F.expr(_DOT.format(a="q8", b="q8"))), F.lit(1e-30)
+        ),
+    ).localCheckpoint(eager=True)
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: int8 codes score all candidates (4x less data
+    than the float scan), exact cosine reranks the 3k-per-query shortlist.
+    The quantized stage reads only (vec_id, q8, qn); the rerank re-joins the
+    checkpointed index for the float vectors — narrow shortlist edges move
+    between the stages, never raw vectors."""
+    base = _indexed_embeddings(spark, sf_dir)
+    qz = _sq8_index(base)
+    queries = qz.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("qa"),
+        F.col("qn").alias("_qn_a"),
+    )
+    cands = qz.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q8").alias("qb"),
+        F.col("qn").alias("_qn_b"),
+    )
+    stage1 = (
+        F.broadcast(queries)
+        .join(cands, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "qcos",
+            F.expr(_DOT.format(a="qa", b="qb")) / (F.col("_qn_a") * F.col("_qn_b")),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    shortlist = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SQ8_SHORTLIST_MULT * TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    q = _side(base, "query_id", "qe")
+    c = _side(base, "neighbor_id", "ce")
+    scored = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="qe", b="ce")) / (F.col("_n_qe") * F.col("_n_ce")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def _duck_idot(a: str, b: str) -> str:
+    return (
+        f"list_dot_product(list_transform({a}, x -> x::DOUBLE),"
+        f" list_transform({b}, x -> x::DOUBLE))"
+    )
+
+
+ANN_SQ8_SQL = f"""
+WITH mx AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(embedding, x -> abs(x::DOUBLE))),
+           (acc, v) -> greatest(acc, v)) AS mx
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> floor(x::DOUBLE * 127.0 / greatest(mx, 1e-30) + 0.5)::int) AS q8
+  FROM mx
+),
+qn AS (
+  SELECT vec_id, q8,
+         greatest(sqrt({_duck_idot('q8', 'q8')}), 1e-30) AS qn
+  FROM qz
+),
+stage1 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_duck_idot('q.q8', 'c.q8')} / (q.qn * c.qn) AS qcos
+  FROM qn q JOIN qn c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS r1
+    FROM stage1) t
+  WHERE r1 <= {SQ8_SHORTLIST_MULT * TOP_K}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_duck_dot('a.embedding', 'b.embedding')}
+           / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+              * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cos
+  FROM short s
+  JOIN embeddings a ON a.vec_id = s.query_id
+  JOIN embeddings b ON b.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+"""
+
+
 # -- ANN recall audit (not a gated query: a measurement) ---------------------
 def ann_recall(spark: SparkSession, sf_dir: str, sim_floor: float = 0.5) -> dict:
     """Recall@k of the two approximate paths vs the exact brute-force top-k
@@ -570,5 +713,6 @@ QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_bucket_rerank": (ann_bucket_rerank, ANN_BUCKET_RERANK_SQL),
+    "ann_sq8_topk": (ann_sq8_topk, ANN_SQ8_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_COSINE_SQL),
 }

@@ -100,6 +100,27 @@ def test_ann_family_single_embeddings_scan(spark):
         assert plan.count("zip_with") <= 1, (name, plan.count("zip_with"))
 
 
+def test_sq8_two_stage_plan(spark):
+    """ann_sq8_topk draws both stages from checkpoint leaves (the float index
+    and the derived int8 codebook): no parquet rescan, and at most two dot
+    folds — the quantized scan's and the exact rerank's."""
+    fn, _ = ALL_QUERIES["ann_sq8_topk"]
+    plan = fn(spark, SF)._jdf.queryExecution().analyzed().toString()
+    assert "parquet" not in plan.lower()
+    assert plan.count("zip_with") <= 2, plan.count("zip_with")
+
+
+def test_frame_sample_single_python_stage(spark):
+    """mm_frame_sample must be mapInPandas stages over Arrow batches — no
+    per-row Python dispatch (BatchEvalPython) anywhere in the plan."""
+    from crawler_spark.plans import explain_str
+
+    fn, _ = ALL_QUERIES["mm_frame_sample"]
+    plan = explain_str(fn(spark, SF), "simple")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_phash_neardup_single_decode(spark):
     """mm_phash_neardup's (k, phash) index is materialized once (checkpoint
     leaf): the band self-join, Hamming verify, and final left join must all

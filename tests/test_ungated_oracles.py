@@ -1,0 +1,26 @@
+"""Oracle parity for builders that are deliberately NOT catalog slots.
+
+The driver gates at most 50 queries, so folded/retired entries lose their
+standalone slot (text_fingerprint's expressions ride text_metrics' scan;
+mm_binary_stats' byte-stat semantics are gated through mm_frame_sample and
+mm_sample_select) — but the standalone builders keep full DuckDB-twin
+verification here, so a regression cannot hide in the fold.
+"""
+
+from __future__ import annotations
+
+from crawler_spark.operators.multimodal import BINARY_STATS_SQL, mm_binary_stats
+from crawler_spark.operators.text import FINGERPRINT_SQL, text_fingerprint
+from crawler_spark.oracle_check import compare_one, duck_connect
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ungated_builders_match_oracle(spark):
+    con = duck_connect(SF)
+    for name, fn, sql in [
+        ("mm_binary_stats", mm_binary_stats, BINARY_STATS_SQL),
+        ("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),
+    ]:
+        ok, msg = compare_one(spark, con, name, fn, sql, SF)
+        assert ok, (name, msg)
