@@ -260,7 +260,14 @@ def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 16) -> DataF
     Components in MapReduce") bounds rounds at O(log^2 n) with the same
     join-shape per round. Every document gets a group (singletons are their
     own representative), so the output is a full dedup verdict over the
-    corpus: keep rows where is_rep."""
+    corpus: keep rows where is_rep.
+
+    Scale shape: the iteration runs ONLY over the edge-vertex set — a
+    document with no near-dup edge is its own singleton group and can never
+    change label, so it joins the result once at the end (coalesce to
+    doc_id) instead of riding every round. At 100 TB the per-iteration
+    state is proportional to the duplicate subgraph (typically a few percent
+    of the corpus), not the corpus."""
     sh = _spark_shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
     edges = (
         _pair_overlap(sh)
@@ -272,8 +279,8 @@ def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 16) -> DataF
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
     labels = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
@@ -293,16 +300,26 @@ def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 16) -> DataF
             )
             .localCheckpoint(eager=True)
         )
-        changed = upd.agg(F.sum(F.when(F.col("_chg"), 1).otherwise(0))).collect()[0][0]
+        # any-change probe: early-exits on the first changed partition
+        changed = upd.filter(F.col("_chg")).limit(1).count()
         labels = upd.drop("_chg")
         if not changed:
             break
-    group_sizes = labels.groupBy("label").agg(F.count("*").alias("group_size"))
-    return labels.join(group_sizes, "label").select(
-        "doc_id",
-        F.col("label").alias("group_id"),
-        "group_size",
-        (F.col("doc_id") == F.col("label")).alias("is_rep"),
+    # group sizes come from the SMALL labels frame (a singleton's size is 1
+    # by construction) — no corpus-wide groupBy shuffle anywhere
+    sized = labels.join(
+        labels.groupBy("label").agg(F.count("*").alias("group_size")), "label"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(sized, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("group_id"),
+            F.coalesce("group_size", F.lit(1)).alias("group_size"),
+            (F.col("doc_id") == F.coalesce("label", F.col("doc_id"))).alias("is_rep"),
+        )
     )
 
 

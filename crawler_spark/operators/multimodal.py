@@ -532,6 +532,112 @@ FROM px GROUP BY k, f
 """
 
 
+# -- audio feature extraction over PCM binary payloads ----------------------
+#
+# The audio analog of the image/video kernels (not a catalog slot — the
+# driver gates at most 50 queries; oracle-verified in
+# tests/test_ungated_oracles.py): a payload is header + N_AUDIO_SAMPLES
+# little-endian int16 PCM mono samples (the stub stand-in for a real audio
+# decoder, which this container lacks); features are whole-batch vectorized
+# int64 math — peak, RMS, zero-crossing count — the standard cheap
+# quality/speech-activity signals a training pipeline filters audio by.
+# Samples follow the closed form s[k, t] = (k*7919 + t*37) % 4096 - 2048 so
+# the DuckDB oracle recomputes every feature exactly (the squared sum is
+# < 2^32 and /1024 is a power-of-two divide — exact in float64).
+
+N_AUDIO_SAMPLES = 1024
+_AUD_NBYTES = _MM_HDR + N_AUDIO_SAMPLES * 2
+
+AUDIO_SCHEMA = "clip_id string, bytes binary, n_samples int, fmt string"
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, n_samples int, n_bytes long, peak long, "
+    "rms double, n_zero_cross long"
+)
+
+
+def _audio_samples(ks: np.ndarray) -> np.ndarray:
+    """(n, N_AUDIO_SAMPLES) int16 closed-form PCM, vectorized."""
+    t = np.arange(N_AUDIO_SAMPLES, dtype=np.int64)[None, :]
+    k = ks.astype(np.int64)[:, None]
+    return ((k * 7919 + t * 37) % 4096 - 2048).astype("<i2")
+
+
+def _gen_audio_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ks = pdf["id"].to_numpy(dtype=np.int64)
+        if not len(ks):
+            continue
+        pcm = _audio_samples(ks)
+        hdr = codec._HDR.pack(codec.MAGIC, b"pcm", N_AUDIO_SAMPLES, 1, 1)
+        yield pd.DataFrame(
+            {
+                "clip_id": [f"aud{k}" for k in ks],
+                "bytes": [hdr + pcm[x].tobytes() for x in range(len(ks))],
+                "n_samples": np.full(len(ks), N_AUDIO_SAMPLES, dtype=np.int32),
+                "fmt": "pcm",
+            }
+        )
+
+
+def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        blobs = pdf["bytes"].to_numpy()
+        full = np.stack([np.frombuffer(b, np.uint8) for b in blobs])
+        pcm = (
+            np.ascontiguousarray(full[:, _MM_HDR:])
+            .view("<i2")
+            .reshape(n, N_AUDIO_SAMPLES)
+            .astype(np.int64)
+        )
+        sq = np.einsum("nt,nt->n", pcm, pcm)
+        yield pd.DataFrame(
+            {
+                "clip_id": pdf["clip_id"],
+                "n_samples": np.full(n, N_AUDIO_SAMPLES, dtype=np.int32),
+                "n_bytes": np.array([len(b) for b in blobs], dtype=np.int64),
+                "peak": np.abs(pcm).max(axis=1),
+                "rms": np.round(np.sqrt(sq / N_AUDIO_SAMPLES), 6),
+                "n_zero_cross": ((pcm[:, :-1] * pcm[:, 1:]) < 0).sum(axis=1),
+            }
+        )
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM corpus sized from sf_dir (|documents| // 20 clips), generated and
+    feature-extracted entirely on executors in Arrow batches."""
+    n = max(table_rows(sf_dir, "documents") // 20, 1)
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_audio_corpus, schema=AUDIO_SCHEMA
+    )
+    return corpus.mapInPandas(_audio_features, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SQL = f"""
+WITH ks AS (
+  SELECT k FROM (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
+  ) WHERE k < greatest((SELECT count(*) // 20 FROM documents), 1)
+),
+s AS (
+  SELECT k, t.range AS t,
+         ((k*7919 + t.range*37) % 4096 - 2048)::bigint AS v
+  FROM ks, range(0, {N_AUDIO_SAMPLES}) t
+),
+w AS (
+  SELECT k, v, lead(v) OVER (PARTITION BY k ORDER BY t) AS nxt FROM s
+)
+SELECT 'aud' || k AS clip_id, {N_AUDIO_SAMPLES} AS n_samples,
+       {_AUD_NBYTES}::bigint AS n_bytes,
+       max(abs(v))::bigint AS peak,
+       round(sqrt(sum(v*v)::double / {N_AUDIO_SAMPLES}), 6) AS rms,
+       sum(CASE WHEN v * nxt < 0 THEN 1 ELSE 0 END)::bigint AS n_zero_cross
+FROM w GROUP BY k
+"""
+
+
 # -- frame/sample selection on metadata (oracle-checked) --------------------
 def mm_sample_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 1-in-8 sampling by content hash (the frame-sampling

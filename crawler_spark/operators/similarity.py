@@ -677,7 +677,11 @@ def ann_recall(spark: SparkSession, sf_dir: str, sim_floor: float = 0.5) -> dict
     exact_hi = exact.filter(F.col("cos") >= sim_floor).localCheckpoint(eager=True)
     total, total_hi = exact.count(), exact_hi.count()
     out = {"n_exact": total, f"n_exact_cos>={sim_floor}": total_hi}
-    for name, fn in (("ivf", ann_ivf_topk), ("bucket_rerank", ann_bucket_rerank)):
+    for name, fn in (
+        ("ivf", ann_ivf_topk),
+        ("bucket_rerank", ann_bucket_rerank),
+        ("sq8", ann_sq8_topk),
+    ):
         approx = fn(spark, sf_dir).filter(F.col("query_id") < N_QUERIES)
         approx = approx.localCheckpoint(eager=True)
         hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()

@@ -9,7 +9,12 @@ verification here, so a regression cannot hide in the fold.
 
 from __future__ import annotations
 
-from crawler_spark.operators.multimodal import BINARY_STATS_SQL, mm_binary_stats
+from crawler_spark.operators.multimodal import (
+    AUDIO_FEATURES_SQL,
+    BINARY_STATS_SQL,
+    mm_audio_features,
+    mm_binary_stats,
+)
 from crawler_spark.operators.text import FINGERPRINT_SQL, text_fingerprint
 from crawler_spark.oracle_check import compare_one, duck_connect
 
@@ -21,6 +26,7 @@ def test_ungated_builders_match_oracle(spark):
     for name, fn, sql in [
         ("mm_binary_stats", mm_binary_stats, BINARY_STATS_SQL),
         ("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),
+        ("mm_audio_features", mm_audio_features, AUDIO_FEATURES_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
