@@ -48,6 +48,7 @@ class StateStore:
         # across rounds (checkpointed/parquet-backed, no lineage into the
         # round's soon-unpersisted intermediates)
         self.last_seen_delta: DataFrame | None = None
+        self._seen_base: dict | None = None
         if root:
             os.makedirs(root, exist_ok=True)
             self.rounds = self._read_manifest()
@@ -59,14 +60,22 @@ class StateStore:
     def _read_manifest(self) -> list[int]:
         try:
             with open(self._manifest_path()) as f:
-                return json.load(f)["rounds"]
+                m = json.load(f)
         except FileNotFoundError:
+            self._seen_base = None
             return []
+        # seen_base: {"gen": N, "upto": R} — rounds <= R live in the
+        # compacted base generation, not the per-round partitions
+        self._seen_base = m.get("seen_base")
+        return m["rounds"]
 
     def _commit_manifest(self) -> None:
+        payload: dict = {"rounds": self.rounds}
+        if getattr(self, "_seen_base", None):
+            payload["seen_base"] = self._seen_base
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"rounds": self.rounds}, f)
+            json.dump(payload, f)
         os.replace(tmp, self._manifest_path())  # atomic visibility
 
     # -- round commit ----------------------------------------------------
@@ -272,23 +281,98 @@ class StateStore:
         instead of failing inference)."""
         return self.spark.read.schema(SEEN_SCHEMA).parquet(self._seen_dir())
 
+    def _base_gen_dir(self, gen: int) -> str:
+        return os.path.join(self.root, "seen_base", f"gen={gen}")
+
     def seen(self) -> DataFrame:
         if self._seen is not None:
             return self._seen
         if self.root and self.rounds:
-            if os.path.isdir(self._seen_dir()):
-                # manifest filter = snapshot isolation: a crashed round's
-                # orphan partitions are pruned out, never read
-                self._seen = self._read_seen().filter(F.col("round").isin(self.rounds))
-            else:
-                # legacy layout (pre round-3): plain per-round parquet dirs
-                paths = [
-                    os.path.join(self.root, f"round={r}", "seen_delta") for r in self.rounds
-                ]
-                self._seen = self.spark.read.schema(SEEN_SCHEMA).parquet(*paths)
+            upto = self._seen_base["upto"] if self._seen_base else 0
+            parts: list[DataFrame] = []
+            if self._seen_base:
+                # compacted base: partitioned by host_bucket only (O(1) files
+                # per bucket instead of O(rounds)); `round` rides inside the
+                # files so parity/time-travel semantics are unchanged
+                parts.append(
+                    self.spark.read.schema(SEEN_SCHEMA).parquet(
+                        self._base_gen_dir(self._seen_base["gen"])
+                    )
+                )
+            live = [r for r in self.rounds if r > upto]
+            if live:
+                if os.path.isdir(self._seen_dir()):
+                    # manifest filter = snapshot isolation: a crashed round's
+                    # orphan partitions are pruned out, never read
+                    parts.append(self._read_seen().filter(F.col("round").isin(live)))
+                else:
+                    # legacy layout (pre round-3): plain per-round parquet dirs
+                    paths = [
+                        os.path.join(self.root, f"round={r}", "seen_delta") for r in live
+                    ]
+                    parts.append(self.spark.read.schema(SEEN_SCHEMA).parquet(*paths))
+            out = parts[0] if parts else self.spark.createDataFrame([], SEEN_SCHEMA)
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            self._seen = out
         else:
             self._seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         return self._seen
+
+    def seen_as_of(self, round_no: int) -> DataFrame:
+        """Snapshot time-travel: the seen set as it stood after `round_no`
+        was committed (Iceberg `VERSION AS OF` analog). Works across
+        compaction because compact_seen keeps `round` as a data column."""
+        return self.seen().filter(F.col("round") <= round_no)
+
+    # -- seen-table maintenance (Iceberg rewrite_data_files analog) -------
+    def compact_seen(self) -> None:
+        """Rewrite every committed seen row into one base generation
+        partitioned by host_bucket only. The per-(round, host_bucket) layout
+        appends O(rounds) files per bucket over a crawl — at a 10^10-URL
+        frontier and thousands of rounds that is small-files death for the
+        discovery probe. Compaction collapses each bucket to one file
+        (repartition("host_bucket") puts a bucket's rows in exactly one
+        task) while keeping `round` inside the files, so seen-set parity,
+        seen_as_of and DPP bucket pruning are all unchanged. Visibility is
+        atomic: the new generation directory is written first, then the
+        manifest swap points readers at it; a crash in between leaves an
+        orphan gen dir that no manifest references (the next compaction
+        overwrites it). Call vacuum_seen() afterwards to reclaim the
+        superseded files."""
+        if not self.root or not self.rounds:
+            return
+        gen = (self._seen_base["gen"] + 1) if self._seen_base else 1
+        (
+            self.seen()
+            .repartition("host_bucket")
+            .write.mode("overwrite")
+            .partitionBy("host_bucket")
+            .parquet(self._base_gen_dir(gen))
+        )
+        self._seen_base = {"gen": gen, "upto": self.last_round()}
+        self._commit_manifest()
+        self._seen = None
+
+    def vacuum_seen(self) -> None:
+        """Physically delete files superseded by compact_seen: older base
+        generations and per-round seen partitions at or below the compacted
+        watermark. Safe at any point after the manifest commit — a reader of
+        the current manifest never touches these paths."""
+        import shutil
+
+        if not self.root or not self._seen_base:
+            return
+        gen, upto = self._seen_base["gen"], self._seen_base["upto"]
+        base_root = os.path.join(self.root, "seen_base")
+        for entry in os.listdir(base_root):
+            if entry.startswith("gen=") and int(entry.split("=", 1)[1]) != gen:
+                shutil.rmtree(os.path.join(base_root, entry))
+        sd = self._seen_dir()
+        if os.path.isdir(sd):
+            for entry in os.listdir(sd):
+                if entry.startswith("round=") and int(entry.split("=", 1)[1]) <= upto:
+                    shutil.rmtree(os.path.join(sd, entry))
 
     def traces(self) -> DataFrame:
         if self.root and self.rounds:

@@ -1,0 +1,119 @@
+"""Seen-table compaction (Iceberg rewrite_data_files analog, SURVEY §2.9
+P10 maintenance): the per-(round, host_bucket) seen layout appends one
+partition directory per round, so a long crawl accumulates O(rounds) files
+per bucket. compact_seen() collapses the committed rows into one base
+generation partitioned by host_bucket only; the manifest swap makes it
+atomic, vacuum_seen() reclaims the superseded files, and `round` rides
+inside the base files so seen-set parity, resume, and time-travel
+(seen_as_of) are byte-identical before and after."""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+
+import pandas as pd
+
+from crawler_spark import datagen
+from crawler_spark.engine.crawl import crawl
+from crawler_spark.engine.state import StateStore
+from crawler_spark.oracle import CrawlConfig
+
+
+def _seen_pdf(store: StateStore) -> pd.DataFrame:
+    return (
+        store.seen()
+        .select("url_id", "host_bucket", "status", "round")
+        .toPandas()
+        .astype("object")
+        .sort_values(["url_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_compact_vacuum_resume_parity(spark, tmp_path):
+    w = datagen.make_world(n_urls=150, n_hosts=8, n_images=20, with_corpus=False)
+    sdf = datagen.to_spark(spark, w)
+    cfg = CrawlConfig(page_size=15, tries=2, max_rounds=100)
+
+    full = crawl(spark, sdf, cfg, state_dir=str(tmp_path / "full"))
+
+    # crawl 4 rounds, compact + vacuum the checkpoint, resume to completion
+    state = str(tmp_path / "comp")
+    cut = dataclasses.replace(cfg, max_rounds=4)
+    crawl(spark, sdf, cut, state_dir=state)
+
+    store = StateStore(spark, root=state)
+    before = _seen_pdf(store)
+    as_of_3_before = sorted(
+        r.url_id for r in store.seen_as_of(3).select("url_id").collect()
+    )
+    store.compact_seen()
+    store.vacuum_seen()
+
+    # reopen from disk: manifest points at the base generation
+    store2 = StateStore(spark, root=state)
+    pd.testing.assert_frame_equal(before, _seen_pdf(store2))
+    assert sorted(
+        r.url_id for r in store2.seen_as_of(3).select("url_id").collect()
+    ) == as_of_3_before
+
+    # physical shape: one file per populated bucket, no round= dirs left
+    base_files = glob.glob(os.path.join(state, "seen_base", "gen=1", "*", "*.parquet"))
+    buckets = {os.path.basename(os.path.dirname(p)) for p in base_files}
+    assert len(base_files) == len(buckets) > 0  # exactly one file per bucket
+    assert not glob.glob(os.path.join(state, "seen", "round=*"))
+
+    # resume continues appending per-round partitions on top of the base
+    resumed = crawl(spark, sdf, cfg, state_dir=state, resume=True)
+    assert resumed.rounds == full.rounds
+
+    def norm(df: pd.DataFrame, cols) -> pd.DataFrame:
+        return (
+            df.sort_values(cols)
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in df.columns if df[c].dtype.kind in "iu"})
+        )
+
+    pd.testing.assert_frame_equal(
+        norm(full.seen, ["url_id"]), norm(resumed.seen, ["url_id"])
+    )
+    pd.testing.assert_frame_equal(
+        norm(full.trace, ["round", "seq"]), norm(resumed.trace, ["round", "seq"])
+    )
+
+    # second compaction over base + post-resume rounds (the steady-state op)
+    store3 = StateStore(spark, root=state)
+    final = _seen_pdf(store3)
+    store3.compact_seen()
+    store3.vacuum_seen()
+    assert not os.path.isdir(os.path.join(state, "seen_base", "gen=1"))
+    pd.testing.assert_frame_equal(final, _seen_pdf(StateStore(spark, root=state)))
+
+
+def test_orphan_generation_is_invisible(spark, tmp_path):
+    """A crash between writing the gen dir and the manifest swap must leave
+    the store reading the old layout (snapshot isolation), and the next
+    compaction must reclaim the orphan's gen id cleanly."""
+    w = datagen.world_chain()
+    sdf = datagen.to_spark(spark, w)
+    cfg = CrawlConfig(page_size=4, tries=2, max_rounds=6)
+    state = str(tmp_path / "s")
+    crawl(spark, sdf, cfg, state_dir=state)
+
+    store = StateStore(spark, root=state)
+    before = _seen_pdf(store)
+
+    # simulate the crash: gen dir exists, manifest never swapped
+    orphan = os.path.join(state, "seen_base", "gen=1")
+    os.makedirs(orphan)
+    store.seen().limit(1).write.mode("overwrite").parquet(orphan)
+
+    fresh = StateStore(spark, root=state)
+    assert fresh._seen_base is None
+    pd.testing.assert_frame_equal(before, _seen_pdf(fresh))
+
+    fresh.compact_seen()  # overwrites the orphan at gen=1
+    fresh.vacuum_seen()
+    pd.testing.assert_frame_equal(before, _seen_pdf(StateStore(spark, root=state)))
