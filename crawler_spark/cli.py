@@ -146,7 +146,52 @@ def main(argv: list[str] | None = None) -> int:
         if name == "mine":
             p.add_argument("--host", default=None, help="restrict to one host")
         p.set_defaults(**arg_defaults)
+    pc = sub.add_parser(
+        "compact",
+        help="seen-table maintenance: rewrite committed rounds into one "
+        "base generation (StateStore.compact_seen) and reclaim files",
+    )
+    pc.add_argument("--config", default=None)
+    pc.add_argument(
+        "--state",
+        default=toml_defaults.get("state"),
+        required="state" not in toml_defaults,
+        help="checkpoint dir to compact",
+    )
+    pc.add_argument("--cores", type=int, default=toml_defaults.get("cores"))
+    pc.add_argument(
+        "--vacuum",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="delete superseded files after the manifest swap",
+    )
     args = parser.parse_args(argv)
+
+    if args.cmd == "compact":
+        from .engine.state import StateStore
+
+        spark = get_spark(cores=args.cores)
+        store = StateStore(spark, args.state)
+        if not store.rounds:
+            print(f"compact: no committed rounds under {args.state}", file=sys.stderr)
+            return 2
+        store.compact_seen()
+        if args.vacuum:
+            store.vacuum_seen()
+        print(
+            json.dumps(
+                {
+                    "cmd": "compact",
+                    "rounds": len(store.rounds),
+                    "gen": store._seen_base["gen"],
+                    "upto": store._seen_base["upto"],
+                    "vacuumed": bool(args.vacuum),
+                }
+            )
+        )
+        spark.stop()
+        return 0
+
     if args.intern is None and "intern" in toml_defaults:
         args.intern = list(toml_defaults["intern"])
 

@@ -72,3 +72,43 @@ def test_cli_toml_config(tmp_path):
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert p2.returncode != 0 and "unknown key" in (p2.stderr + p2.stdout)
+
+
+def test_cli_compact(tmp_path):
+    """`compact` subcommand: crawl to a checkpoint, compact+vacuum it, and
+    a subsequent crawl --resume must pick up from the base generation."""
+    world_dir = str(tmp_path / "world")
+    state_dir = str(tmp_path / "state")
+    datagen.write_world(
+        datagen.make_world(n_urls=120, n_hosts=5, n_images=10, with_corpus=False),
+        world_dir,
+    )
+
+    def run(*argv):
+        p = subprocess.run(
+            [sys.executable, "-m", "crawler_spark.cli", *argv],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        assert line, p.stderr[-800:]
+        return json.loads(line[-1])
+
+    first = run(
+        "crawl", "--world", world_dir, "--state", state_dir, "--cores", "8",
+        "--page-size", "20", "--max-rounds", "3",
+    )
+    assert first["rounds"] == 3
+
+    out = run("compact", "--state", state_dir, "--cores", "8")
+    assert out == {
+        "cmd": "compact", "rounds": 3, "gen": 1, "upto": 3, "vacuumed": True,
+    }
+    manifest = json.load(open(os.path.join(state_dir, "manifest.json")))
+    assert manifest["seen_base"] == {"gen": 1, "upto": 3}
+    assert not os.path.isdir(os.path.join(state_dir, "seen", "round=1"))
+
+    resumed = run(
+        "crawl", "--world", world_dir, "--state", state_dir, "--cores", "8",
+        "--page-size", "20", "--resume",
+    )
+    assert resumed["rounds"] > 3

@@ -178,3 +178,17 @@ def test_seen_probe_prunes_to_discovery_buckets(spark, tmp_path):
 
     plan = explain_str(hits_seen)
     assert "dynamicpruning" in plan.lower(), plan
+    n_hits = hits_seen.count()  # before compaction: vacuum deletes these files
+
+    # same probe against the COMPACTED base layout (seen_base/gen=N
+    # partitioned by host_bucket alone): bucket pruning must survive the
+    # rewrite — that is the point of keeping host_bucket the partition key
+    store.compact_seen()
+    store.vacuum_seen()
+    seen_c = StateStore(spark, str(tmp_path / "state")).seen()
+    hits_compacted = seen_c.select("url_id", "host_bucket").join(
+        F.broadcast(distinct_new), ["url_id", "host_bucket"], "inner"
+    )
+    plan_c = explain_str(hits_compacted)
+    assert "dynamicpruning" in plan_c.lower(), plan_c
+    assert hits_compacted.count() == n_hits
