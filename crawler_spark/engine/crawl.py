@@ -21,6 +21,12 @@ from . import round as round_mod
 from .state import StateStore
 
 
+def _bloom_dir(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, "bloom")
+
+
 @dataclass
 class CrawlResult:
     trace: pd.DataFrame
@@ -74,7 +80,14 @@ def crawl(
         frontier = store.frontier()
         r = store.last_round()
         if seen_prefilter is not None:
-            seen_prefilter.rebuild(store.seen())
+            # saved bitsets make resume O(bitsets + post-watermark rounds);
+            # full rebuild (a whole-seen-table scan) is the fallback for a
+            # first resume, a crashed save, or re-sized filter params
+            loaded = state_dir and seen_prefilter.load(
+                _bloom_dir(state_dir), store.seen()
+            )
+            if not loaded:
+                seen_prefilter.rebuild(store.seen())
     else:
         frontier = round_mod.seeds_frontier(spark, raw_world["seeds"], world, cfg)
         frontier = frontier.localCheckpoint(eager=True)
@@ -151,6 +164,12 @@ def crawl(
                 seen_prefilter.update(store.last_seen_delta)
             res.release()
             n_frontier = n_next
+        # success path only: persist the Bloom bitsets next to the
+        # checkpoint (watermark = last committed round), so the next resume
+        # loads them instead of re-scanning the seen table. A crash before
+        # this point just means resume pays the catch-up/rebuild.
+        if state_dir and seen_prefilter is not None and store.rounds:
+            seen_prefilter.save(_bloom_dir(state_dir), store.last_round())
     finally:
         if res is not None:
             res.release()  # idempotent; frees a mid-round failure's caches

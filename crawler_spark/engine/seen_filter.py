@@ -123,6 +123,22 @@ def _probe_bits(ids: np.ndarray, words: np.ndarray, n_hashes: int) -> np.ndarray
     return hit.all(axis=1).astype(bool)
 
 
+def _merge_bits(stacked: DataFrame) -> DataFrame:
+    """OR together per-bucket word arrays (rows of the same host_bucket)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.asarray(pdf["bits"].iloc[0], dtype=np.int64).copy()
+        for b in pdf["bits"].iloc[1:]:
+            acc |= np.asarray(b, dtype=np.int64)
+        return pd.DataFrame(
+            {"host_bucket": [int(pdf["host_bucket"].iloc[0])], "bits": [acc]}
+        )
+
+    return stacked.groupBy("host_bucket").applyInPandas(
+        merge, schema="host_bucket int, bits array<bigint>"
+    )
+
+
 class BloomSeenFilter:
     """Lifecycle: rebuild(seen) on start/resume, update(delta) per round,
     split(frontier) inside the round (engine/round.py).
@@ -171,6 +187,65 @@ class BloomSeenFilter:
         self._pending = []
         self._swap(self._bits_of(seen_df))
 
+    # -- persistence (resume-scale): at a 10^10-URL seen set, rebuilding the
+    # bitsets on resume re-scans the whole seen table before round one. The
+    # saved form is the (host_bucket, bits) table itself — O(bitsets) to
+    # load — plus a round watermark; load() ORs in only the rounds committed
+    # after the save. ------------------------------------------------------
+    def save(self, path: str, upto_round: int) -> None:
+        """Persist the bitsets after flushing pending deltas. Atomic like the
+        StateStore manifest: the gen directory is written first, then
+        meta.json swaps in via os.replace — a crash in between leaves an
+        orphan gen no meta references (the next save overwrites it)."""
+        import json
+        import os
+        import shutil
+
+        self.flush()
+        if self.filter_df is None:
+            return
+        gen_dir = os.path.join(path, f"gen={upto_round}")
+        self.filter_df.write.mode("overwrite").parquet(gen_dir)
+        meta = {
+            "round": upto_round,
+            "bits_per_bucket": self.bits_per_bucket,
+            "n_hashes": self.n_hashes,
+        }
+        tmp = os.path.join(path, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "meta.json"))
+        for entry in os.listdir(path):
+            if entry.startswith("gen=") and entry != f"gen={upto_round}":
+                shutil.rmtree(os.path.join(path, entry))
+
+    def load(self, path: str, seen_df: DataFrame) -> bool:
+        """Restore bitsets written by save() and OR in the seen rows of any
+        round past the saved watermark (one small merge job). Returns False
+        — caller must rebuild() from the full seen table — when nothing was
+        saved or the saved sizing differs from this filter's."""
+        import json
+        import os
+
+        try:
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+        except FileNotFoundError:
+            return False
+        if (
+            meta["bits_per_bucket"] != self.bits_per_bucket
+            or meta["n_hashes"] != self.n_hashes
+            or not os.path.isdir(os.path.join(path, f"gen={meta['round']}"))
+        ):
+            return False
+        self._pending = []
+        bits = self.spark.read.schema("host_bucket int, bits array<bigint>").parquet(
+            os.path.join(path, f"gen={meta['round']}")
+        )
+        catchup = self._bits_of(seen_df.filter(F.col("round") > meta["round"]))
+        self._swap(_merge_bits(bits.unionByName(catchup)))
+        return True
+
     def update(self, seen_delta: DataFrame) -> None:
         """Park the round's delta; merge bitsets once per flush window.
         `seen_delta` must be materialized (checkpoint/parquet-backed) — it
@@ -190,21 +265,7 @@ class BloomSeenFilter:
         if self.filter_df is None:
             self._swap(delta)
             return
-
-        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-            acc = np.asarray(pdf["bits"].iloc[0], dtype=np.int64).copy()
-            for b in pdf["bits"].iloc[1:]:
-                acc |= np.asarray(b, dtype=np.int64)
-            return pd.DataFrame(
-                {"host_bucket": [int(pdf["host_bucket"].iloc[0])], "bits": [acc]}
-            )
-
-        merged = (
-            self.filter_df.unionByName(delta)
-            .groupBy("host_bucket")
-            .applyInPandas(merge, schema="host_bucket int, bits array<bigint>")
-        )
-        self._swap(merged)
+        self._swap(_merge_bits(self.filter_df.unionByName(delta)))
 
     def _swap(self, new_df: DataFrame) -> None:
         # localCheckpoint truncates the round-over-round merge lineage; the

@@ -103,3 +103,79 @@ def test_resume_from_pre_depth_checkpoint(spark, tmp_path):
     )
     # old rounds' lineage reads back with the new counter defaulted to 0
     assert (resumed.lineage["n_depth_capped"] == 0).all()
+
+
+def test_resume_loads_saved_bloom(spark, tmp_path):
+    """Bloom persistence: a completed crawl saves its bitsets next to the
+    checkpoint; resume loads them (plus a catch-up of any newer rounds)
+    instead of re-scanning the seen table — and the crawl's results must be
+    identical either way (no-false-negative invariant is preserved because
+    the saved bits cover exactly the committed rounds up to the watermark)."""
+    import json
+    import os
+
+    from crawler_spark.engine.seen_filter import BloomSeenFilter
+
+    w = datagen.make_world(n_urls=120, n_hosts=8, n_images=20, with_corpus=False)
+    sdf = datagen.to_spark(spark, w)
+    cfg = CrawlConfig(page_size=15, tries=2, max_rounds=100)
+
+    full = crawl(
+        spark, sdf, cfg, state_dir=str(tmp_path / "full"),
+        seen_prefilter=BloomSeenFilter(spark, bits_per_bucket=1 << 12),
+    )
+
+    state = str(tmp_path / "resume")
+    cut = dataclasses.replace(cfg, max_rounds=3)
+    crawl(
+        spark, sdf, cut, state_dir=state,
+        seen_prefilter=BloomSeenFilter(spark, bits_per_bucket=1 << 12),
+    )
+    # the 3-round run saved its bitsets at watermark 3
+    meta = json.load(open(os.path.join(state, "bloom", "meta.json")))
+    assert meta["round"] == 3 and meta["bits_per_bucket"] == 1 << 12
+    assert os.path.isdir(os.path.join(state, "bloom", "gen=3"))
+
+    filt = BloomSeenFilter(spark, bits_per_bucket=1 << 12)
+    resumed = crawl(
+        spark, sdf, cfg, state_dir=state, resume=True, seen_prefilter=filt,
+    )
+    assert resumed.rounds == full.rounds
+    pd.testing.assert_frame_equal(
+        _norm(full.trace, ["round", "seq"]), _norm(resumed.trace, ["round", "seq"])
+    )
+    pd.testing.assert_frame_equal(
+        _norm(full.seen, ["url_id"]), _norm(resumed.seen, ["url_id"])
+    )
+    # the completed resume re-saved at the final watermark
+    meta2 = json.load(open(os.path.join(state, "bloom", "meta.json")))
+    assert meta2["round"] == full.rounds
+    assert not os.path.isdir(os.path.join(state, "bloom", "gen=3"))  # old gen GC'd
+
+
+def test_resume_bloom_fallback_on_mismatch(spark, tmp_path):
+    """A saved Bloom sized differently from the resuming filter must be
+    ignored (full rebuild fallback), not half-used — positions depend on
+    bits_per_bucket, so reusing mismatched words would create false
+    negatives."""
+    from crawler_spark.engine.seen_filter import BloomSeenFilter
+
+    w = datagen.world_chain()
+    sdf = datagen.to_spark(spark, w)
+    cfg = CrawlConfig(page_size=4, tries=2, max_rounds=50)
+    state = str(tmp_path / "s")
+    cut = dataclasses.replace(cfg, max_rounds=3)
+    crawl(
+        spark, sdf, cut, state_dir=state,
+        seen_prefilter=BloomSeenFilter(spark, bits_per_bucket=1 << 12),
+    )
+    full = crawl(spark, sdf, cfg, state_dir=str(tmp_path / "full"))
+
+    filt = BloomSeenFilter(spark, bits_per_bucket=1 << 13)  # different sizing
+    assert not filt.load(str(tmp_path / "s" / "bloom"), None)  # rejected, no scan
+    resumed = crawl(
+        spark, sdf, cfg, state_dir=state, resume=True, seen_prefilter=filt,
+    )
+    pd.testing.assert_frame_equal(
+        _norm(full.seen, ["url_id"]), _norm(resumed.seen, ["url_id"])
+    )
