@@ -100,3 +100,49 @@ def test_jvm_mark_matches_numpy_probe(spark):
     # and still zero false negatives through the JVM path
     seen_ids = {r["url_id"] for r in seen.collect()}
     assert all(got[i] for i in seen_ids)
+
+
+def test_save_load_bit_exact_with_catchup(spark, tmp_path):
+    """save() then load() with a post-watermark catch-up must reproduce the
+    EXACT word arrays a from-scratch rebuild over all rounds produces — the
+    bitsets are pure functions of the id set, so any divergence is a
+    correctness bug (a missed OR = a potential false negative)."""
+    rng = np.random.default_rng(7)
+
+    def seen_rows(n, round_no):
+        ids = rng.integers(-(1 << 62), 1 << 62, size=n, dtype=np.int64)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "url_id": ids,
+                    "host_bucket": (ids % 8 + 8) % 8,
+                    "status": "fetched",
+                    "round": round_no,
+                }
+            ),
+            "url_id long, host_bucket int, status string, round int",
+        )
+
+    early = seen_rows(2000, 1).unionByName(seen_rows(2000, 2))
+    late = seen_rows(1500, 3)
+
+    a = BloomSeenFilter(spark, bits_per_bucket=1 << 12)
+    a.rebuild(early)
+    a.save(str(tmp_path / "bloom"), upto_round=2)
+
+    b = BloomSeenFilter(spark, bits_per_bucket=1 << 12)
+    assert b.load(str(tmp_path / "bloom"), early.unionByName(late))
+
+    c = BloomSeenFilter(spark, bits_per_bucket=1 << 12)
+    c.rebuild(early.unionByName(late))
+
+    def words(f):
+        return {
+            r.host_bucket: np.asarray(r.bits, dtype=np.int64)
+            for r in f.filter_df.collect()
+        }
+
+    wb, wc = words(b), words(c)
+    assert set(wb) == set(wc)
+    for k in wc:
+        assert np.array_equal(wb[k], wc[k]), f"bucket {k} diverged"
