@@ -153,6 +153,82 @@ FROM documents
 """
 
 
+# -- benchmark decontamination (n-gram overlap scrub) -----------------------
+DECONTAM_K = 8        # gram width; production pipelines use 8-13 tokens
+DECONTAM_EVAL_MOD = 10  # eval-split stand-in: doc_id % 10 == 0 (see below)
+
+
+def _spark_kgrams(k: int) -> str:
+    """k-token grams of `toks` (generalizes dedup.SPARK_SHINGLES' k=3)."""
+    parts = ", ".join(f"toks[i-1+{j}]" if j else "toks[i-1]" for j in range(k))
+    return (
+        f"case when size(toks) >= {k} then "
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        "else cast(array() as array<string>) end"
+    )
+
+
+def _duck_kgrams(k: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(k))
+    return (
+        f"list_transform(range(1, greatest(len(toks) - {k - 1}, 0) + 1), "
+        f"i -> {parts})"
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str, k: int = DECONTAM_K,
+                  eval_mod: int = DECONTAM_EVAL_MOD) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/C4-style overlap scrub): flag
+    every training document that shares at least one k-token gram with the
+    held-out eval split, with the count of distinct shared grams.
+
+    100 TB shape: the eval side is a benchmark suite — MBs even for large
+    suites — so its DISTINCT gram hashes broadcast, and the training corpus
+    pays exactly one tokenize+gram scan with NO shuffle before the per-doc
+    aggregate of join survivors (a tiny fraction of the corpus). The eval
+    split here is a deterministic stand-in (doc_id % eval_mod == 0); a real
+    pipeline reads a benchmark table — the dataflow is identical.
+    """
+    from .common import spark_h32
+
+    grams = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_spark_kgrams(k))).alias("gram"))
+        .select("doc_id", F.expr(spark_h32("gram")).alias("h"))
+    )
+    eval_grams = grams.filter(F.expr(f"doc_id % {eval_mod} = 0")).select("h").distinct()
+    return (
+        grams.filter(F.expr(f"doc_id % {eval_mod} <> 0"))
+        .join(F.broadcast(eval_grams), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_eval_grams"))
+    )
+
+
+def _decontam_sql(k: int = DECONTAM_K, eval_mod: int = DECONTAM_EVAL_MOD) -> str:
+    from .common import duck_h32
+
+    return f"""
+WITH toksd AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, {duck_h32('gram')} AS h FROM (
+    SELECT doc_id, unnest({_duck_kgrams(k)}) AS gram FROM toksd) raw
+), ev AS (
+  SELECT DISTINCT h FROM grams WHERE doc_id % {eval_mod} = 0
+)
+SELECT doc_id::bigint AS doc_id, count(DISTINCT g.h)::bigint AS n_eval_grams
+FROM grams g JOIN ev USING (h)
+WHERE doc_id % {eval_mod} <> 0
+GROUP BY doc_id
+"""
+
+
+DECONTAM_SQL = _decontam_sql()
+
+
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
 }

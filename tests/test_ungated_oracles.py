@@ -16,7 +16,12 @@ from crawler_spark.operators.multimodal import (
     mm_binary_stats,
 )
 from crawler_spark.operators.pipeline import PIPELINE_SQL, pipeline_clean_corpus
-from crawler_spark.operators.text import FINGERPRINT_SQL, text_fingerprint
+from crawler_spark.operators.text import (
+    DECONTAM_SQL,
+    FINGERPRINT_SQL,
+    decontaminate,
+    text_fingerprint,
+)
 from crawler_spark.oracle_check import compare_one, duck_connect
 
 SF = "/root/testdata/sf0.001"
@@ -29,6 +34,7 @@ def test_ungated_builders_match_oracle(spark):
         ("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),
         ("mm_audio_features", mm_audio_features, AUDIO_FEATURES_SQL),
         ("pipeline_clean_corpus", pipeline_clean_corpus, PIPELINE_SQL),
+        ("decontaminate", decontaminate, DECONTAM_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
