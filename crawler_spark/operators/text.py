@@ -229,6 +229,143 @@ GROUP BY doc_id
 DECONTAM_SQL = _decontam_sql()
 
 
+# -- domain-mixture sampling -------------------------------------------------
+# target keep-rate per predicted language (the DoReMi/Pile-style mixture
+# reweighting knob): down-sample the dominant domain, keep the rare ones
+MIX_RATES = {"en": 0.5, "fr": 1.0, "de": 0.25}
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str,
+                   rates: dict[str, float] = MIX_RATES) -> DataFrame:
+    """Deterministic mixture sampling: keep a document iff its salted hash
+    coin u = h32('mix:'||doc_id) % 10^4 / 10^4 falls under its domain's
+    target rate. Pure per-row map + filter — ONE corpus scan, zero shuffle
+    at any scale, and re-running the job reproduces the exact sample (the
+    property that makes a 100 TB pipeline's mixture auditable). Domain =
+    the langid argmax (text_metrics' pred_lang)."""
+    from .common import spark_h32
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.greatest(F.size(F.expr(SPARK_TOKENS)), F.lit(1))
+    lang_scores = {
+        lang: F.round(
+            F.size(F.expr(
+                f"filter({SPARK_TOKENS}, x -> x in ({', '.join(repr(m) for m in ms)}))"
+            )) / n_tokens,
+            6,
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.greatest(*lang_scores.values())
+    pred = (
+        F.when(lang_scores["en"] == best, "en")
+        .when(lang_scores["fr"] == best, "fr")
+        .otherwise("de")
+    )
+    h_mix = spark_h32("concat('mix:', cast(doc_id as string))")
+    u = F.expr(f"{h_mix} % 10000") / 10000.0
+    rate = F.create_map(*[x for lang, r in rates.items() for x in (F.lit(lang), F.lit(r))])
+    return (
+        docs.select(
+            "doc_id",
+            pred.alias("pred_lang"),
+            F.round(u, 4).alias("coin"),
+        )
+        .filter(F.col("coin") < rate[F.col("pred_lang")])
+    )
+
+
+def _mixture_sql(rates: dict[str, float] = MIX_RATES) -> str:
+    from .common import duck_h32
+
+    rate_case = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in rates.items()
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN score_en = greatest(score_en, score_fr, score_de) THEN 'en'
+              WHEN score_fr = greatest(score_en, score_fr, score_de) THEN 'fr'
+              ELSE 'de' END AS pred_lang,
+         round(({duck_h32("'mix:' || doc_id::varchar")} % 10000) / 10000.0, 4) AS coin
+  FROM (SELECT doc_id, {_lang_score_sql()} FROM documents) t
+)
+SELECT doc_id::bigint AS doc_id, pred_lang, coin
+FROM scored
+WHERE coin < (CASE pred_lang {rate_case} END)
+"""
+
+
+MIXTURE_SQL = _mixture_sql()
+
+
+# -- sequence packing (concatenate-and-chunk) --------------------------------
+PACK_BUDGET = 256  # tokens per packed sequence
+PACK_SHARDS = 8
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET,
+                   n_shards: int = PACK_SHARDS) -> DataFrame:
+    """GPT-style pre-training packing: documents concatenate in a
+    deterministic order and split into fixed-token bins. A GLOBAL
+    concatenation order would serialize the corpus through one cumulative
+    window; instead documents hash into n_shards independent streams and
+    each shard packs via a per-shard running-sum window — the window's
+    partition key IS the shuffle key, so packing parallelizes with the
+    shard count (set n_shards ~ executors x cores at 100 TB).
+    Output per doc: its shard, the bin it starts in, and the token offset
+    inside that bin."""
+    from .common import spark_h32
+
+    h_shard = spark_h32("concat('shard:', cast(doc_id as string))")
+    shard = F.expr(f"{h_shard} % {n_shards}")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            shard.cast("int").alias("shard"),
+            F.size(F.expr(SPARK_TOKENS)).cast("long").alias("n_tokens"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(cum_prev / budget).alias("bin_no"),
+        (cum_prev % budget).alias("offset"),
+    )
+
+
+def _pack_sql(budget: int = PACK_BUDGET, n_shards: int = PACK_SHARDS) -> str:
+    from .common import duck_h32
+
+    return f"""
+WITH sized AS (
+  SELECT doc_id,
+         ({duck_h32("'shard:' || doc_id::varchar")} % {n_shards})::int AS shard,
+         len({DUCK_TOKENS})::bigint AS n_tokens
+  FROM documents
+)
+SELECT doc_id::bigint AS doc_id, shard, n_tokens,
+       (coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {budget})::bigint AS bin_no,
+       (coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % {budget})::bigint AS offset
+FROM sized
+"""
+
+
+PACK_SQL = _pack_sql()
+
+
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
 }

@@ -19,7 +19,11 @@ from crawler_spark.operators.pipeline import PIPELINE_SQL, pipeline_clean_corpus
 from crawler_spark.operators.text import (
     DECONTAM_SQL,
     FINGERPRINT_SQL,
+    MIXTURE_SQL,
+    PACK_SQL,
     decontaminate,
+    pack_sequences,
+    sample_mixture,
     text_fingerprint,
 )
 from crawler_spark.oracle_check import compare_one, duck_connect
@@ -35,6 +39,8 @@ def test_ungated_builders_match_oracle(spark):
         ("mm_audio_features", mm_audio_features, AUDIO_FEATURES_SQL),
         ("pipeline_clean_corpus", pipeline_clean_corpus, PIPELINE_SQL),
         ("decontaminate", decontaminate, DECONTAM_SQL),
+        ("sample_mixture", sample_mixture, MIXTURE_SQL),
+        ("pack_sequences", pack_sequences, PACK_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
