@@ -192,3 +192,26 @@ def test_seen_probe_prunes_to_discovery_buckets(spark, tmp_path):
     plan_c = explain_str(hits_compacted)
     assert "dynamicpruning" in plan_c.lower(), plan_c
     assert hits_compacted.count() == n_hits
+
+
+def test_pipeline_text_ops_plan_shapes(spark):
+    """Scale-claim audits for the text-pipeline ops: sample_mixture is a
+    pure map+filter (ZERO exchanges), pack_sequences shuffles exactly once
+    (the per-shard window's hash partitioning — its parallelism lever), and
+    decontaminate's eval side enters as a broadcast (the training corpus
+    never shuffles before the post-join aggregate)."""
+    from crawler_spark.operators.text import (
+        decontaminate,
+        pack_sequences,
+        sample_mixture,
+    )
+    from crawler_spark.plans import explain_str, has_broadcast_join
+
+    mix = explain_str(sample_mixture(spark, SF))
+    assert "Exchange" not in mix, mix
+
+    pack = explain_str(pack_sequences(spark, SF))
+    assert pack.count("Exchange (") == 1, pack  # exactly one exchange node
+    assert "hashpartitioning(shard" in pack, pack
+
+    assert has_broadcast_join(decontaminate(spark, SF))
