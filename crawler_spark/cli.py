@@ -178,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
         store.compact_seen()
         if args.vacuum:
             store.vacuum_seen()
+            store.vacuum_frontiers()
         print(
             json.dumps(
                 {

@@ -354,6 +354,22 @@ class StateStore:
         self._commit_manifest()
         self._seen = None
 
+    def vacuum_frontiers(self, keep_last: int = 1) -> None:
+        """Delete superseded frontier snapshots. Every commit_round writes a
+        FULL frontier snapshot under round=R/frontier — at a 10^10-URL
+        frontier that is the single largest per-round artifact, and resume
+        only ever reads the LAST committed one (trace/fetched/lineage stay
+        per-round and are untouched). keep_last >= 1 guards the snapshot a
+        resume needs; keep more to retain manual-rollback points."""
+        import shutil
+
+        if not self.root or keep_last < 1:
+            return
+        for r in self.rounds[:-keep_last]:
+            d = os.path.join(self.root, f"round={r}", "frontier")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
     def vacuum_seen(self) -> None:
         """Physically delete files superseded by compact_seen: older base
         generations and per-round seen partitions at or below the compacted

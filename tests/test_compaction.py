@@ -92,6 +92,42 @@ def test_compact_vacuum_resume_parity(spark, tmp_path):
     pd.testing.assert_frame_equal(final, _seen_pdf(StateStore(spark, root=state)))
 
 
+def test_vacuum_frontiers_keeps_resume_intact(spark, tmp_path):
+    """Old frontier snapshots are the largest per-round artifact and only
+    the LAST committed one feeds resume: vacuum_frontiers must delete the
+    superseded ones and leave resume + trace/seen parity untouched."""
+    w = datagen.make_world(n_urls=150, n_hosts=8, n_images=20, with_corpus=False)
+    sdf = datagen.to_spark(spark, w)
+    cfg = CrawlConfig(page_size=15, tries=2, max_rounds=100)
+    full = crawl(spark, sdf, cfg, state_dir=str(tmp_path / "full"))
+
+    state = str(tmp_path / "v")
+    cut = dataclasses.replace(cfg, max_rounds=4)
+    crawl(spark, sdf, cut, state_dir=state)
+    StateStore(spark, root=state).vacuum_frontiers()
+    for r in (1, 2, 3):
+        assert not os.path.isdir(os.path.join(state, f"round={r}", "frontier"))
+        assert os.path.isdir(os.path.join(state, f"round={r}", "trace"))
+    assert os.path.isdir(os.path.join(state, "round=4", "frontier"))
+
+    resumed = crawl(spark, sdf, cfg, state_dir=state, resume=True)
+    assert resumed.rounds == full.rounds
+
+    def norm(df: pd.DataFrame, cols) -> pd.DataFrame:
+        return (
+            df.sort_values(cols)
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in df.columns if df[c].dtype.kind in "iu"})
+        )
+
+    pd.testing.assert_frame_equal(
+        norm(full.seen, ["url_id"]), norm(resumed.seen, ["url_id"])
+    )
+    pd.testing.assert_frame_equal(
+        norm(full.trace, ["round", "seq"]), norm(resumed.trace, ["round", "seq"])
+    )
+
+
 def test_orphan_generation_is_invisible(spark, tmp_path):
     """A crash between writing the gen dir and the manifest swap must leave
     the store reading the old layout (snapshot isolation), and the next
