@@ -16,6 +16,7 @@ from crawler_spark.operators.multimodal import (
     mm_binary_stats,
 )
 from crawler_spark.operators.pipeline import PIPELINE_SQL, pipeline_clean_corpus
+from crawler_spark.operators.similarity import ANN_MULTIPROBE_SQL, ann_multiprobe_topk
 from crawler_spark.operators.text import (
     DECONTAM_SQL,
     FINGERPRINT_SQL,
@@ -41,6 +42,7 @@ def test_ungated_builders_match_oracle(spark):
         ("decontaminate", decontaminate, DECONTAM_SQL),
         ("sample_mixture", sample_mixture, MIXTURE_SQL),
         ("pack_sequences", pack_sequences, PACK_SQL),
+        ("ann_multiprobe_topk", ann_multiprobe_topk, ANN_MULTIPROBE_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
