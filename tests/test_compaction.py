@@ -153,3 +153,47 @@ def test_orphan_generation_is_invisible(spark, tmp_path):
     fresh.compact_seen()  # overwrites the orphan at gen=1
     fresh.vacuum_seen()
     pd.testing.assert_frame_equal(before, _seen_pdf(StateStore(spark, root=state)))
+
+
+def test_compact_then_bloom_resume_parity(spark, tmp_path):
+    """Compaction x Bloom persistence: load() catches up from store.seen()
+    filtered by the saved watermark, and compaction rewrites that table
+    (round preserved as a data column) — resuming a compacted checkpoint
+    with a saved Bloom must still match the uninterrupted run exactly."""
+    from crawler_spark.engine.seen_filter import BloomSeenFilter
+
+    w = datagen.make_world(n_urls=150, n_hosts=8, n_images=20, with_corpus=False)
+    sdf = datagen.to_spark(spark, w)
+    cfg = CrawlConfig(page_size=15, tries=2, max_rounds=100)
+    full = crawl(spark, sdf, cfg, state_dir=str(tmp_path / "full"))
+
+    state = str(tmp_path / "cb")
+    cut = dataclasses.replace(cfg, max_rounds=4)
+    crawl(
+        spark, sdf, cut, state_dir=state,
+        seen_prefilter=BloomSeenFilter(spark, bits_per_bucket=1 << 12),
+    )
+    store = StateStore(spark, root=state)
+    store.compact_seen()
+    store.vacuum_seen()
+    store.vacuum_frontiers()
+
+    resumed = crawl(
+        spark, sdf, cfg, state_dir=state, resume=True,
+        seen_prefilter=BloomSeenFilter(spark, bits_per_bucket=1 << 12),
+    )
+    assert resumed.rounds == full.rounds
+
+    def norm(df: pd.DataFrame, cols) -> pd.DataFrame:
+        return (
+            df.sort_values(cols)
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in df.columns if df[c].dtype.kind in "iu"})
+        )
+
+    pd.testing.assert_frame_equal(
+        norm(full.seen, ["url_id"]), norm(resumed.seen, ["url_id"])
+    )
+    pd.testing.assert_frame_equal(
+        norm(full.trace, ["round", "seq"]), norm(resumed.trace, ["round", "seq"])
+    )
