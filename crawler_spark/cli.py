@@ -176,8 +176,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"compact: no committed rounds under {args.state}", file=sys.stderr)
             return 2
         store.compact_seen()
+        store.compact_aux()
         if args.vacuum:
             store.vacuum_seen()
+            store.vacuum_aux()
             store.vacuum_frontiers()
         print(
             json.dumps(
@@ -186,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
                     "rounds": len(store.rounds),
                     "gen": store._seen_base["gen"],
                     "upto": store._seen_base["upto"],
+                    "aux_gen": store._aux_base["gen"] if store._aux_base else None,
                     "vacuumed": bool(args.vacuum),
                 }
             )

@@ -49,6 +49,7 @@ class StateStore:
         # round's soon-unpersisted intermediates)
         self.last_seen_delta: DataFrame | None = None
         self._seen_base: dict | None = None
+        self._aux_base: dict | None = None
         if root:
             os.makedirs(root, exist_ok=True)
             self.rounds = self._read_manifest()
@@ -63,16 +64,21 @@ class StateStore:
                 m = json.load(f)
         except FileNotFoundError:
             self._seen_base = None
+            self._aux_base = None
             return []
         # seen_base: {"gen": N, "upto": R} — rounds <= R live in the
         # compacted base generation, not the per-round partitions
         self._seen_base = m.get("seen_base")
+        # aux_base: same contract for the interface match tables
+        self._aux_base = m.get("aux_base")
         return m["rounds"]
 
     def _commit_manifest(self) -> None:
         payload: dict = {"rounds": self.rounds}
         if getattr(self, "_seen_base", None):
             payload["seen_base"] = self._seen_base
+        if getattr(self, "_aux_base", None):
+            payload["aux_base"] = self._aux_base
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f)
@@ -214,12 +220,22 @@ class StateStore:
             return self.spark.read.parquet(d) if os.path.isdir(d) else None
         return self._seed.get((iface, table))
 
+    def _aux_base_dir(self, gen: int, iface: str, table: str) -> str:
+        return os.path.join(self.root, "aux_base", f"gen={gen}", iface, table)
+
     def aux(self, iface: str, table: str) -> DataFrame | None:
         if self.root:
-            paths = [
+            upto = self._aux_base["upto"] if self._aux_base else 0
+            paths = []
+            if self._aux_base:
+                b = self._aux_base_dir(self._aux_base["gen"], iface, table)
+                if os.path.isdir(b):
+                    paths.append(b)
+            paths += [
                 p
                 for r in self.rounds
-                if os.path.isdir(p := os.path.join(self.root, f"round={r}", "aux", iface, table))
+                if r > upto
+                and os.path.isdir(p := os.path.join(self.root, f"round={r}", "aux", iface, table))
             ]
             return self.spark.read.parquet(*paths) if paths else None
         parts = self._aux.get((iface, table), [])
@@ -353,6 +369,75 @@ class StateStore:
         self._seen_base = {"gen": gen, "upto": self.last_round()}
         self._commit_manifest()
         self._seen = None
+
+    def _aux_tables_on_disk(self) -> set[tuple[str, str]]:
+        """(iface, table) pairs present in any committed round's aux dir or
+        in the current base generation (a table whose interface stopped
+        matching still has base rows to carry forward)."""
+        pairs: set[tuple[str, str]] = set()
+        roots = [
+            os.path.join(self.root, f"round={r}", "aux") for r in self.rounds
+        ]
+        if self._aux_base:
+            roots.append(
+                os.path.join(self.root, "aux_base", f"gen={self._aux_base['gen']}")
+            )
+        for d in roots:
+            if not os.path.isdir(d):
+                continue
+            for iface in os.listdir(d):
+                fd = os.path.join(d, iface)
+                if os.path.isdir(fd):
+                    pairs.update((iface, t) for t in os.listdir(fd))
+        return pairs
+
+    def compact_aux(self) -> None:
+        """Rewrite the interface match tables (commit_aux appends one dir
+        per table per round — with all three interfaces that is ~10 new dirs
+        a round, the same small-files growth the seen table had) into one
+        base generation per table under ``aux_base/gen=N/<iface>/<table>``.
+        `round` is already a data column in every aux schema
+        (engine/interfaces.py), so read semantics — including per-round
+        filters — are unchanged. Atomicity matches compact_seen: all tables'
+        gen dirs are written first, then ONE manifest swap flips every
+        table at once; a crash in between leaves an invisible orphan gen."""
+        if not self.root or not self.rounds:
+            return
+        pairs = self._aux_tables_on_disk()
+        if not pairs:
+            return
+        gen = (self._aux_base["gen"] + 1) if self._aux_base else 1
+        for iface, table in sorted(pairs):
+            df = self.aux(iface, table)
+            if df is None:
+                continue
+            # aux tables have no host_bucket; bound the file count instead.
+            # At cluster scale this becomes repartition on the table's join
+            # key (file_id / match_id) to keep downstream joins co-located.
+            df.coalesce(8).write.mode("overwrite").parquet(
+                self._aux_base_dir(gen, iface, table)
+            )
+        self._aux_base = {"gen": gen, "upto": self.last_round()}
+        self._commit_manifest()
+
+    def vacuum_aux(self) -> None:
+        """Delete files superseded by compact_aux: older base generations
+        and per-round aux dirs at or below the compacted watermark."""
+        import shutil
+
+        if not self.root or not self._aux_base:
+            return
+        gen, upto = self._aux_base["gen"], self._aux_base["upto"]
+        base_root = os.path.join(self.root, "aux_base")
+        if os.path.isdir(base_root):
+            for entry in os.listdir(base_root):
+                if entry.startswith("gen=") and int(entry.split("=", 1)[1]) != gen:
+                    shutil.rmtree(os.path.join(base_root, entry))
+        for r in self.rounds:
+            if r <= upto:
+                d = os.path.join(self.root, f"round={r}", "aux")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
 
     def vacuum_frontiers(self, keep_last: int = 1) -> None:
         """Delete superseded frontier snapshots. Every commit_round writes a

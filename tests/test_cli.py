@@ -101,7 +101,9 @@ def test_cli_compact(tmp_path):
 
     out = run("compact", "--state", state_dir, "--cores", "8")
     assert out == {
-        "cmd": "compact", "rounds": 3, "gen": 1, "upto": 3, "vacuumed": True,
+        "cmd": "compact", "rounds": 3, "gen": 1, "upto": 3,
+        # no interfaces attached -> no aux tables to compact
+        "aux_gen": None, "vacuumed": True,
     }
     manifest = json.load(open(os.path.join(state_dir, "manifest.json")))
     assert manifest["seen_base"] == {"gen": 1, "upto": 3}

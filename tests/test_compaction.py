@@ -92,6 +92,99 @@ def test_compact_vacuum_resume_parity(spark, tmp_path):
     pd.testing.assert_frame_equal(final, _seen_pdf(StateStore(spark, root=state)))
 
 
+def _aux_pdf(store: StateStore, iface: str, table: str) -> pd.DataFrame:
+    df = store.aux(iface, table)
+    assert df is not None
+    cols = sorted(df.columns)
+    return (
+        df.toPandas()
+        .astype("object")
+        .reindex(cols, axis=1)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+
+def test_compact_aux_parity_and_resume(spark, tmp_path):
+    """commit_aux appends ~10 dirs per round with all three interfaces
+    attached; compact_aux must collapse them into one base generation per
+    table with byte-identical read results (round stays a data column),
+    survive a resume that appends fresh per-round dirs on top, and support
+    the steady-state second compaction."""
+    from crawler_spark.engine.interfaces import (
+        CaptionSIInterface,
+        KernelFarerInterface,
+        RebaseDLInterface,
+    )
+
+    ifaces = lambda: [CaptionSIInterface(), RebaseDLInterface(), KernelFarerInterface()]  # noqa: E731
+    w = datagen.make_world(n_urls=200, n_hosts=6, n_images=30, with_corpus=True)
+    sdf = datagen.to_spark(spark, w)
+    cfg = CrawlConfig(page_size=40, tries=2, max_rounds=50)
+
+    full = crawl(
+        spark, sdf, cfg, with_payload=True, interfaces=ifaces(),
+        state_dir=str(tmp_path / "full"),
+    )
+
+    state = str(tmp_path / "comp")
+    cut = dataclasses.replace(cfg, max_rounds=2)
+    crawl(spark, sdf, cut, with_payload=True, interfaces=ifaces(), state_dir=state)
+
+    tables = [
+        ("si", "files"),
+        ("si", "matches"),
+        ("rebasedl", "matches"),
+        ("kernel_farer", "matches"),
+    ]
+    store = StateStore(spark, root=state)
+    before = {(i, t): _aux_pdf(store, i, t) for i, t in tables}
+    store.compact_seen()
+    store.compact_aux()
+    store.vacuum_seen()
+    store.vacuum_aux()
+
+    # reopen from disk: manifest points every table at the base generation
+    store2 = StateStore(spark, root=state)
+    for i, t in tables:
+        pd.testing.assert_frame_equal(before[(i, t)], _aux_pdf(store2, i, t))
+    assert glob.glob(os.path.join(state, "aux_base", "gen=1", "si", "files", "*.parquet"))
+    assert not glob.glob(os.path.join(state, "round=*", "aux"))
+
+    # resume appends fresh per-round aux dirs on top of the base; the union
+    # must equal the uninterrupted crawl's tables
+    resumed = crawl(
+        spark, sdf, cfg, with_payload=True, interfaces=ifaces(),
+        state_dir=state, resume=True,
+    )
+    assert resumed.rounds == full.rounds
+    fstore = StateStore(spark, root=str(tmp_path / "full"))
+    rstore = StateStore(spark, root=state)
+    for i, t in tables:
+        pd.testing.assert_frame_equal(
+            _aux_pdf(fstore, i, t), _aux_pdf(rstore, i, t)
+        )
+
+    # steady-state second compaction over base + post-resume rounds
+    final = {(i, t): _aux_pdf(rstore, i, t) for i, t in tables}
+    rstore.compact_aux()
+    rstore.vacuum_aux()
+    assert not os.path.isdir(os.path.join(state, "aux_base", "gen=1"))
+    store3 = StateStore(spark, root=state)
+    for i, t in tables:
+        pd.testing.assert_frame_equal(final[(i, t)], _aux_pdf(store3, i, t))
+
+    # orphan gen (crash before manifest swap) is invisible to a fresh reader
+    orphan = os.path.join(state, "aux_base", "gen=3", "si", "files")
+    os.makedirs(orphan)
+    store3.aux("si", "files").limit(1).write.mode("overwrite").parquet(orphan)
+    fresh = StateStore(spark, root=state)
+    assert fresh._aux_base["gen"] == 2
+    pd.testing.assert_frame_equal(
+        final[("si", "files")], _aux_pdf(fresh, "si", "files")
+    )
+
+
 def test_vacuum_frontiers_keeps_resume_intact(spark, tmp_path):
     """Old frontier snapshots are the largest per-round artifact and only
     the LAST committed one feeds resume: vacuum_frontiers must delete the
