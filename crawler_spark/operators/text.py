@@ -177,6 +177,20 @@ def _duck_kgrams(k: int) -> str:
     )
 
 
+def gram_hashes(docs: DataFrame, k: int = DECONTAM_K) -> DataFrame:
+    """Per-document k-token-gram 32-bit hashes: (doc_id, h), one row per
+    gram occurrence. Works on batch AND streaming inputs (pure per-row
+    tokenize → explode → hash, no shuffle) — the shared front half of the
+    batch `decontaminate` and `streaming.stream_decontaminate`."""
+    from .common import spark_h32
+
+    return (
+        docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_spark_kgrams(k))).alias("gram"))
+        .select("doc_id", F.expr(spark_h32("gram")).alias("h"))
+    )
+
+
 def decontaminate(spark: SparkSession, sf_dir: str, k: int = DECONTAM_K,
                   eval_mod: int = DECONTAM_EVAL_MOD) -> DataFrame:
     """Benchmark decontamination (the GPT-3/C4-style overlap scrub): flag
@@ -190,14 +204,7 @@ def decontaminate(spark: SparkSession, sf_dir: str, k: int = DECONTAM_K,
     split here is a deterministic stand-in (doc_id % eval_mod == 0); a real
     pipeline reads a benchmark table — the dataflow is identical.
     """
-    from .common import spark_h32
-
-    grams = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
-        .select("doc_id", F.explode(F.expr(_spark_kgrams(k))).alias("gram"))
-        .select("doc_id", F.expr(spark_h32("gram")).alias("h"))
-    )
+    grams = gram_hashes(load(spark, sf_dir, "documents"), k)
     eval_grams = grams.filter(F.expr(f"doc_id % {eval_mod} = 0")).select("h").distinct()
     return (
         grams.filter(F.expr(f"doc_id % {eval_mod} <> 0"))

@@ -1,4 +1,5 @@
 from .rounds import (  # noqa: F401
+    stream_decontaminate,
     stream_first_seen,
     stream_first_seen_rocksdb,
     stream_link_extract,

@@ -165,6 +165,41 @@ def stream_first_seen_rocksdb(discovered: DataFrame) -> DataFrame:
     )
 
 
+def stream_decontaminate(docs_stream: DataFrame, eval_grams: DataFrame,
+                         k: int = 8) -> DataFrame:
+    """Streaming twin of `operators.text.decontaminate` — benchmark
+    decontamination for documents that arrive continuously (the ingest-time
+    scrub: flag contaminated docs as they land instead of re-scanning the
+    corpus per eval-suite release).
+
+    `docs_stream` (streaming): (doc_id long, text string).
+    `eval_grams` (STATIC batch): distinct k-gram hashes `h` of the held-out
+    eval suite — MBs even for large suites, so it rides the stream-static
+    join as a broadcast: the per-gram path is STATELESS (tokenize → explode
+    → hash → broadcast-probe, no shuffle before the join survivors).
+
+    State exists only past the join and only for contaminated docs:
+    dropDuplicates(doc_id, h) makes redelivered input idempotent
+    (at-least-once sources re-emitting a document cannot inflate its
+    count), and the per-doc aggregate then counts the surviving distinct
+    grams (streaming forbids countDistinct; after the dedup, count IS
+    distinct). Run with outputMode("update"); the latest row per doc_id is
+    its current n_eval_grams. Both stateful stages key on a tiny fraction
+    of the stream (only grams that hit the eval suite), so state stays
+    O(contamination), not O(corpus); add `.withWatermark` on an event-time
+    column upstream to bound it further in a long-lived deployment."""
+    from ..operators.text import gram_hashes
+
+    hits = gram_hashes(docs_stream, k).join(
+        F.broadcast(eval_grams.select("h").distinct()), "h"
+    )
+    return (
+        hits.dropDuplicates(["doc_id", "h"])
+        .groupBy("doc_id")
+        .agg(F.count("h").alias("n_eval_grams"))
+    )
+
+
 def stream_windowed_lineage(discovered: DataFrame, window: str = "10 seconds",
                             watermark: str = "30 seconds") -> DataFrame:
     """Tumbling-window per-host-bucket discovery counters with late-data

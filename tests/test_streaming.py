@@ -121,6 +121,63 @@ def test_stream_first_seen_cross_batch_state(spark, tmp_path):
     assert set(got.loc[got["host_bucket"] == 1, "url_id"]) == {3, 4, 6}
 
 
+def test_stream_decontaminate_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The streaming overlap scrub must (a) produce the batch operator's
+    exact per-doc contamination counts across micro-batches and (b) be
+    idempotent under at-least-once redelivery: a batch containing already
+    seen documents changes nothing."""
+    from crawler_spark.operators.text import (
+        DECONTAM_EVAL_MOD,
+        decontaminate,
+        gram_hashes,
+    )
+    from crawler_spark.streaming import stream_decontaminate
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    schema = "doc_id long, text string"
+
+    # static eval side: distinct gram hashes of the held-out split
+    eval_grams = (
+        gram_hashes(docs.filter(f"doc_id % {DECONTAM_EVAL_MOD} = 0"))
+        .select("h")
+        .distinct()
+    )
+
+    # training stream in two micro-batches + a REDELIVERY of batch 1
+    train = docs.filter(f"doc_id % {DECONTAM_EVAL_MOD} <> 0")
+    src = str(tmp_path / "docs")
+    b1 = train.filter("doc_id % 3 = 1")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    train.filter("doc_id % 3 <> 1").coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)  # duplicate delivery
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_decontaminate(stream, eval_grams)
+        .writeStream.format("memory")
+        .queryName("decontam")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("select * from decontam")
+        .toPandas()
+        .groupby("doc_id")["n_eval_grams"]
+        .last()  # update mode: the latest emitted row per doc is current
+        .sort_index()
+    )
+    want = (
+        decontaminate(spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")["n_eval_grams"]
+        .sort_index()
+    )
+    assert got.astype("int64").equals(want.astype("int64"))
+
+
 def test_stream_first_seen_rocksdb_guard_without_protobuf(spark):
     """In an environment without protobuf (this sandbox), the rocksdb
     variant must fail fast with an actionable error instead of the
