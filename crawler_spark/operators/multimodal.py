@@ -638,6 +638,112 @@ FROM w GROUP BY k
 """
 
 
+# -- image quality gate (the LAION-style pre-training filter) ---------------
+#
+# Drop decoded images that are near-constant (no signal), too dark, or too
+# bright BEFORE they reach expensive downstream stages (embedding, caption
+# alignment). Per-image gray mean/variance are whole-batch einsum sums over
+# the decoded pixels — the same Arrow-vectorized kernel shape as
+# mm_decode_features, one pass, no per-image Python. Exactness: the gray
+# channel sum and sum-of-squares are small exact int64s, every divisor is a
+# power of two, and mean^2 has <= 16 fractional bits — so mean/variance are
+# exact in float64 and DuckDB recomputes them bit-identically from the
+# closed-form pattern. Thresholds are config: QUAL_VAR_MIN sits at the
+# synthetic corpus's variance median so keep and drop BOTH occur (~50/50);
+# the mean bounds are structurally exercised but constant-false here — the
+# gradient pattern has no all-dark/all-bright images (means 377..388).
+
+QUAL_VAR_MIN = 6900.0   # flat below this gray variance (corpus: 6584..7246)
+QUAL_MEAN_LO = 64.0     # too dark below (gray in 0..765 = r+g+b)
+QUAL_MEAN_HI = 704.0    # too bright above
+
+QUALITY_SCHEMA = (
+    "image_id string, fmt string, mean_gray double, var_gray double, "
+    "too_dark boolean, too_bright boolean, too_flat boolean, keep boolean"
+)
+
+
+def _quality_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    side = MM_SIDE
+    npix = side * side
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        blobs = pdf["bytes"].to_numpy()
+        full = np.stack([np.frombuffer(b, np.uint8) for b in blobs])
+        px = full[:, _MM_HDR:].reshape(n, side, side, 3).astype(np.int64)
+        gray = px.sum(axis=3)  # 0..765 per pixel
+        gsum = np.einsum("nij->n", gray)
+        gsq = np.einsum("nij,nij->n", gray, gray)
+        mean = gsum.astype(np.float64) / npix
+        var = gsq.astype(np.float64) / npix - mean * mean
+        too_dark = mean < QUAL_MEAN_LO
+        too_bright = mean > QUAL_MEAN_HI
+        too_flat = var < QUAL_VAR_MIN
+        yield pd.DataFrame(
+            {
+                "image_id": pdf["image_id"],
+                "fmt": np.where(full[:, 4] == ord("j"), "jpg", "png"),
+                "mean_gray": mean,
+                "var_gray": var,
+                "too_dark": too_dark,
+                "too_bright": too_bright,
+                "too_flat": too_flat,
+                "keep": ~(too_dark | too_bright | too_flat),
+            }
+        )
+
+
+def mm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table_rows(sf_dir, "documents") // 5
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_pattern_corpus, schema=datagen.WORLD_SCHEMAS["corpus"]
+    )
+    return corpus.mapInPandas(_quality_features, schema=QUALITY_SCHEMA)
+
+
+QUALITY_SQL = f"""
+WITH ks AS (
+  SELECT k FROM (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
+  ) WHERE k < (SELECT count(*) // 5 FROM documents)
+),
+px AS (
+  SELECT k,
+         (k*7919 + i.range*131 + j.range*17) % 256 AS r0,
+         (k*7919 + i.range*131 + j.range*17 + 101) % 256 AS g0,
+         (k*7919 + i.range*131 + j.range*17 + 202) % 256 AS b0,
+         k % 2 = 1 AS lossy
+  FROM ks, range(0, {MM_SIDE}) i, range(0, {MM_SIDE}) j
+),
+g AS (
+  SELECT k, lossy,
+         (CASE WHEN lossy THEN (r0//4)*4+2 ELSE r0 END
+        + CASE WHEN lossy THEN (g0//4)*4+2 ELSE g0 END
+        + CASE WHEN lossy THEN (b0//4)*4+2 ELSE b0 END)::bigint AS gray
+  FROM px
+),
+s AS (
+  SELECT k, bool_or(lossy) AS lossy,
+         sum(gray)::double / {MM_SIDE * MM_SIDE} AS mean_gray,
+         sum(gray*gray)::double / {MM_SIDE * MM_SIDE}
+           - (sum(gray)::double / {MM_SIDE * MM_SIDE})
+             * (sum(gray)::double / {MM_SIDE * MM_SIDE}) AS var_gray
+  FROM g GROUP BY k
+)
+SELECT 'img' || k AS image_id,
+       CASE WHEN lossy THEN 'jpg' ELSE 'png' END AS fmt,
+       mean_gray, var_gray,
+       mean_gray < {QUAL_MEAN_LO} AS too_dark,
+       mean_gray > {QUAL_MEAN_HI} AS too_bright,
+       var_gray < {QUAL_VAR_MIN} AS too_flat,
+       NOT (mean_gray < {QUAL_MEAN_LO} OR mean_gray > {QUAL_MEAN_HI}
+            OR var_gray < {QUAL_VAR_MIN}) AS keep
+FROM s
+"""
+
+
 # -- frame/sample selection on metadata (oracle-checked) --------------------
 def mm_sample_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 1-in-8 sampling by content hash (the frame-sampling

@@ -373,6 +373,167 @@ FROM sized
 PACK_SQL = _pack_sql()
 
 
+# -- intra-document repetition metrics (the Gopher/C4-style repetition
+# filter): documents dominated by one token or long consecutive runs are
+# low-quality for training. max_run is a LINEAR per-row fold (no shuffle);
+# top-token frequency uses the wordcount shape — explode + two-level
+# groupBy, whose map-side partial aggregation collapses each partition to
+# its distinct (doc, token) pairs before the exchange, so the shuffle
+# carries vocabulary, not corpus, volume. The metrics ride ONE documents
+# scan: the fold columns are projected before the explode and carried
+# through the aggregates with first().
+REP_TOP_FRAC_MAX = 0.2  # flag when one token is > 20% of the doc
+REP_RUN_MAX = 2         # flag runs of >= 3 identical consecutive tokens
+
+_SPARK_MAX_RUN = (
+    "aggregate(toks, named_struct('p', '', 'r', 0, 'b', 0), "
+    "(a, x) -> named_struct("
+    "'p', x, "
+    "'r', if(x = a.p, a.r + 1, 1), "
+    "'b', greatest(a.b, if(x = a.p, a.r + 1, 1))), "
+    "a -> a.b)"
+)
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+    )
+    base = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.expr(_SPARK_MAX_RUN).cast("long").alias("max_run"),
+        F.explode("toks").alias("tok"),
+    )
+    per_tok = base.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("cnt"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_distinct").alias("n_distinct"),
+        F.first("max_run").alias("max_run"),
+    )
+    agg = per_tok.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_distinct").alias("n_distinct"),
+        F.first("max_run").alias("max_run"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    top_frac = F.col("top_cnt") / F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+        "max_run",
+        ((top_frac > REP_TOP_FRAC_MAX) | (F.col("max_run") > REP_RUN_MAX)).alias(
+            "repetitive"
+        ),
+    )
+
+
+# DuckDB 1.0's list_reduce mis-evaluates a lambda whose struct literal
+# repeats a subexpression across fields (the max-run fold came out one too
+# high), so the oracle computes runs with the plain gaps-and-islands window
+# idiom over positional tokens instead of a fold.
+REPETITION_SQL = f"""
+WITH toksd AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+),
+pos AS (
+  -- zipped unnests (range() cannot be laterally parameterized in 1.0)
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM toksd
+),
+isl AS (
+  SELECT doc_id, tok,
+         pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+  FROM pos
+),
+runlen AS (
+  SELECT doc_id, count(*)::bigint AS rl FROM isl GROUP BY doc_id, tok, grp
+),
+m AS (
+  SELECT t.doc_id, len(toks)::bigint AS n_tokens,
+         len(list_distinct(toks))::bigint AS n_distinct,
+         mr.max_run
+  FROM toksd t
+  JOIN (SELECT doc_id, max(rl) AS max_run FROM runlen GROUP BY doc_id) mr
+    ON t.doc_id = mr.doc_id
+),
+tc AS (
+  SELECT doc_id, tok, count(*)::bigint AS cnt
+  FROM pos GROUP BY doc_id, tok
+),
+top AS (SELECT doc_id, max(cnt) AS top_cnt FROM tc GROUP BY doc_id)
+SELECT m.doc_id::bigint AS doc_id, n_tokens, n_distinct,
+       round(n_distinct::double / n_tokens, 6) AS distinct_ratio,
+       round(top_cnt::double / n_tokens, 6) AS top_token_frac,
+       max_run,
+       (top_cnt::double / n_tokens > {REP_TOP_FRAC_MAX}
+        OR max_run > {REP_RUN_MAX}) AS repetitive
+FROM m JOIN top ON m.doc_id = top.doc_id
+"""
+
+
+# -- PII scrub (regex redaction with counts) --------------------------------
+# The pre-training privacy pass: find-and-redact email/phone-shaped spans,
+# reporting per-doc counts for audit. Pure per-row regex map — one scan,
+# zero shuffle at any scale. The synthetic corpus contains no PII-shaped
+# strings, so a deterministic contact suffix is appended to every third
+# document INSIDE the query (documented stand-in, identical in both
+# engines); a real pipeline runs the same expressions on the raw text.
+# Patterns avoid constructs where Java's leftmost-first backtracking and
+# DuckDB/RE2's leftmost-longest matching could disagree, and avoid
+# backslash escapes entirely ([.] not \.) — Spark SQL string literals and
+# DuckDB standard strings treat backslashes differently.
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z]+[.][a-z]+"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+_PII_AUG = (
+    "concat(text, CASE WHEN doc_id % 3 = 0 THEN "
+    "' contact user' || CAST(doc_id AS STRING) || '@example.com or call 555-' "
+    "|| lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END)"
+)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_AUG).alias("aug"))
+    return aug.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(aug, '{PII_EMAIL_RE}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(aug, '{PII_PHONE_RE}', 0)"))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("aug", PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+    )
+
+
+PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN
+           ' contact user' || doc_id::varchar || '@example.com or call 555-'
+           || lpad((doc_id % 10000)::varchar, 4, '0') ELSE '' END AS aug
+  FROM documents
+)
+SELECT doc_id::bigint AS doc_id,
+       len(regexp_extract_all(aug, '{PII_EMAIL_RE}'))::bigint AS n_emails,
+       len(regexp_extract_all(aug, '{PII_PHONE_RE}'))::bigint AS n_phones,
+       regexp_replace(regexp_replace(aug, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM aug
+"""
+
+
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
 }

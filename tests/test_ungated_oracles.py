@@ -12,8 +12,10 @@ from __future__ import annotations
 from crawler_spark.operators.multimodal import (
     AUDIO_FEATURES_SQL,
     BINARY_STATS_SQL,
+    QUALITY_SQL,
     mm_audio_features,
     mm_binary_stats,
+    mm_quality_filter,
 )
 from crawler_spark.operators.pipeline import PIPELINE_SQL, pipeline_clean_corpus
 from crawler_spark.operators.similarity import ANN_MULTIPROBE_SQL, ann_multiprobe_topk
@@ -22,10 +24,14 @@ from crawler_spark.operators.text import (
     FINGERPRINT_SQL,
     MIXTURE_SQL,
     PACK_SQL,
+    PII_SQL,
+    REPETITION_SQL,
     decontaminate,
     pack_sequences,
     sample_mixture,
     text_fingerprint,
+    text_pii_scrub,
+    text_repetition,
 )
 from crawler_spark.oracle_check import compare_one, duck_connect
 
@@ -43,6 +49,9 @@ def test_ungated_builders_match_oracle(spark):
         ("sample_mixture", sample_mixture, MIXTURE_SQL),
         ("pack_sequences", pack_sequences, PACK_SQL),
         ("ann_multiprobe_topk", ann_multiprobe_topk, ANN_MULTIPROBE_SQL),
+        ("text_repetition", text_repetition, REPETITION_SQL),
+        ("text_pii_scrub", text_pii_scrub, PII_SQL),
+        ("mm_quality_filter", mm_quality_filter, QUALITY_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
