@@ -534,6 +534,56 @@ FROM aug
 """
 
 
+# -- stratified fixed-quota sampling ----------------------------------------
+# The eval-set/ablation-split builder: take EXACTLY `quota` documents per
+# stratum (source), chosen by ranking a salted per-doc hash inside each
+# stratum — deterministic, order-independent, and re-runnable (the same
+# property sample_mixture has, but with exact per-stratum counts instead of
+# expected rates; a mixture audit needs both). Scale shape: the window
+# partitions by stratum, so each stratum ranks independently — the shuffle
+# is one exchange keyed by source, and AQE handles a skewed stratum. With
+# millions of strata the rank is per-group top-k (partial top-k map-side
+# would apply via groupBy/min_by at small quotas).
+STRATA_QUOTA = 15  # below the smallest stratum even at sf0.001 (25/source)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str,
+                      quota: int = STRATA_QUOTA) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .common import spark_h32
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(spark_h32("'strat:' || cast(doc_id as string)")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _stratified_sql(quota: int = STRATA_QUOTA) -> str:
+    from .common import duck_h32
+
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {duck_h32("'strat:' || doc_id::varchar")} ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id::bigint AS doc_id, source, rk::bigint AS rk
+FROM ranked WHERE rk <= {quota}
+"""
+
+
+STRATIFIED_SQL = _stratified_sql()
+
+
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
 }

@@ -26,9 +26,11 @@ from crawler_spark.operators.text import (
     PACK_SQL,
     PII_SQL,
     REPETITION_SQL,
+    STRATIFIED_SQL,
     decontaminate,
     pack_sequences,
     sample_mixture,
+    sample_stratified,
     text_fingerprint,
     text_pii_scrub,
     text_repetition,
@@ -50,6 +52,7 @@ def test_ungated_builders_match_oracle(spark):
         ("pack_sequences", pack_sequences, PACK_SQL),
         ("ann_multiprobe_topk", ann_multiprobe_topk, ANN_MULTIPROBE_SQL),
         ("text_repetition", text_repetition, REPETITION_SQL),
+        ("sample_stratified", sample_stratified, STRATIFIED_SQL),
         ("text_pii_scrub", text_pii_scrub, PII_SQL),
         ("mm_quality_filter", mm_quality_filter, QUALITY_SQL),
     ]:
