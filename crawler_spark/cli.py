@@ -146,6 +146,16 @@ def main(argv: list[str] | None = None) -> int:
         if name == "mine":
             p.add_argument("--host", default=None, help="restrict to one host")
         p.set_defaults(**arg_defaults)
+    pp = sub.add_parser(
+        "pipeline",
+        help="run the clean-corpus training pipeline (quality gate -> exact "
+        "dedup -> near-dup representatives -> embedding coverage) over a "
+        "table dir and write the per-document train_keep manifest",
+    )
+    pp.add_argument("--config", default=None)
+    pp.add_argument("--sf-dir", required=True, help="dir of documents/embeddings parquet")
+    pp.add_argument("--out", required=True, help="manifest parquet output dir")
+    pp.add_argument("--cores", type=int, default=toml_defaults.get("cores"))
     pc = sub.add_parser(
         "compact",
         help="seen-table maintenance: rewrite committed rounds into one "
@@ -166,6 +176,33 @@ def main(argv: list[str] | None = None) -> int:
         help="delete superseded files after the manifest swap",
     )
     args = parser.parse_args(argv)
+
+    if args.cmd == "pipeline":
+        from pyspark.sql import functions as F
+
+        from .operators.pipeline import pipeline_clean_corpus
+
+        spark = get_spark(cores=args.cores)
+        pipeline_clean_corpus(spark, args.sf_dir).coalesce(8).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        manifest = spark.read.parquet(args.out)
+        row = manifest.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("train_keep").cast("int")).alias("n_keep"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "cmd": "pipeline",
+                    "out": args.out,
+                    "n_docs": int(row["n_docs"]),
+                    "n_keep": int(row["n_keep"]),
+                }
+            )
+        )
+        spark.stop()
+        return 0
 
     if args.cmd == "compact":
         from .engine.state import StateStore

@@ -74,6 +74,32 @@ def test_cli_toml_config(tmp_path):
     assert p2.returncode != 0 and "unknown key" in (p2.stderr + p2.stdout)
 
 
+def test_cli_pipeline_manifest(tmp_path):
+    """`pipeline` subcommand: run the clean-corpus composition over the
+    sf0.001 tables and write the train_keep manifest; the summary counts
+    must agree with the written parquet."""
+    import duckdb
+
+    out_dir = str(tmp_path / "manifest")
+    p = subprocess.run(
+        [
+            sys.executable, "-m", "crawler_spark.cli", "pipeline",
+            "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir,
+            "--cores", "8",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    assert line, p.stderr[-800:]
+    out = json.loads(line[-1])
+    assert out["cmd"] == "pipeline" and out["n_docs"] == 500
+    assert 0 < out["n_keep"] < out["n_docs"]
+    got = duckdb.sql(
+        f"select count(*), sum(train_keep::int) from read_parquet('{out_dir}/*.parquet')"
+    ).fetchone()
+    assert got == (out["n_docs"], out["n_keep"])
+
+
 def test_cli_compact(tmp_path):
     """`compact` subcommand: crawl to a checkpoint, compact+vacuum it, and
     a subsequent crawl --resume must pick up from the base generation."""
