@@ -9,6 +9,8 @@ verification here, so a regression cannot hide in the fold.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from crawler_spark.operators.multimodal import (
     AUDIO_FEATURES_SQL,
     BINARY_STATS_SQL,
@@ -58,3 +60,60 @@ def test_ungated_builders_match_oracle(spark):
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
+
+
+def test_max_run_fold_randomized(spark):
+    """The repetition filter's max-consecutive-run is computed by two
+    different mechanisms (Spark: linear HOF fold; DuckDB oracle:
+    gaps-and-islands windows — its list_reduce mis-folds repeated
+    subexpressions). Check both against a pure-Python reference on seeded
+    random lists plus the edge cases the corpus never hits (empty,
+    singleton, all-same, alternating)."""
+    import random
+
+    import duckdb
+
+    from crawler_spark.operators.text import _SPARK_MAX_RUN
+
+    rng = random.Random(42)
+    cases = [[], ["a"], ["a"] * 7, ["a", "b"] * 5, ["a", "a", "b", "b", "b"]]
+    for _ in range(200):
+        n = rng.randint(0, 30)
+        cases.append([rng.choice("abc") for _ in range(n)])
+
+    def ref(toks):
+        best = run = 0
+        prev = None
+        for t in toks:
+            run = run + 1 if t == prev else 1
+            best = max(best, run)
+            prev = t
+        return best
+
+    want = [ref(t) for t in cases]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i int, toks array<string>"
+    )
+    got = {
+        r["i"]: r["mr"]
+        for r in df.select("i", F.expr(_SPARK_MAX_RUN).alias("mr")).collect()
+    }
+    assert [got[i] for i in range(len(cases))] == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i int, toks varchar[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    duck = con.execute("""
+        WITH pos AS (
+          SELECT i, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS pos FROM t
+        ),
+        isl AS (
+          SELECT i, tok, pos - row_number() OVER (PARTITION BY i, tok ORDER BY pos) AS grp
+          FROM pos
+        ),
+        runlen AS (SELECT i, count(*) AS rl FROM isl GROUP BY i, tok, grp)
+        SELECT t.i, coalesce(max(rl), 0) FROM t LEFT JOIN runlen ON t.i = runlen.i
+        GROUP BY t.i ORDER BY t.i
+    """).fetchall()
+    assert [int(v) for _, v in duck] == want
