@@ -655,6 +655,14 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "q8", "qn")
         .collect()  # N_QUERIES rows off the checkpoint leaf — not the corpus
     )
+    if not qrows:
+        # degenerate corpus with no query vectors: empty result, same
+        # schema (the old join formulation yielded this implicitly)
+        return qz.select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(1).alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+        ).limit(0)
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["q8"] for r in qrows], dtype=np.int64)
     q_qn = np.array([r["qn"] for r in qrows], dtype=np.float64)

@@ -166,7 +166,7 @@ def stream_first_seen_rocksdb(discovered: DataFrame) -> DataFrame:
 
 
 def stream_decontaminate(docs_stream: DataFrame, eval_grams: DataFrame,
-                         k: int = 8) -> DataFrame:
+                         k: int | None = None) -> DataFrame:
     """Streaming twin of `operators.text.decontaminate` — benchmark
     decontamination for documents that arrive continuously (the ingest-time
     scrub: flag contaminated docs as they land instead of re-scanning the
@@ -188,9 +188,11 @@ def stream_decontaminate(docs_stream: DataFrame, eval_grams: DataFrame,
     of the stream (only grams that hit the eval suite), so state stays
     O(contamination), not O(corpus); add `.withWatermark` on an event-time
     column upstream to bound it further in a long-lived deployment."""
-    from ..operators.text import gram_hashes
+    from ..operators.text import DECONTAM_K, gram_hashes
 
-    hits = gram_hashes(docs_stream, k).join(
+    # default k follows the batch twin so the two scrubs cannot silently
+    # diverge on gram width if DECONTAM_K is retuned
+    hits = gram_hashes(docs_stream, DECONTAM_K if k is None else k).join(
         F.broadcast(eval_grams.select("h").distinct()), "h"
     )
     return (

@@ -166,8 +166,8 @@ def test_stream_decontaminate_matches_batch_and_is_idempotent(spark, tmp_path):
         spark.sql("select * from decontam")
         .toPandas()
         .groupby("doc_id")["n_eval_grams"]
-        .last()  # update mode: the latest emitted row per doc is current
-        .sort_index()
+        .max()  # counts are monotone across updates; max avoids relying
+        .sort_index()  # on memory-sink row order
     )
     want = (
         decontaminate(spark, sf_dir)
