@@ -7,7 +7,9 @@ file-tree scans, and UTF-8 file reads. Spark-side the same roles are:
                              predicate pushdown come free from the format)
   S5/S7  payload fetch    -> read_binary_dir (spark.read.format('binaryFile'))
   S2     JSON decode      -> read_jsonl (schema-explicit, PERMISSIVE with
-                             corrupt-record capture, no sampling pass)
+                             corrupt-record capture, no sampling pass);
+                             read_csv carries the same contract for
+                             delimited input
   S9     config           -> job params (crawler_spark.oracle.CrawlConfig)
 """
 
@@ -58,4 +60,20 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: str,
+             header: bool = True) -> DataFrame:
+    """CSV with the same contract as read_jsonl: EXPLICIT schema (no
+    driver-side inference scan) and PERMISSIVE corrupt-record capture — a
+    malformed row lands in `_corrupt` with null data columns instead of
+    being silently dropped or failing the job, so the caller audits bad
+    input with a `_corrupt IS NOT NULL` filter (pushed to the scan)."""
+    return (
+        spark.read.schema(schema + ", _corrupt string")
+        .option("header", "true" if header else "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
     )

@@ -63,3 +63,26 @@ def test_jsonl_corrupt_capture(spark, tmp_path):
         "http://a.example/x", "http://b.example/y"
     }
     df.unpersist()
+
+
+def test_csv_corrupt_capture(spark, tmp_path):
+    """read_csv shares read_jsonl's contract: explicit schema, malformed
+    rows captured in _corrupt (extra columns / unparsable types), good
+    rows typed."""
+    from crawler_spark.sources.readers import read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "url,stars\n"
+        "http://a.example/x,10\n"
+        "http://bad.example/z,not_a_number\n"
+        "http://b.example/y,7\n"
+    )
+    df = read_csv(spark, str(p), "url string, stars int").cache()
+    good = df.filter(df._corrupt.isNull())
+    bad = df.filter(df._corrupt.isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "not_a_number" in bad.collect()[0]["_corrupt"]
+    assert {r["stars"] for r in good.collect()} == {10, 7}
+    df.unpersist()
