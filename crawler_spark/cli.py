@@ -156,6 +156,15 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--sf-dir", required=True, help="dir of documents/embeddings parquet")
     pp.add_argument("--out", required=True, help="manifest parquet output dir")
     pp.add_argument("--cores", type=int, default=toml_defaults.get("cores"))
+    pr = sub.add_parser(
+        "recall",
+        help="measure ANN recall@k (band/multiprobe/IVF/SQ8 vs exact "
+        "brute force) and LSH near-dup candidate recall over a table dir "
+        "— the tuning numbers for the approximate indexes",
+    )
+    pr.add_argument("--config", default=None)
+    pr.add_argument("--sf-dir", required=True, help="dir of documents/embeddings parquet")
+    pr.add_argument("--cores", type=int, default=toml_defaults.get("cores"))
     pc = sub.add_parser(
         "compact",
         help="seen-table maintenance: rewrite committed rounds into one "
@@ -176,6 +185,20 @@ def main(argv: list[str] | None = None) -> int:
         help="delete superseded files after the manifest swap",
     )
     args = parser.parse_args(argv)
+
+    if args.cmd == "recall":
+        from .operators.dedup import lsh_recall
+        from .operators.similarity import ann_recall
+
+        spark = get_spark(cores=args.cores)
+        out = {
+            "cmd": "recall",
+            "ann": ann_recall(spark, args.sf_dir),
+            "lsh": lsh_recall(spark, args.sf_dir),
+        }
+        print(json.dumps(out))
+        spark.stop()
+        return 0
 
     if args.cmd == "pipeline":
         from pyspark.sql import functions as F
