@@ -459,11 +459,12 @@ N_PROBE = 2
 _CSCALE = 1 << 20
 
 
-def _trained_centroids(base: DataFrame) -> DataFrame:
-    """(c_id, ce array<double>, _n_ce) — the one-iteration Lloyd codebook."""
-    exploded = base.select(
-        F.pmod("vec_id", F.lit(N_CENTROIDS)).alias("c_id"),
-        F.posexplode("embedding").alias("pos", "x"),
+def _centroid_means(base: DataFrame, assign: DataFrame) -> DataFrame:
+    """(c_id, ce array<double>, _n_ce): per-dimension means of each
+    assignment's members, accumulated in INTEGER space (order-independent,
+    so bit-identical across engines and partitionings)."""
+    exploded = base.join(assign, "vec_id").select(
+        "c_id", F.posexplode("embedding").alias("pos", "x")
     )
     sums = exploded.groupBy("c_id", "pos").agg(
         F.sum(F.expr(f"cast(floor(cast(x as double) * {_CSCALE} + 0.5d) as bigint)")).alias("s"),
@@ -484,10 +485,8 @@ def _trained_centroids(base: DataFrame) -> DataFrame:
     )
 
 
-def _centroid_affinity(base: DataFrame, id_col: str) -> DataFrame:
-    """(id, c_id, cos) for every vector x centroid, centroids broadcast.
-    Both sides read the materialized index (norms precomputed)."""
-    cents = _trained_centroids(base)
+def _affinity_to(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(id, c_id, c_cos) for every vector x centroid, centroids broadcast."""
     vecs = _side(base, id_col, "ve")
     return vecs.join(F.broadcast(cents)).select(
         id_col,
@@ -496,17 +495,48 @@ def _centroid_affinity(base: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trained_centroids(base: DataFrame, n_iter: int = 1) -> DataFrame:
+    """The Lloyd codebook: seed partition pmod(vec_id, k), then `n_iter`
+    rounds of means; rounds after the first REASSIGN each vector to its
+    nearest current centroid (cosine, ties by c_id — deterministic) before
+    recomputing means. Every round is the same two groupBys over the
+    materialized index + one broadcast affinity join — more iterations
+    repeat the dataflow, they do not change it. Default 1 keeps the gated
+    `ann_ivf_topk` oracle byte-stable; the multi-iteration path has its own
+    DuckDB twin (`ivf_sql(n_iter)`) verified ungated."""
+    assign = base.select(
+        "vec_id", F.pmod("vec_id", F.lit(N_CENTROIDS)).alias("c_id")
+    )
+    cents = _centroid_means(base, assign)
+    for _ in range(1, n_iter):
+        aff = _affinity_to(base, cents, "vec_id")
+        w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+        assign = (
+            aff.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "c_id")
+        )
+        cents = _centroid_means(base, assign)
+    return cents
+
+
+def _centroid_affinity(base: DataFrame, id_col: str, n_iter: int = 1) -> DataFrame:
+    return _affinity_to(base, _trained_centroids(base, n_iter), id_col)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_iter: int = 1) -> DataFrame:
     """IVF ANN: assign every vector to its nearest centroid list, probe the
     N_PROBE nearest lists per query, exact-cosine rerank the union of those
     lists. Ties broken by c_id / neighbor_id for cross-engine determinism.
+    `n_iter` Lloyd rounds train the codebook (default 1 = the gated form;
+    `ivf_sql(n_iter)` generates the matching oracle for any depth).
 
     Plan hygiene: the affinity table feeds BOTH `members` and `probes`, so it
     is materialized once (lazy checkpoint would do, but eager keeps the job
     accounting simple at test scale); the rerank sides read the same
     materialized index as the affinity — one `embeddings` scan end-to-end."""
     base = _indexed_embeddings(spark, sf_dir)
-    aff = _centroid_affinity(base, "vec_id").localCheckpoint(eager=True)
+    aff = _centroid_affinity(base, "vec_id", n_iter).localCheckpoint(eager=True)
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
     members = (
         aff.withColumn("r", F.row_number().over(w_assign))
@@ -540,22 +570,51 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_IVF_SQL = f"""
-WITH exploded AS (
-  SELECT vec_id % {N_CENTROIDS} AS c_id, unnest(embedding) AS x,
-         generate_subscripts(embedding, 1) AS pos
-  FROM embeddings
+def _ivf_cents_ctes(n_iter: int) -> str:
+    """CTE chain training the codebook for `n_iter` Lloyd rounds — the SQL
+    twin of `_trained_centroids`: seed assign0 = vec_id % k, per-round
+    integer-scaled means, cosine re-assignment between rounds."""
+    parts = [
+        f"assign0 AS (SELECT vec_id, vec_id % {N_CENTROIDS} AS c_id FROM embeddings)"
+    ]
+    for i in range(n_iter):
+        parts.append(f"""exploded{i} AS (
+  SELECT a.c_id, unnest(e.embedding) AS x,
+         generate_subscripts(e.embedding, 1) AS pos
+  FROM embeddings e JOIN assign{i} a ON a.vec_id = e.vec_id
 ),
-sums AS (
+sums{i} AS (
   SELECT c_id, pos,
          sum(floor(x::DOUBLE * {_CSCALE} + 0.5)::bigint)::bigint AS s,
          count(*)::bigint AS n
-  FROM exploded GROUP BY c_id, pos
+  FROM exploded{i} GROUP BY c_id, pos
 ),
-cents AS (
+cents{i} AS (
   SELECT c_id, list(s / (n * {float(_CSCALE)!r}) ORDER BY pos) AS ce
-  FROM sums GROUP BY c_id
+  FROM sums{i} GROUP BY c_id
+)""")
+        if i + 1 < n_iter:
+            parts.append(f"""caff{i} AS (
+  SELECT e.vec_id, c.c_id,
+         {_duck_dot('e.embedding', 'c.ce')}
+           / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
+              * sqrt({_duck_dot('c.ce', 'c.ce')})) AS c_cos
+  FROM embeddings e CROSS JOIN cents{i} c
 ),
+assign{i + 1} AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id ASC) AS r
+    FROM caff{i}) t
+  WHERE r = 1
+)""")
+    parts.append(f"cents AS (SELECT c_id, ce FROM cents{n_iter - 1})")
+    return ",\n".join(parts)
+
+
+def ivf_sql(n_iter: int = 1) -> str:
+    return f"""
+WITH {_ivf_cents_ctes(n_iter)},
 aff AS (
   SELECT e.vec_id, c.c_id,
          {_duck_dot('e.embedding', 'c.ce')}
@@ -589,6 +648,9 @@ SELECT query_id, rank, neighbor_id FROM (
   FROM scored) t
 WHERE rank <= {TOP_K}
 """
+
+
+ANN_IVF_SQL = ivf_sql(1)
 
 
 # -- SQ8: int8 scalar-quantized scan + full-precision rerank -----------------

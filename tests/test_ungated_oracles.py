@@ -20,7 +20,12 @@ from crawler_spark.operators.multimodal import (
     mm_quality_filter,
 )
 from crawler_spark.operators.pipeline import PIPELINE_SQL, pipeline_clean_corpus
-from crawler_spark.operators.similarity import ANN_MULTIPROBE_SQL, ann_multiprobe_topk
+from crawler_spark.operators.similarity import (
+    ANN_MULTIPROBE_SQL,
+    ann_ivf_topk,
+    ann_multiprobe_topk,
+    ivf_sql,
+)
 from crawler_spark.operators.text import (
     DECONTAM_SQL,
     FINGERPRINT_SQL,
@@ -53,6 +58,9 @@ def test_ungated_builders_match_oracle(spark):
         ("sample_mixture", sample_mixture, MIXTURE_SQL),
         ("pack_sequences", pack_sequences, PACK_SQL),
         ("ann_multiprobe_topk", ann_multiprobe_topk, ANN_MULTIPROBE_SQL),
+        # multi-round Lloyd training: re-assignment between rounds, same
+        # dataflow — the generated oracle trains the identical codebook
+        ("ann_ivf_topk_2iter", lambda s, d: ann_ivf_topk(s, d, n_iter=2), ivf_sql(2)),
         ("text_repetition", text_repetition, REPETITION_SQL),
         ("sample_stratified", sample_stratified, STRATIFIED_SQL),
         ("text_pii_scrub", text_pii_scrub, PII_SQL),
