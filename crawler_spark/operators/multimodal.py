@@ -744,6 +744,142 @@ FROM s
 """
 
 
+# -- image-text pair curation (the LAION-style pre-CLIP gate) ---------------
+#
+# A multimodal training set is curated per PAIR: the image must carry signal
+# (the mm_quality_filter gate) AND the caption must look like usable text
+# (token count bounds, not digit-dominated). Both sides decode/tokenize in
+# the same pass over the corpus — the caption checks are JVM built-ins on
+# the caption column the decode batch already carries, so pair curation
+# costs exactly the image gate's one corpus pass plus free expressions.
+# DuckDB recomputes the image stats from the closed form and the caption
+# stats from the same generated strings ('pattern caption <k>').
+
+CAP_MIN_TOKENS = 2
+# drop digit-dominated captions (ids, timestamps). 0.12 sits between the
+# synthetic corpus's 2-digit (0.111) and 3-digit (0.158) caption ratios —
+# clean margins, no float-boundary ties. Ids stay < 100 at sf0.001/sf0.01
+# (500-doc tables) so the cap gate passes everything there; at sf0.1 the
+# 3-digit ids are dropped and all four (img_keep x cap_keep) combinations
+# occur (verified: 397/54/503/46 of 1000).
+CAP_DIGIT_MAX = 0.12
+
+
+PAIR_SCHEMA = (
+    "image_id string, img_keep boolean, n_cap_tokens long, "
+    "digit_ratio double, cap_keep boolean, pair_keep boolean"
+)
+
+
+def mm_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE kernel pass emits both sides: the image stats and the caption
+    stats come out of the same Arrow batch, so pair curation costs exactly
+    one corpus scan — no second decode branch, no join."""
+    n = table_rows(sf_dir, "documents") // 5
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_pattern_corpus, schema=datagen.WORLD_SCHEMAS["corpus"]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        side = MM_SIDE
+        npix = side * side
+        for pdf in batches:
+            n_rows = len(pdf)
+            if not n_rows:
+                continue
+            blobs = pdf["bytes"].to_numpy()
+            full = np.stack([np.frombuffer(b, np.uint8) for b in blobs])
+            gray = (
+                full[:, _MM_HDR:].reshape(n_rows, side, side, 3)
+                .astype(np.int64)
+                .sum(axis=3)
+            )
+            gsum = np.einsum("nij->n", gray)
+            gsq = np.einsum("nij,nij->n", gray, gray)
+            mean = gsum.astype(np.float64) / npix
+            var = gsq.astype(np.float64) / npix - mean * mean
+            img_keep = ~(
+                (mean < QUAL_MEAN_LO) | (mean > QUAL_MEAN_HI) | (var < QUAL_VAR_MIN)
+            )
+            caps = pdf["caption"].astype(str)
+            n_tok = (
+                caps.str.split(r" +", regex=True)
+                .map(lambda ts: sum(1 for t in ts if t))
+                .to_numpy(dtype=np.int64)
+            )
+            n_digits = caps.str.count(r"[0-9]").to_numpy(dtype=np.float64)
+            cap_len = np.maximum(caps.str.len().to_numpy(dtype=np.float64), 1.0)
+            digit_ratio = n_digits / cap_len
+            cap_keep = (n_tok >= CAP_MIN_TOKENS) & (digit_ratio <= CAP_DIGIT_MAX)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "img_keep": img_keep,
+                    "n_cap_tokens": n_tok,
+                    "digit_ratio": np.round(digit_ratio, 6),
+                    "cap_keep": cap_keep,
+                    "pair_keep": img_keep & cap_keep,
+                }
+            )
+
+    return corpus.mapInPandas(kernel, schema=PAIR_SCHEMA)
+
+
+PAIR_CURATION_SQL = f"""
+WITH ks AS (
+  SELECT k FROM (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
+  ) WHERE k < (SELECT count(*) // 5 FROM documents)
+),
+px AS (
+  SELECT k,
+         (k*7919 + i.range*131 + j.range*17) % 256 AS r0,
+         (k*7919 + i.range*131 + j.range*17 + 101) % 256 AS g0,
+         (k*7919 + i.range*131 + j.range*17 + 202) % 256 AS b0,
+         k % 2 = 1 AS lossy
+  FROM ks, range(0, {MM_SIDE}) i, range(0, {MM_SIDE}) j
+),
+g AS (
+  SELECT k,
+         (CASE WHEN lossy THEN (r0//4)*4+2 ELSE r0 END
+        + CASE WHEN lossy THEN (g0//4)*4+2 ELSE g0 END
+        + CASE WHEN lossy THEN (b0//4)*4+2 ELSE b0 END)::bigint AS gray
+  FROM px
+),
+s AS (
+  SELECT k,
+         sum(gray)::double / {MM_SIDE * MM_SIDE} AS mean_gray,
+         sum(gray*gray)::double / {MM_SIDE * MM_SIDE}
+           - (sum(gray)::double / {MM_SIDE * MM_SIDE})
+             * (sum(gray)::double / {MM_SIDE * MM_SIDE}) AS var_gray
+  FROM g GROUP BY k
+),
+cap AS (
+  SELECT k, 'pattern caption ' || k AS caption FROM ks
+),
+capstats AS (
+  SELECT k,
+         len(list_filter(string_split_regex(caption, ' +'), x -> x <> ''))::bigint
+           AS n_cap_tokens,
+         len(regexp_replace(caption, '[^0-9]', '', 'g'))::double
+           / greatest(len(caption), 1) AS digit_ratio
+  FROM cap
+)
+SELECT 'img' || s.k AS image_id,
+       NOT (mean_gray < {QUAL_MEAN_LO} OR mean_gray > {QUAL_MEAN_HI}
+            OR var_gray < {QUAL_VAR_MIN}) AS img_keep,
+       n_cap_tokens,
+       round(digit_ratio, 6) AS digit_ratio,
+       (n_cap_tokens >= {CAP_MIN_TOKENS} AND digit_ratio <= {CAP_DIGIT_MAX})
+         AS cap_keep,
+       (NOT (mean_gray < {QUAL_MEAN_LO} OR mean_gray > {QUAL_MEAN_HI}
+             OR var_gray < {QUAL_VAR_MIN})
+        AND n_cap_tokens >= {CAP_MIN_TOKENS}
+        AND digit_ratio <= {CAP_DIGIT_MAX}) AS pair_keep
+FROM s JOIN capstats ON s.k = capstats.k
+"""
+
+
 # -- frame/sample selection on metadata (oracle-checked) --------------------
 def mm_sample_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 1-in-8 sampling by content hash (the frame-sampling
