@@ -202,6 +202,40 @@ def stream_decontaminate(docs_stream: DataFrame, eval_grams: DataFrame,
     )
 
 
+def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization — the continuous twin of the batch
+    `w2_events_sessionize` gap-window analysis, via the native
+    `session_window` stateful operator: per-user sessions grow while events
+    arrive within `gap` of the session end, and a CLOSED session emits
+    exactly once (append mode) when the watermark passes its end. State is
+    one open session per active user key — bounded by the watermark, not
+    the stream length.
+
+    Boundary semantics differ from the batch query by design:
+    `session_window` starts a new session when the inter-event gap is >=
+    the gap duration, while the batch lag-based form uses strictly >, so
+    an event exactly `gap` after its predecessor lands differently. The
+    parity test therefore asserts against a BATCH session_window
+    aggregation (identical operator semantics, batch vs stream), which is
+    the contract a deployment migrating between the two actually needs."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_windowed_lineage(discovered: DataFrame, window: str = "10 seconds",
                             watermark: str = "30 seconds") -> DataFrame:
     """Tumbling-window per-host-bucket discovery counters with late-data

@@ -121,6 +121,58 @@ def test_stream_first_seen_cross_batch_state(spark, tmp_path):
     assert set(got.loc[got["host_bucket"] == 1, "url_id"]) == {3, 4, 6}
 
 
+def test_stream_sessionize_closed_sessions_match_batch(spark, tmp_path):
+    """session_window sessions closed by the watermark must emit exactly
+    once and equal a batch session_window aggregation over the same events
+    (a far-future sentinel advances the watermark past every real session;
+    its own still-open session is the only difference)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.streaming import stream_sessionize
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value")
+    )
+    src = str(tmp_path / "events")
+    events.coalesce(1).write.mode("append").parquet(src)
+    sentinel = spark.createDataFrame(
+        pd.DataFrame(
+            [(10**9, pd.Timestamp("2024-06-01 00:00:00"), 10**6, 0.0)],
+            columns=["event_id", "ts", "user_id", "value"],
+        ),
+        schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("select * from sessions")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        stream_sessionize(spark.read.schema(schema).parquet(src))
+        .filter(F.col("user_id") != 10**6)  # the sentinel's session stays open
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_stream_decontaminate_matches_batch_and_is_idempotent(spark, tmp_path):
     """The streaming overlap scrub must (a) produce the batch operator's
     exact per-doc contamination counts across micro-batches and (b) be
