@@ -143,6 +143,13 @@ def main(argv: list[str] | None = None) -> int:
         _add_common(p, toml_defaults)
         if name == "crawl":
             p.add_argument("--resume", action="store_true")
+            p.add_argument(
+                "--auto-compact-every",
+                type=int,
+                default=None,
+                help="run seen/aux compaction + vacuum every N rounds "
+                "during the crawl (steady-state maintenance)",
+            )
         if name == "mine":
             p.add_argument("--host", default=None, help="restrict to one host")
         p.set_defaults(**arg_defaults)
@@ -295,6 +302,7 @@ def main(argv: list[str] | None = None) -> int:
         with_payload=(args.payload or bool(iface_names)) and "corpus" in world,
         interfaces=[ALL_INTERFACES[n]() for n in iface_names] or None,
         collect_outputs=False,
+        auto_compact_every=getattr(args, "auto_compact_every", None),
     )
     summary = {
         "cmd": args.cmd,

@@ -49,6 +49,7 @@ def crawl(
     with_payload: bool = False,
     collect_outputs: bool = True,
     interfaces: list | None = None,
+    auto_compact_every: int | None = None,
 ) -> CrawlResult:
     """Run the crawl to completion (frontier empty) or cfg.max_rounds.
 
@@ -58,6 +59,12 @@ def crawl(
     interfaces: optional match-table interfaces (engine/interfaces.py);
         each round their extract() runs over the payload-joined fetched rows
         and the tables are interned with the round's atomic commit (P10).
+    auto_compact_every: with a state_dir, run the seen/aux compaction +
+        vacuum every N committed rounds INSIDE the crawl (steady-state
+        maintenance — a 10^4-round crawl otherwise accumulates 10^4 file
+        generations until someone runs the CLI). The Bloom's pending
+        deltas are flushed first: they are lazy reads of the per-round
+        partitions the vacuum deletes.
     """
     t0 = time.monotonic()
     world = round_mod.prepare_world(spark, raw_world, cfg)
@@ -163,6 +170,14 @@ def crawl(
                 # the bitset merge and exact-checks pending deltas in split()
                 seen_prefilter.update(store.last_seen_delta)
             res.release()
+            if state_dir and auto_compact_every and r % auto_compact_every == 0:
+                if seen_prefilter is not None:
+                    seen_prefilter.flush()
+                store.compact_seen()
+                store.compact_aux()
+                store.vacuum_seen()
+                store.vacuum_aux()
+                store.vacuum_frontiers()
             n_frontier = n_next
         # success path only: persist the Bloom bitsets next to the
         # checkpoint (watermark = last committed round), so the next resume

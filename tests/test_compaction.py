@@ -185,6 +185,61 @@ def test_compact_aux_parity_and_resume(spark, tmp_path):
     )
 
 
+def test_auto_compact_during_crawl_matches_plain_run(spark, tmp_path):
+    """auto_compact_every runs the full maintenance pass (Bloom flush ->
+    compact seen+aux -> vacuum all) inside the crawl loop every N rounds;
+    the final trace/seen/aux state must be identical to an uncompacted
+    run, and the superseded per-round files must actually be gone."""
+    from crawler_spark.engine.interfaces import CaptionSIInterface
+    from crawler_spark.engine.seen_filter import BloomSeenFilter
+
+    w = datagen.make_world(n_urls=200, n_hosts=6, n_images=30, with_corpus=True)
+    sdf = datagen.to_spark(spark, w)
+    cfg = CrawlConfig(page_size=25, tries=2, max_rounds=50)
+
+    plain = crawl(
+        spark, sdf, cfg, with_payload=True, interfaces=[CaptionSIInterface()],
+        state_dir=str(tmp_path / "plain"),
+    )
+    state = str(tmp_path / "auto")
+    auto = crawl(
+        spark, sdf, cfg, with_payload=True, interfaces=[CaptionSIInterface()],
+        state_dir=state, auto_compact_every=3,
+        seen_prefilter=BloomSeenFilter(spark, bits_per_bucket=1 << 12),
+    )
+    assert auto.rounds == plain.rounds > 3
+
+    def norm(df: pd.DataFrame, cols) -> pd.DataFrame:
+        return (
+            df.sort_values(cols)
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in df.columns if df[c].dtype.kind in "iu"})
+        )
+
+    pd.testing.assert_frame_equal(
+        norm(plain.seen, ["url_id"]), norm(auto.seen, ["url_id"])
+    )
+    pd.testing.assert_frame_equal(
+        norm(plain.trace, ["round", "seq"]), norm(auto.trace, ["round", "seq"])
+    )
+    pd.testing.assert_frame_equal(
+        _aux_pdf(plain.store, "si", "matches"), _aux_pdf(auto.store, "si", "matches")
+    )
+    # physical: the last in-loop compaction's watermark holds on disk
+    store = StateStore(spark, root=state)
+    upto = store._seen_base["upto"]
+    assert upto >= 3
+    for r in range(1, upto + 1):
+        assert not os.path.isdir(os.path.join(state, "seen", f"round={r}"))
+        assert not os.path.isdir(os.path.join(state, f"round={r}", "aux"))
+    # frontiers before the LAST in-loop compaction are vacuumed (rounds
+    # after it commit fresh snapshots that nothing has vacuumed yet)
+    c_last = (auto.rounds // 3) * 3
+    for r in range(1, c_last):
+        assert not os.path.isdir(os.path.join(state, f"round={r}", "frontier"))
+    assert os.path.isdir(os.path.join(state, f"round={auto.rounds}", "frontier"))
+
+
 def test_vacuum_frontiers_keeps_resume_intact(spark, tmp_path):
     """Old frontier snapshots are the largest per-round artifact and only
     the LAST committed one feeds resume: vacuum_frontiers must delete the
