@@ -584,6 +584,65 @@ FROM ranked WHERE rk <= {quota}
 STRATIFIED_SQL = _stratified_sql()
 
 
+# -- unigram surprisal scoring (the CCNet-style LM quality signal) ----------
+# Real pipelines score documents with a KenLM perplexity and keep the
+# low-perplexity (fluent) tail. The deterministic analog: a unigram model
+# from the corpus's own wordcounts, with per-token surprisal QUANTIZED to
+# integer bits — floor(log2(N_total)) - floor(log2(count(tok))) — so the
+# per-doc sum is an exact int64 in any order and both engines agree
+# bit-for-bit (float -log p sums would differ in the last ulp per
+# partitioning). floor(log2(n)) for a positive bigint is len(bin(n)) - 1 —
+# no floating log anywhere. Dataflow: ONE wordcount over the corpus
+# (map-side partial agg -> vocabulary-sized shuffle), model broadcast into
+# the per-doc scan — at 100 TB the model is the tiny side by construction.
+
+
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+    )
+    toks = docs.select("doc_id", F.explode("toks").alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.count()
+    total_bits = total.bit_length() - 1  # floor(log2(N)) driver-side
+    model = vocab.select(
+        "tok",
+        (F.lit(total_bits) - (F.length(F.expr("bin(cnt)")) - F.lit(1))).alias("bits"),
+    )
+    scored = toks.join(F.broadcast(model), "tok").groupBy("doc_id").agg(
+        F.sum("bits").cast("long").alias("surprisal_bits"),
+        F.count("*").alias("n_scored"),
+    )
+    return scored.select(
+        "doc_id",
+        "surprisal_bits",
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.round(F.col("surprisal_bits") / F.col("n_scored"), 6).alias(
+            "bits_per_token"
+        ),
+    )
+
+
+SURPRISAL_SQL = f"""
+WITH toksd AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM toksd),
+vocab AS (SELECT tok, count(*)::bigint AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT length(bin(sum(cnt)::bigint)) - 1 AS total_bits FROM vocab),
+model AS (
+  SELECT tok, (total_bits - (length(bin(cnt)) - 1))::bigint AS bits
+  FROM vocab, tot
+)
+SELECT doc_id::bigint AS doc_id,
+       sum(bits)::bigint AS surprisal_bits,
+       count(*)::bigint AS n_scored,
+       round(sum(bits)::double / count(*), 6) AS bits_per_token
+FROM tok JOIN model USING (tok)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
 }

@@ -39,10 +39,12 @@ from crawler_spark.operators.text import (
     decontaminate,
     pack_sequences,
     sample_mixture,
+    SURPRISAL_SQL,
     sample_stratified,
     text_fingerprint,
     text_pii_scrub,
     text_repetition,
+    text_surprisal,
 )
 from crawler_spark.oracle_check import compare_one, duck_connect
 
@@ -65,6 +67,7 @@ def test_ungated_builders_match_oracle(spark):
         ("ann_ivf_topk_2iter", lambda s, d: ann_ivf_topk(s, d, n_iter=2), ivf_sql(2)),
         ("text_repetition", text_repetition, REPETITION_SQL),
         ("sample_stratified", sample_stratified, STRATIFIED_SQL),
+        ("text_surprisal", text_surprisal, SURPRISAL_SQL),
         ("text_pii_scrub", text_pii_scrub, PII_SQL),
         ("mm_quality_filter", mm_quality_filter, QUALITY_SQL),
         ("mm_pair_curation", mm_pair_curation, PAIR_CURATION_SQL),
