@@ -1,16 +1,18 @@
 """End-to-end training-corpus pipeline: the composition a real user runs,
 built purely from this repo's own operators — quality gate (text_metrics'
-`keep`), exact dedup (hash-groupBy representative), near-dup clustering
-(LSH -> verified edges -> connected components, dedup_groups), and embedding
-coverage — emitting one manifest row per document with the final
-`train_keep` verdict.
+`keep`), repetition filter, unigram-surprisal LM gate, benchmark
+decontamination (+ eval-split exclusion), exact dedup (hash-groupBy
+representative), near-dup clustering (LSH -> verified edges -> connected
+components, dedup_groups), and embedding coverage — emitting one manifest
+row per document with the final `train_keep` verdict.
 
 Not a catalog slot (the driver gates at most 50 queries); the DuckDB twin
-composes the same gated SQL blocks and is verified in
+composes the same verified SQL blocks and is checked in
 tests/test_ungated_oracles.py. Scale shape: every stage is one of the
-already-audited plans (single tokenize scan, band equi-joins, edge-subgraph
-label propagation), composed with equi-joins on doc_id — no new shuffle
-pattern is introduced by the composition.
+already-audited plans (single tokenize scan, wordcount-shaped aggregates,
+broadcast eval grams, band equi-joins, edge-subgraph label propagation),
+composed with equi-joins on doc_id — no new shuffle pattern is introduced
+by the composition.
 """
 
 from __future__ import annotations
@@ -20,17 +22,41 @@ from pyspark.sql import functions as F
 
 from .common import load
 from .dedup import GROUPS_SQL, dedup_exact, dedup_groups
-from .text import METRICS_SQL, text_metrics
+from .text import (
+    DECONTAM_EVAL_MOD,
+    DECONTAM_SQL,
+    METRICS_SQL,
+    REPETITION_SQL,
+    SURPRISAL_SQL,
+    decontaminate,
+    text_metrics,
+    text_repetition,
+    text_surprisal,
+)
+
+# CCNet-style LM gate: drop the high-surprisal (junk) tail. 5.2 bits/token
+# sits above the synthetic corpus's median (5.0) and below its max (~5.45),
+# so the gate trims a small real tail at every sf.
+SURPRISAL_MAX = 5.2
 
 
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """train_keep = good quality AND near-dup representative AND exact-dup
-    representative AND has an embedding. Exact dedup is NOT redundant with
-    the near-dup groups: a document too short to shingle (< 3 tokens) never
-    gets a near-dup edge, so byte-identical short documents are both
-    singleton `is_rep` — the hash representative still drops the copy."""
+    """train_keep = good quality AND not repetitive AND fluent under the
+    unigram LM AND not in (or overlapping) the eval split AND near-dup
+    representative AND exact-dup representative AND has an embedding.
+
+    Exact dedup is NOT redundant with the near-dup groups: a document too
+    short to shingle (< 3 tokens) never gets a near-dup edge, so
+    byte-identical short documents are both singleton `is_rep` — the hash
+    representative still drops the copy. Missing metrics (a token-less
+    document) fail their gates — junk never trains by omission."""
     m = text_metrics(spark, sf_dir).select(
         "doc_id", "n_tokens", "quality_score", "keep"
+    )
+    rep = text_repetition(spark, sf_dir).select("doc_id", "repetitive")
+    srp = text_surprisal(spark, sf_dir).select("doc_id", "bits_per_token")
+    cont = decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contaminated")
     )
     g = dedup_groups(spark, sf_dir)
     ex = dedup_exact(spark, sf_dir).select(
@@ -39,38 +65,59 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), F.lit(True).alias("has_embedding")
     )
-    return (
-        m.join(g, "doc_id")
+    joined = (
+        m.join(rep, "doc_id", "left")
+        .join(srp, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .join(g, "doc_id")
         .join(ex, "doc_id", "left")
         .join(emb, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "quality_score",
-            "group_id",
-            "group_size",
-            (
-                F.col("keep")
-                & F.col("is_rep")
-                & F.coalesce("exact_rep", F.lit(False))
-                & F.coalesce("has_embedding", F.lit(False))
-            ).alias("train_keep"),
-        )
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        "bits_per_token",
+        "group_id",
+        "group_size",
+        (
+            F.col("keep")
+            & ~F.coalesce("repetitive", F.lit(True))
+            & F.coalesce(F.col("bits_per_token") <= SURPRISAL_MAX, F.lit(False))
+            & F.expr(f"doc_id % {DECONTAM_EVAL_MOD} <> 0")
+            & ~F.coalesce("contaminated", F.lit(False))
+            & F.col("is_rep")
+            & F.coalesce("exact_rep", F.lit(False))
+            & F.coalesce("has_embedding", F.lit(False))
+        ).alias("train_keep"),
     )
 
 
 PIPELINE_SQL = f"""
 WITH m AS ({METRICS_SQL}),
+rep AS (SELECT doc_id, repetitive FROM ({REPETITION_SQL}) rr),
+srp AS (SELECT doc_id, bits_per_token FROM ({SURPRISAL_SQL}) ss),
+cont AS (SELECT doc_id, true AS contaminated FROM ({DECONTAM_SQL}) cc),
 g AS (SELECT * FROM ({GROUPS_SQL}) gg),
 ex AS (
   SELECT min(doc_id) AS doc_id, true AS exact_rep
   FROM documents GROUP BY md5(text)
 ),
 e AS (SELECT vec_id AS doc_id, true AS has_embedding FROM embeddings)
-SELECT m.doc_id, m.n_tokens, m.quality_score, g.group_id, g.group_size,
-       (m.keep AND g.is_rep AND coalesce(ex.exact_rep, false)
+SELECT m.doc_id, m.n_tokens, m.quality_score, srp.bits_per_token,
+       g.group_id, g.group_size,
+       (m.keep
+        AND NOT coalesce(rep.repetitive, true)
+        AND coalesce(srp.bits_per_token <= {SURPRISAL_MAX}, false)
+        AND m.doc_id % {DECONTAM_EVAL_MOD} <> 0
+        AND NOT coalesce(cont.contaminated, false)
+        AND g.is_rep
+        AND coalesce(ex.exact_rep, false)
         AND coalesce(e.has_embedding, false)) AS train_keep
 FROM m
+LEFT JOIN rep ON rep.doc_id = m.doc_id
+LEFT JOIN srp ON srp.doc_id = m.doc_id
+LEFT JOIN cont ON cont.doc_id = m.doc_id
 JOIN g ON g.doc_id = m.doc_id
 LEFT JOIN ex ON ex.doc_id = m.doc_id
 LEFT JOIN e ON e.doc_id = m.doc_id
