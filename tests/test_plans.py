@@ -215,3 +215,33 @@ def test_pipeline_text_ops_plan_shapes(spark):
     assert "hashpartitioning(shard" in pack, pack
 
     assert has_broadcast_join(decontaminate(spark, SF))
+
+
+def test_round3_ops_plan_shapes(spark):
+    """Scale-claim audits for the round-3 additions: text_surprisal's
+    unigram model must enter the doc scan as a broadcast (the corpus side
+    never shuffles to meet it), text_pii_scrub is a pure per-row map (ZERO
+    exchanges), sample_stratified shuffles exactly once (the per-stratum
+    rank window keyed by source), and mm_pair_curation is a single Python
+    kernel chain (zero exchanges, zero joins, no per-row BatchEvalPython)."""
+    from crawler_spark.operators.multimodal import mm_pair_curation
+    from crawler_spark.operators.text import (
+        sample_stratified,
+        text_pii_scrub,
+        text_surprisal,
+    )
+    from crawler_spark.plans import explain_str, has_broadcast_join
+
+    assert has_broadcast_join(text_surprisal(spark, SF))
+
+    pii = explain_str(text_pii_scrub(spark, SF))
+    assert "Exchange" not in pii, pii
+
+    strat = explain_str(sample_stratified(spark, SF))
+    assert strat.count("Exchange (") == 1, strat
+    assert "hashpartitioning(source" in strat, strat
+
+    pair = explain_str(mm_pair_curation(spark, SF))
+    assert "Exchange" not in pair, pair
+    assert "Join" not in pair, pair
+    assert "BatchEvalPython" not in pair, pair
