@@ -172,6 +172,21 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--config", default=None)
     pr.add_argument("--sf-dir", required=True, help="dir of documents/embeddings parquet")
     pr.add_argument("--cores", type=int, default=toml_defaults.get("cores"))
+    pk = sub.add_parser(
+        "rank",
+        help="host-authority rank over a world's link graph (deterministic "
+        "integer PageRank) — a frontier-prioritization signal",
+    )
+    pk.add_argument("--config", default=None)
+    pk.add_argument(
+        "--world",
+        default=toml_defaults.get("world"),
+        required="world" not in toml_defaults,
+        help="dir of world parquet tables (needs links)",
+    )
+    pk.add_argument("--cores", type=int, default=toml_defaults.get("cores"))
+    pk.add_argument("--n-iter", type=int, default=5)
+    pk.add_argument("--top", type=int, default=10)
     pc = sub.add_parser(
         "compact",
         help="seen-table maintenance: rewrite committed rounds into one "
@@ -192,6 +207,36 @@ def main(argv: list[str] | None = None) -> int:
         help="delete superseded files after the manifest swap",
     )
     args = parser.parse_args(argv)
+
+    if args.cmd == "rank":
+        from pyspark.sql import functions as F
+
+        from .operators.graph import host_rank
+
+        spark = get_spark(cores=args.cores)
+        world = load_world(spark, args.world)
+        if "links" not in world:
+            print(f"world dir {args.world} has no links table", file=sys.stderr)
+            return 2
+        ranks = host_rank(world["links"], n_iter=args.n_iter)
+        top = [
+            {"host": r["host"], "rank": r["rank"]}
+            for r in ranks.orderBy(
+                F.desc("rank_scaled"), F.asc("host")
+            ).limit(args.top).collect()
+        ]
+        print(
+            json.dumps(
+                {
+                    "cmd": "rank",
+                    "n_hosts": ranks.count(),
+                    "n_iter": args.n_iter,
+                    "top": top,
+                }
+            )
+        )
+        spark.stop()
+        return 0
 
     if args.cmd == "recall":
         from .operators.dedup import lsh_recall

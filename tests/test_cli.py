@@ -100,6 +100,32 @@ def test_cli_pipeline_manifest(tmp_path):
     assert got == (out["n_docs"], out["n_keep"])
 
 
+def test_cli_rank(tmp_path):
+    """`rank` subcommand: deterministic host authority over a world's link
+    graph; re-running must print the identical JSON (integer-space rank)."""
+    world_dir = str(tmp_path / "world")
+    datagen.write_world(
+        datagen.make_world(n_urls=150, n_hosts=8, n_images=10, with_corpus=False),
+        world_dir,
+    )
+
+    def run():
+        p = subprocess.run(
+            [sys.executable, "-m", "crawler_spark.cli", "rank",
+             "--world", world_dir, "--cores", "8"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        assert line, p.stderr[-800:]
+        return json.loads(line[-1])
+
+    out = run()
+    assert out["cmd"] == "rank" and out["n_hosts"] == 8
+    ranks = [t["rank"] for t in out["top"]]
+    assert ranks == sorted(ranks, reverse=True) and ranks[0] > ranks[-1]
+    assert run() == out  # bit-deterministic across runs
+
+
 def test_cli_compact(tmp_path):
     """`compact` subcommand: crawl to a checkpoint, compact+vacuum it, and
     a subsequent crawl --resume must pick up from the base generation."""
