@@ -35,7 +35,14 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics a training pipeline computes together should share the tokenize
     pass — at 100 TB the tokenizer split is the dominant cost and runs once
     here)."""
-    docs = load(spark, sf_dir, "documents")
+    return text_metrics_frame(load(spark, sf_dir, "documents"))
+
+
+def text_metrics_frame(docs: DataFrame) -> DataFrame:
+    """The metric expressions over any (doc_id, text) frame — every column
+    is a stateless per-row expression, so this works unchanged on a
+    STREAMING input (`streaming.stream_quality_gate` is exactly this on a
+    readStream — the ingest-time quality gate)."""
     toks = F.expr(SPARK_TOKENS)
     ws = "filter(split(text, ' +'), x -> x != '')"
     n_tokens = F.greatest(F.size(toks), F.lit(1))

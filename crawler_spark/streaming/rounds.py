@@ -202,6 +202,19 @@ def stream_decontaminate(docs_stream: DataFrame, eval_grams: DataFrame,
     )
 
 
+def stream_quality_gate(docs_stream: DataFrame) -> DataFrame:
+    """Ingest-time text quality gate: the full fused metric set
+    (tokens/quality/langid/fingerprints, `text_metrics_frame`) computed on
+    documents as they arrive. Every column is a stateless per-row
+    expression — no state store, no watermark, each micro-batch pays one
+    tokenize pass exactly like the batch scan. Filter on `keep` (or any
+    metric) downstream; pairs with `stream_decontaminate` for the
+    ingest-time half of the corpus pipeline."""
+    from ..operators.text import text_metrics_frame
+
+    return text_metrics_frame(docs_stream)
+
+
 def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
                       watermark: str = "2 hours") -> DataFrame:
     """Streaming sessionization — the continuous twin of the batch

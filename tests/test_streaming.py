@@ -121,6 +121,46 @@ def test_stream_first_seen_cross_batch_state(spark, tmp_path):
     assert set(got.loc[got["host_bucket"] == 1, "url_id"]) == {3, 4, 6}
 
 
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """The stateless quality gate must produce the batch text_metrics rows
+    exactly, across micro-batches."""
+    from crawler_spark.operators.text import text_metrics
+    from crawler_spark.streaming import stream_quality_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_q")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_quality_gate(stream)
+        .writeStream.format("memory")
+        .queryName("quality")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("select * from quality")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        text_metrics(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_stream_sessionize_closed_sessions_match_batch(spark, tmp_path):
     """session_window sessions closed by the watermark must emit exactly
     once and equal a batch session_window aggregation over the same events
