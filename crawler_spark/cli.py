@@ -218,7 +218,9 @@ def main(argv: list[str] | None = None) -> int:
         if "links" not in world:
             print(f"world dir {args.world} has no links table", file=sys.stderr)
             return 2
-        ranks = host_rank(world["links"], n_iter=args.n_iter)
+        ranks = host_rank(
+            world["links"], n_iter=args.n_iter, pages=world.get("pages")
+        )
         top = [
             {"host": r["host"], "rank": r["rank"]}
             for r in ranks.orderBy(
@@ -310,6 +312,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.intern is None and "intern" in toml_defaults:
         args.intern = list(toml_defaults["intern"])
+
+    if getattr(args, "auto_compact_every", None) and not args.state:
+        print(
+            "--auto-compact-every requires --state (there is no checkpoint "
+            "to compact without one)",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = get_spark(cores=args.cores)
     world = load_world(spark, args.world)

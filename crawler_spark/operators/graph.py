@@ -36,11 +36,16 @@ RANK_SCALE = 1 << 30
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
 
 
-def host_edges(links: DataFrame) -> DataFrame:
-    """Distinct host->host edges from the raw links table (system-kind
-    hrefs dropped, self-loops removed) — the same canonicalization the
-    round's extract stage applies (F4 semantics)."""
-    return (
+def host_edges(links: DataFrame, pages: DataFrame | None = None) -> DataFrame:
+    """Distinct host->host edges from the raw links table: system-kind
+    hrefs dropped and self-loops removed (the extract stage's
+    canonicalization), and — when `pages` is given — dangling destinations
+    dropped too (the round's dst_url_id IS NOT NULL check,
+    engine/round.py): a href to a host with no fetchable page would
+    otherwise become a phantom rank sink. Without `pages`, dangling hosts
+    stay in the graph and absorb damped mass — fine for a pure
+    link-structure view, wrong for a crawl-prioritization signal."""
+    edges = (
         links.filter(F.col("href_kind") != "system")
         .select(
             canon.host_of(canon.canon_url(F.col("src_url"))).alias("src"),
@@ -49,14 +54,25 @@ def host_edges(links: DataFrame) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    if pages is not None:
+        known = (
+            pages.select(
+                canon.host_of(canon.canon_url(F.col("url"))).alias("dst")
+            ).distinct()
+        )
+        edges = edges.join(F.broadcast(known), "dst", "left_semi")
+    return edges
 
 
-def host_rank(links: DataFrame, n_iter: int = 5) -> DataFrame:
+def host_rank(
+    links: DataFrame, n_iter: int = 5, pages: DataFrame | None = None
+) -> DataFrame:
     """(host, rank_scaled, rank): integer-scaled authority after `n_iter`
     damped iterations. rank = rank_scaled / 2^30 rounded to 9 places —
     derived from the exact integer, so it is as deterministic as the
-    integer itself."""
-    edges = host_edges(links).localCheckpoint(eager=True)
+    integer itself. Pass `pages` to exclude dangling hosts (see
+    host_edges)."""
+    edges = host_edges(links, pages).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .unionByName(edges.select(F.col("dst").alias("host")))

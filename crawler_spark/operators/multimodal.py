@@ -663,21 +663,30 @@ QUALITY_SCHEMA = (
 )
 
 
-def _quality_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _gray_stats(full: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean_gray, var_gray, img_keep) from decoded payload bytes — the ONE
+    definition both the quality gate and pair curation score with (a
+    threshold or pattern change lands in exactly one place)."""
     side = MM_SIDE
     npix = side * side
+    px = full[:, _MM_HDR:].reshape(n, side, side, 3).astype(np.int64)
+    gray = px.sum(axis=3)  # 0..765 per pixel
+    gsum = np.einsum("nij->n", gray)
+    gsq = np.einsum("nij,nij->n", gray, gray)
+    mean = gsum.astype(np.float64) / npix
+    var = gsq.astype(np.float64) / npix - mean * mean
+    keep = ~((mean < QUAL_MEAN_LO) | (mean > QUAL_MEAN_HI) | (var < QUAL_VAR_MIN))
+    return mean, var, keep
+
+
+def _quality_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         n = len(pdf)
         if not n:
             continue
         blobs = pdf["bytes"].to_numpy()
         full = np.stack([np.frombuffer(b, np.uint8) for b in blobs])
-        px = full[:, _MM_HDR:].reshape(n, side, side, 3).astype(np.int64)
-        gray = px.sum(axis=3)  # 0..765 per pixel
-        gsum = np.einsum("nij->n", gray)
-        gsq = np.einsum("nij,nij->n", gray, gray)
-        mean = gsum.astype(np.float64) / npix
-        var = gsq.astype(np.float64) / npix - mean * mean
+        mean, var, keep = _gray_stats(full, n)
         too_dark = mean < QUAL_MEAN_LO
         too_bright = mean > QUAL_MEAN_HI
         too_flat = var < QUAL_VAR_MIN
@@ -690,7 +699,7 @@ def _quality_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "too_dark": too_dark,
                 "too_bright": too_bright,
                 "too_flat": too_flat,
-                "keep": ~(too_dark | too_bright | too_flat),
+                "keep": keep,
             }
         )
 
@@ -703,8 +712,10 @@ def mm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mapInPandas(_quality_features, schema=QUALITY_SCHEMA)
 
 
-QUALITY_SQL = f"""
-WITH ks AS (
+# ONE definition of the gray-stats CTE chain for every oracle that scores
+# image quality (the SQL twin of `_gray_stats`): pattern corpus ks ->
+# closed-form pixels -> quantized gray -> per-image mean/variance
+_GRAY_CTES = f"""ks AS (
   SELECT k FROM (
     SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
   ) WHERE k < (SELECT count(*) // 5 FROM documents)
@@ -731,15 +742,22 @@ s AS (
            - (sum(gray)::double / {MM_SIDE * MM_SIDE})
              * (sum(gray)::double / {MM_SIDE * MM_SIDE}) AS var_gray
   FROM g GROUP BY k
+)"""
+
+_IMG_KEEP_SQL = (
+    f"NOT (mean_gray < {QUAL_MEAN_LO} OR mean_gray > {QUAL_MEAN_HI}"
+    f" OR var_gray < {QUAL_VAR_MIN})"
 )
+
+QUALITY_SQL = f"""
+WITH {_GRAY_CTES}
 SELECT 'img' || k AS image_id,
        CASE WHEN lossy THEN 'jpg' ELSE 'png' END AS fmt,
        mean_gray, var_gray,
        mean_gray < {QUAL_MEAN_LO} AS too_dark,
        mean_gray > {QUAL_MEAN_HI} AS too_bright,
        var_gray < {QUAL_VAR_MIN} AS too_flat,
-       NOT (mean_gray < {QUAL_MEAN_LO} OR mean_gray > {QUAL_MEAN_HI}
-            OR var_gray < {QUAL_VAR_MIN}) AS keep
+       {_IMG_KEEP_SQL} AS keep
 FROM s
 """
 
@@ -781,26 +799,13 @@ def mm_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        side = MM_SIDE
-        npix = side * side
         for pdf in batches:
             n_rows = len(pdf)
             if not n_rows:
                 continue
             blobs = pdf["bytes"].to_numpy()
             full = np.stack([np.frombuffer(b, np.uint8) for b in blobs])
-            gray = (
-                full[:, _MM_HDR:].reshape(n_rows, side, side, 3)
-                .astype(np.int64)
-                .sum(axis=3)
-            )
-            gsum = np.einsum("nij->n", gray)
-            gsq = np.einsum("nij,nij->n", gray, gray)
-            mean = gsum.astype(np.float64) / npix
-            var = gsq.astype(np.float64) / npix - mean * mean
-            img_keep = ~(
-                (mean < QUAL_MEAN_LO) | (mean > QUAL_MEAN_HI) | (var < QUAL_VAR_MIN)
-            )
+            _, _, img_keep = _gray_stats(full, n_rows)
             caps = pdf["caption"].astype(str)
             n_tok = (
                 caps.str.split(r" +", regex=True)
@@ -826,34 +831,7 @@ def mm_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAIR_CURATION_SQL = f"""
-WITH ks AS (
-  SELECT k FROM (
-    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
-  ) WHERE k < (SELECT count(*) // 5 FROM documents)
-),
-px AS (
-  SELECT k,
-         (k*7919 + i.range*131 + j.range*17) % 256 AS r0,
-         (k*7919 + i.range*131 + j.range*17 + 101) % 256 AS g0,
-         (k*7919 + i.range*131 + j.range*17 + 202) % 256 AS b0,
-         k % 2 = 1 AS lossy
-  FROM ks, range(0, {MM_SIDE}) i, range(0, {MM_SIDE}) j
-),
-g AS (
-  SELECT k,
-         (CASE WHEN lossy THEN (r0//4)*4+2 ELSE r0 END
-        + CASE WHEN lossy THEN (g0//4)*4+2 ELSE g0 END
-        + CASE WHEN lossy THEN (b0//4)*4+2 ELSE b0 END)::bigint AS gray
-  FROM px
-),
-s AS (
-  SELECT k,
-         sum(gray)::double / {MM_SIDE * MM_SIDE} AS mean_gray,
-         sum(gray*gray)::double / {MM_SIDE * MM_SIDE}
-           - (sum(gray)::double / {MM_SIDE * MM_SIDE})
-             * (sum(gray)::double / {MM_SIDE * MM_SIDE}) AS var_gray
-  FROM g GROUP BY k
-),
+WITH {_GRAY_CTES},
 cap AS (
   SELECT k, 'pattern caption ' || k AS caption FROM ks
 ),
@@ -866,14 +844,12 @@ capstats AS (
   FROM cap
 )
 SELECT 'img' || s.k AS image_id,
-       NOT (mean_gray < {QUAL_MEAN_LO} OR mean_gray > {QUAL_MEAN_HI}
-            OR var_gray < {QUAL_VAR_MIN}) AS img_keep,
+       {_IMG_KEEP_SQL} AS img_keep,
        n_cap_tokens,
        round(digit_ratio, 6) AS digit_ratio,
        (n_cap_tokens >= {CAP_MIN_TOKENS} AND digit_ratio <= {CAP_DIGIT_MAX})
          AS cap_keep,
-       (NOT (mean_gray < {QUAL_MEAN_LO} OR mean_gray > {QUAL_MEAN_HI}
-             OR var_gray < {QUAL_VAR_MIN})
+       ({_IMG_KEEP_SQL}
         AND n_cap_tokens >= {CAP_MIN_TOKENS}
         AND digit_ratio <= {CAP_DIGIT_MAX}) AS pair_keep
 FROM s JOIN capstats ON s.k = capstats.k

@@ -459,13 +459,22 @@ N_PROBE = 2
 _CSCALE = 1 << 20
 
 
-def _centroid_means(base: DataFrame, assign: DataFrame) -> DataFrame:
+def _centroid_means(base: DataFrame, assign: DataFrame | None) -> DataFrame:
     """(c_id, ce array<double>, _n_ce): per-dimension means of each
     assignment's members, accumulated in INTEGER space (order-independent,
-    so bit-identical across engines and partitionings)."""
-    exploded = base.join(assign, "vec_id").select(
-        "c_id", F.posexplode("embedding").alias("pos", "x")
-    )
+    so bit-identical across engines and partitionings). assign=None is the
+    SEED round: c_id = pmod(vec_id, k) is a per-row expression, so it
+    projects straight off the index with NO join — only real
+    re-assignments (later Lloyd rounds) pay the vec_id equi-join."""
+    if assign is None:
+        exploded = base.select(
+            F.pmod("vec_id", F.lit(N_CENTROIDS)).alias("c_id"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+    else:
+        exploded = base.join(assign, "vec_id").select(
+            "c_id", F.posexplode("embedding").alias("pos", "x")
+        )
     sums = exploded.groupBy("c_id", "pos").agg(
         F.sum(F.expr(f"cast(floor(cast(x as double) * {_CSCALE} + 0.5d) as bigint)")).alias("s"),
         F.count("*").alias("n"),
@@ -504,10 +513,7 @@ def _trained_centroids(base: DataFrame, n_iter: int = 1) -> DataFrame:
     repeat the dataflow, they do not change it. Default 1 keeps the gated
     `ann_ivf_topk` oracle byte-stable; the multi-iteration path has its own
     DuckDB twin (`ivf_sql(n_iter)`) verified ungated."""
-    assign = base.select(
-        "vec_id", F.pmod("vec_id", F.lit(N_CENTROIDS)).alias("c_id")
-    )
-    cents = _centroid_means(base, assign)
+    cents = _centroid_means(base, None)
     for _ in range(1, n_iter):
         aff = _affinity_to(base, cents, "vec_id")
         w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))

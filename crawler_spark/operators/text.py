@@ -599,9 +599,11 @@ STRATIFIED_SQL = _stratified_sql()
 # per-doc sum is an exact int64 in any order and both engines agree
 # bit-for-bit (float -log p sums would differ in the last ulp per
 # partitioning). floor(log2(n)) for a positive bigint is len(bin(n)) - 1 —
-# no floating log anywhere. Dataflow: ONE wordcount over the corpus
-# (map-side partial agg -> vocabulary-sized shuffle), model broadcast into
-# the per-doc scan — at 100 TB the model is the tiny side by construction.
+# no floating log anywhere. Dataflow: TWO corpus tokenize passes total —
+# one wordcount (map-side partial agg -> vocabulary-sized shuffle) builds
+# the model, whose CHECKPOINT also supplies the total token count (no
+# third corpus scan just to count); the scoring pass then joins the
+# broadcast model — at 100 TB the model is the tiny side by construction.
 
 
 def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,9 +611,11 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(SPARK_TOKENS).alias("toks")
     )
     toks = docs.select("doc_id", F.explode("toks").alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = toks.count()
-    total_bits = total.bit_length() - 1  # floor(log2(N)) driver-side
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint(
+        eager=True
+    )
+    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 1
+    total_bits = int(total).bit_length() - 1  # floor(log2(N)) driver-side
     model = vocab.select(
         "tok",
         (F.lit(total_bits) - (F.length(F.expr("bin(cnt)")) - F.lit(1))).alias("bits"),

@@ -120,7 +120,10 @@ def test_cli_rank(tmp_path):
         return json.loads(line[-1])
 
     out = run()
-    assert out["cmd"] == "rank" and out["n_hosts"] == 8
+    assert out["cmd"] == "rank" and out["n_hosts"] > 1
+    hosts = [t["host"] for t in out["top"]]
+    # pages-filtered graph: dangling hrefs never become phantom rank sinks
+    assert all("dangling" not in h for h in hosts), hosts
     ranks = [t["rank"] for t in out["top"]]
     assert ranks == sorted(ranks, reverse=True) and ranks[0] > ranks[-1]
     assert run() == out  # bit-deterministic across runs
