@@ -654,6 +654,69 @@ GROUP BY doc_id
 """
 
 
+# -- cross-document duplicated-gram ratio -----------------------------------
+# The FineWeb/Gopher "duplicated n-gram fraction" signal: what share of a
+# document's k-grams also appear in OTHER documents. High ratio = boiler-
+# plate/template text that near-dup doc-level clustering misses (each copy
+# carries enough unique framing to dodge the jaccard threshold). Dataflow:
+# gram hashes (one tokenize scan) -> global gram frequencies (wordcount
+# shape, map-side partial agg collapses to distinct grams per partition)
+# -> equi-join grams x frequencies keyed by the hash -> per-doc ratio. The
+# frequency table is corpus-vocabulary sized — NOT broadcastable at 100 TB
+# — so the join is a plain hash join on h; both sides arrive hash-
+# partitioned by h from their shuffles, and AQE handles hot grams.
+DUP_GRAM_K = 5
+
+
+def text_dup_grams(spark: SparkSession, sf_dir: str,
+                   k: int = DUP_GRAM_K) -> DataFrame:
+    grams = gram_hashes(load(spark, sf_dir, "documents"), k)
+    # distinct within doc first: a doc repeating its own gram should not
+    # count as cross-doc duplication (that is text_repetition's job)
+    per_doc = grams.dropDuplicates(["doc_id", "h"])
+    freq = per_doc.groupBy("h").agg(F.count("*").alias("n_docs"))
+    joined = per_doc.join(freq, "h")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias(
+                "dup_gram_ratio"
+            ),
+        )
+    )
+
+
+def _dup_grams_sql(k: int = DUP_GRAM_K) -> str:
+    from .common import duck_h32
+
+    return f"""
+WITH toksd AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, {duck_h32('gram')} AS h FROM (
+    SELECT doc_id, unnest({_duck_kgrams(k)}) AS gram FROM toksd) raw
+), freq AS (
+  SELECT h, count(*)::bigint AS n_docs FROM grams GROUP BY h
+)
+SELECT g.doc_id::bigint AS doc_id,
+       count(*)::bigint AS n_grams,
+       sum((f.n_docs >= 2)::int)::bigint AS n_dup_grams,
+       round(sum((f.n_docs >= 2)::int)::double / count(*), 6) AS dup_gram_ratio
+FROM grams g JOIN freq f USING (h)
+GROUP BY g.doc_id
+"""
+
+
+DUP_GRAMS_SQL = _dup_grams_sql()
+
+
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
 }

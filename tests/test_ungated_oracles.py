@@ -30,6 +30,7 @@ from crawler_spark.operators.similarity import (
 )
 from crawler_spark.operators.text import (
     DECONTAM_SQL,
+    DUP_GRAMS_SQL,
     FINGERPRINT_SQL,
     MIXTURE_SQL,
     PACK_SQL,
@@ -42,6 +43,7 @@ from crawler_spark.operators.text import (
     SURPRISAL_SQL,
     sample_stratified,
     text_fingerprint,
+    text_dup_grams,
     text_pii_scrub,
     text_repetition,
     text_surprisal,
@@ -68,6 +70,7 @@ def test_ungated_builders_match_oracle(spark):
         ("text_repetition", text_repetition, REPETITION_SQL),
         ("sample_stratified", sample_stratified, STRATIFIED_SQL),
         ("text_surprisal", text_surprisal, SURPRISAL_SQL),
+        ("text_dup_grams", text_dup_grams, DUP_GRAMS_SQL),
         ("text_pii_scrub", text_pii_scrub, PII_SQL),
         ("mm_quality_filter", mm_quality_filter, QUALITY_SQL),
         ("mm_pair_curation", mm_pair_curation, PAIR_CURATION_SQL),
