@@ -243,6 +243,47 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 
 
 # -- near-dup GROUPS: connected components over the verified pair graph -----
+def min_label_components(edges: DataFrame, max_iters: int = 16) -> DataFrame:
+    """Connected components over an undirected edge list (columns doc_a,
+    doc_b) by min-label propagation -> (doc_id, label), covering ONLY the
+    edge-vertex set (callers coalesce singletons). The shared iterative
+    kernel of the text near-dup groups and the image phash groups
+    (multimodal.mm_phash_groups): one equi-join + one groupBy-min per
+    round, labels localCheckpoint-ed to truncate iterative lineage, with
+    an any-change early exit."""
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels.select(F.col("doc_id").alias("doc_a"), "label"), "doc_a")
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_label = F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label")))
+        upd = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                new_label.alias("label"),
+                (new_label < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # any-change probe: early-exits on the first changed partition
+        changed = upd.filter(F.col("_chg")).limit(1).count()
+        labels = upd.drop("_chg")
+        if not changed:
+            break
+    return labels
+
+
 def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 16) -> DataFrame:
     """Duplicate clusters + representative pick: the step that turns
     near-dup PAIRS into an actual dedup decision. Edges are the LSH
@@ -274,37 +315,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 16) -> DataF
         .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
         .select("doc_a", "doc_b")
     )
-    # symmetric closure, materialized once — every iteration re-joins it
-    sym = edges.unionByName(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iters):
-        nbr = (
-            sym.join(labels.select(F.col("doc_id").alias("doc_a"), "label"), "doc_a")
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_label = F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label")))
-        upd = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                new_label.alias("label"),
-                (new_label < F.col("label")).alias("_chg"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # any-change probe: early-exits on the first changed partition
-        changed = upd.filter(F.col("_chg")).limit(1).count()
-        labels = upd.drop("_chg")
-        if not changed:
-            break
+    labels = min_label_components(edges, max_iters)
     # group sizes come from the SMALL labels frame (a singleton's size is 1
     # by construction) — no corpus-wide groupBy shuffle anywhere
     sized = labels.join(

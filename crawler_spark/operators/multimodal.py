@@ -301,16 +301,23 @@ N_PHASH_BANDS = 4
 PHASH_BAND_BITS = 64 // N_PHASH_BANDS
 
 
-def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, phash) materialized ONCE (the ANN-family lesson from round 2:
+    both band-join sides must read one checkpoint leaf, not re-run the
+    decode)."""
     n = table_rows(sf_dir, "documents") // 5
     corpus = spark.range(0, n, 1, 8).mapInPandas(
         _gen_pattern_corpus, schema=datagen.WORLD_SCHEMAS["corpus"]
     )
-    # (k, phash) materialized ONCE (the ANN-family lesson from round 2: both
-    # band-join sides must read one checkpoint leaf, not re-run the decode)
-    idx = corpus.select(
+    return corpus.select(
         F.expr("cast(substring(image_id, 4) as long)").alias("k"), "phash"
     ).localCheckpoint(eager=True)
+
+
+def _phash_edges(idx: DataFrame) -> DataFrame:
+    """Undirected verified near-dup edges (ka < kb): band equi-join
+    candidates filtered by Hamming <= PHASH_HAM_MAX — shared by the
+    pairwise near-dup view and the transitive group builder."""
     mask = (1 << PHASH_BAND_BITS) - 1
     stack_args = ", ".join(
         # arithmetic shiftright then mask keeps exactly bits [16b, 16b+16)
@@ -328,7 +335,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         F.col("k").alias("kb"), F.col("phash").alias("pb"), "band_no", "band_val"
     )
-    edges = (
+    return (
         left.join(right, ["band_no", "band_val"])
         .filter(F.col("ka") < F.col("kb"))
         .select("ka", "kb", "pa", "pb")
@@ -336,6 +343,11 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= PHASH_HAM_MAX)
         .select("ka", "kb")
     )
+
+
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _phash_index(spark, sf_dir)
+    edges = _phash_edges(idx)
     directed = edges.unionByName(
         edges.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
     )
@@ -354,8 +366,10 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PHASH_NEARDUP_SQL = f"""
-WITH ks AS (
+# ONE definition of the phash-edge CTE chain (closed-form decode ->
+# average-hash -> bands -> verified edges) shared by the pairwise near-dup
+# oracle and the transitive groups oracle
+_PHASH_EDGE_CTES = f"""ks AS (
   SELECT k FROM (
     SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
   ) WHERE k < (SELECT count(*) // 5 FROM documents)
@@ -399,7 +413,10 @@ edges AS (
     FROM bands a JOIN bands b
       ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.k < b.k
   ) WHERE bit_count(xor(pa, pb)) <= {PHASH_HAM_MAX}
-),
+)"""
+
+PHASH_NEARDUP_SQL = f"""
+WITH {_PHASH_EDGE_CTES},
 directed AS (SELECT ka, kb FROM edges UNION ALL SELECT kb AS ka, ka AS kb FROM edges),
 agg AS (SELECT ka, min(kb) AS min_nb, count(*)::bigint AS n_near FROM directed GROUP BY ka)
 SELECT 'img' || ph.k AS image_id, phash,
@@ -407,6 +424,56 @@ SELECT 'img' || ph.k AS image_id, phash,
        coalesce(n_near, 0)::bigint AS n_near,
        coalesce(min_nb, ph.k) < ph.k AS is_dup
 FROM ph LEFT JOIN agg ON ph.k = agg.ka
+"""
+
+
+def mm_phash_groups(spark: SparkSession, sf_dir: str,
+                    max_iters: int = 16) -> DataFrame:
+    """Transitive phash duplicate GROUPS — the image analog of
+    dedup_groups: a re-encode chain A~B~C (each hop within Hamming 4, the
+    ends possibly beyond it) is one duplicate class with one
+    representative, which the pairwise neighborhood view
+    (mm_phash_neardup's direct-neighbor rep) cannot express. Edges are the
+    shared `_phash_edges`; components come from the shared
+    `dedup.min_label_components` propagation over the edge subgraph only —
+    an image with no near-dup edge never rides an iteration. DuckDB twin:
+    a recursive-CTE reachability closure over the identical edge set."""
+    from .dedup import min_label_components
+
+    idx = _phash_index(spark, sf_dir)
+    edges = _phash_edges(idx).select(
+        F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b")
+    )
+    labels = min_label_components(edges, max_iters)
+    sized = labels.join(
+        labels.groupBy("label").agg(F.count("*").alias("group_size")), "label"
+    )
+    return idx.join(sized, idx["k"] == sized["doc_id"], "left").select(
+        F.concat(F.lit("img"), F.col("k").cast("string")).alias("image_id"),
+        F.concat(
+            F.lit("img"), F.coalesce("label", F.col("k")).cast("string")
+        ).alias("group_id"),
+        F.coalesce("group_size", F.lit(1)).cast("long").alias("group_size"),
+        (F.col("k") == F.coalesce("label", F.col("k"))).alias("is_rep"),
+    )
+
+
+PHASH_GROUPS_SQL = f"""
+WITH RECURSIVE {_PHASH_EDGE_CTES},
+sym AS (SELECT ka AS a, kb AS b FROM edges
+        UNION ALL SELECT kb AS a, ka AS b FROM edges),
+reach(v, r) AS (
+  SELECT k AS v, k AS r FROM ks
+  UNION
+  SELECT s.b AS v, reach.r FROM reach JOIN sym s ON s.a = reach.v
+),
+grp AS (SELECT v AS k, min(r) AS gid FROM reach GROUP BY v),
+gs AS (SELECT gid, count(*)::bigint AS group_size FROM grp GROUP BY gid)
+SELECT 'img' || grp.k AS image_id,
+       'img' || gid AS group_id,
+       gs.group_size,
+       (grp.k = gid) AS is_rep
+FROM grp JOIN gs USING (gid)
 """
 
 

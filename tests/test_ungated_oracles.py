@@ -15,10 +15,12 @@ from crawler_spark.operators.multimodal import (
     AUDIO_FEATURES_SQL,
     BINARY_STATS_SQL,
     PAIR_CURATION_SQL,
+    PHASH_GROUPS_SQL,
     QUALITY_SQL,
     mm_audio_features,
     mm_binary_stats,
     mm_pair_curation,
+    mm_phash_groups,
     mm_quality_filter,
 )
 from crawler_spark.operators.pipeline import PIPELINE_SQL, pipeline_clean_corpus
@@ -74,6 +76,7 @@ def test_ungated_builders_match_oracle(spark):
         ("text_pii_scrub", text_pii_scrub, PII_SQL),
         ("mm_quality_filter", mm_quality_filter, QUALITY_SQL),
         ("mm_pair_curation", mm_pair_curation, PAIR_CURATION_SQL),
+        ("mm_phash_groups", mm_phash_groups, PHASH_GROUPS_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
