@@ -44,6 +44,20 @@ HEADLINE = [
     "mm_phash_neardup", "kf_matches", "x9_annotate_remap",
 ]
 
+
+def _ungated_headline() -> dict:
+    """Round-3 ungated operators worth a recorded timing (builders live
+    outside the 50-entry gated catalog, so they are referenced directly)."""
+    from crawler_spark.operators.multimodal import mm_pair_curation, mm_phash_groups
+    from crawler_spark.operators.text import text_dup_grams, text_surprisal
+
+    return {
+        "text_surprisal": text_surprisal,
+        "text_dup_grams": text_dup_grams,
+        "mm_pair_curation": mm_pair_curation,
+        "mm_phash_groups": mm_phash_groups,
+    }
+
 N_IMAGES = 400
 IMG_SIDE = 16  # 16x16 keeps the verify kernels cache-resident (32x32 goes DRAM-bound)
 
@@ -90,8 +104,9 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     # reps) and single-rep scheduler noise reaches 2x — the second, warm
     # rep is the steady-state cost a long-lived cluster job pays
     out = {}
-    for name in HEADLINE:
-        fn, _ = ALL_QUERIES[name]
+    timed = [(name, ALL_QUERIES[name][0]) for name in HEADLINE]
+    timed += list(_ungated_headline().items())
+    for name, fn in timed:
         walls = []
         for _ in range(2):
             t0 = time.monotonic()
