@@ -325,6 +325,139 @@ GROUP BY user_id, session_no
 """
 
 
+# -- as-of join: latest prior view per purchase (attribution) ---------------
+# The time-series primitive Spark lacks as a built-in (SURVEY custom-op
+# archetype): for each 'purchase' event, the most recent 'view' by the same
+# user at or before it. Expressed WITHOUT a non-equi join: tag both event
+# kinds into one frame and carry the last view forward with an ordered
+# per-user window (one shuffle keyed by user, rows frame — bounded state,
+# no candidate explosion at any scale; the standard distributed as-of
+# shape). Ties at the same millisecond order view-before-purchase so an
+# exactly-simultaneous view matches (the <= semantics), event_id breaking
+# residual ties identically in both engines.
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # parquet TIMESTAMP_NTZ
+    tagged = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("event_type").alias("et"),
+            ms.alias("ms"),
+        )
+        .withColumn("tr", F.when(F.col("et") == "view", 0).otherwise(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "tr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lv_id = F.last(
+        F.when(F.col("et") == "view", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    lv_ms = F.last(
+        F.when(F.col("et") == "view", F.col("ms")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("view_id", lv_id)
+        .withColumn("view_ms", lv_ms)
+        .filter(F.col("et") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ms",
+            "view_id",
+            (F.col("ms") - F.col("view_ms")).alias("gap_ms"),
+        )
+    )
+
+
+ASOF_SQL = """
+WITH tagged AS (
+  SELECT event_id, user_id, event_type AS et, epoch_ms(ts) AS ms,
+         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tr
+  FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT event_id::bigint AS purchase_id, user_id::bigint AS user_id,
+       ms::bigint AS ms, view_id::bigint AS view_id,
+       (ms - view_ms)::bigint AS gap_ms
+FROM (
+  SELECT *,
+         last_value(CASE WHEN et = 'view' THEN event_id END IGNORE NULLS)
+           OVER w AS view_id,
+         last_value(CASE WHEN et = 'view' THEN ms END IGNORE NULLS)
+           OVER w AS view_ms
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ms, tr, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+) t
+WHERE et = 'purchase'
+"""
+
+
+# -- range join: events into overlapping time windows (bucketed) ------------
+# The second custom-op archetype: point-in-interval join against an
+# interval table. A declarative non-equi join plans as a broadcast nested
+# loop; the scale path maps each point into its <= ceil(LEN/STEP) candidate
+# interval ids arithmetically (the intervals are STEP-periodic — the
+# bucketing parameter a real pipeline chooses), explodes, and EQUI-joins on
+# the interval id; the joined interval's actual bounds then validate the
+# range exactly as they would for a genuinely irregular interval table.
+# Candidate derivation uses only the period/length, never the bounds.
+RANGE_EPOCH0 = 1704067200000  # 2024-01-01 00:00:00 UTC in epoch ms
+RANGE_STEP_MS = 3 * 86_400_000
+RANGE_LEN_MS = 5 * 86_400_000  # overlapping: each point hits <= 2 windows
+N_RANGE_WINDOWS = 10
+
+
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    win = spark.range(N_RANGE_WINDOWS).select(
+        F.col("id").cast("int").alias("w"),
+        (F.lit(RANGE_EPOCH0) + F.col("id") * RANGE_STEP_MS).alias("start_ms"),
+        (
+            F.lit(RANGE_EPOCH0) + F.col("id") * RANGE_STEP_MS + RANGE_LEN_MS
+        ).alias("end_ms"),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    # w valid iff w*STEP <= ms-E0 < w*STEP + LEN, integer bounds below;
+    # guard the empty case — Spark's sequence(hi, lo) DESCENDS, not empties
+    cand = ev.selectExpr(
+        "event_id",
+        "ms",
+        f"""explode(
+          case when least(cast(floor((ms - {RANGE_EPOCH0}) / {RANGE_STEP_MS}) as int),
+                          {N_RANGE_WINDOWS - 1})
+                 >= greatest(cast(floor((ms - {RANGE_EPOCH0} - {RANGE_LEN_MS}) / {RANGE_STEP_MS}) as int) + 1, 0)
+          then sequence(
+                 greatest(cast(floor((ms - {RANGE_EPOCH0} - {RANGE_LEN_MS}) / {RANGE_STEP_MS}) as int) + 1, 0),
+                 least(cast(floor((ms - {RANGE_EPOCH0}) / {RANGE_STEP_MS}) as int),
+                       {N_RANGE_WINDOWS - 1}))
+          else cast(array() as array<int>) end) as w""",
+    )
+    return (
+        cand.join(F.broadcast(win), "w")
+        .filter((F.col("ms") >= F.col("start_ms")) & (F.col("ms") < F.col("end_ms")))
+        .select("event_id", "w")
+    )
+
+
+RANGE_SQL = f"""
+WITH win AS (
+  SELECT range::int AS w,
+         {RANGE_EPOCH0} + range * {RANGE_STEP_MS} AS start_ms,
+         {RANGE_EPOCH0} + range * {RANGE_STEP_MS} + {RANGE_LEN_MS} AS end_ms
+  FROM range(0, {N_RANGE_WINDOWS})
+),
+ev AS (SELECT event_id, epoch_ms(ts) AS ms FROM events)
+SELECT event_id::bigint AS event_id, w
+FROM ev JOIN win ON ms >= start_ms AND ms < end_ms
+"""
+
+
 # -- Q3-style join+agg+topk headline (S3+J+G+O composition) -----------------
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")

@@ -245,3 +245,20 @@ def test_round3_ops_plan_shapes(spark):
     assert "Exchange" not in pair, pair
     assert "Join" not in pair, pair
     assert "BatchEvalPython" not in pair, pair
+
+
+def test_asof_and_range_join_plan_shapes(spark):
+    """The as-of join must be a single ordered window (no join operator at
+    all); the bucketed range join must plan as an EQUI hash join on the
+    derived interval id — a naive non-equi formulation would appear as
+    BroadcastNestedLoopJoin, the plan that dies at scale."""
+    from crawler_spark.operators.relational import x_asof_join, x_range_join
+    from crawler_spark.plans import explain_str
+
+    asof = explain_str(x_asof_join(spark, SF))
+    assert "Join" not in asof, asof
+    assert "Window" in asof, asof
+
+    rng = explain_str(x_range_join(spark, SF))
+    assert "NestedLoop" not in rng, rng
+    assert "BroadcastHashJoin" in rng, rng

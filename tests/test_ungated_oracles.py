@@ -24,6 +24,12 @@ from crawler_spark.operators.multimodal import (
     mm_quality_filter,
 )
 from crawler_spark.operators.pipeline import PIPELINE_SQL, pipeline_clean_corpus
+from crawler_spark.operators.relational import (
+    ASOF_SQL,
+    RANGE_SQL,
+    x_asof_join,
+    x_range_join,
+)
 from crawler_spark.operators.similarity import (
     ANN_MULTIPROBE_SQL,
     ann_ivf_topk,
@@ -73,6 +79,8 @@ def test_ungated_builders_match_oracle(spark):
         ("sample_stratified", sample_stratified, STRATIFIED_SQL),
         ("text_surprisal", text_surprisal, SURPRISAL_SQL),
         ("text_dup_grams", text_dup_grams, DUP_GRAMS_SQL),
+        ("x_asof_join", x_asof_join, ASOF_SQL),
+        ("x_range_join", x_range_join, RANGE_SQL),
         ("text_pii_scrub", text_pii_scrub, PII_SQL),
         ("mm_quality_filter", mm_quality_filter, QUALITY_SQL),
         ("mm_pair_curation", mm_pair_curation, PAIR_CURATION_SQL),
