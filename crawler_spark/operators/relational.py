@@ -458,6 +458,67 @@ FROM ev JOIN win ON ms >= start_ms AND ms < end_ms
 """
 
 
+# -- hierarchical time rollup (hypertable continuous-aggregate pattern) -----
+# Third custom-op archetype: multi-resolution aggregates where each COARSE
+# level derives from the next finer level, not from raw — the raw table is
+# scanned exactly once and the hour->day rollup re-aggregates the (tiny)
+# hour frame. At 100 TB that is the difference between one raw pass and one
+# per resolution; the hour frame is checkpointed so the union's level-1
+# branch and the day rollup read one materialization. Counts are exact
+# int64; value sums are rounded at EACH level in both engines so the
+# float-summation-order noise a distributed sum accumulates never reaches
+# the compared digits.
+ROLLUP_HOUR_MS = 3_600_000
+
+
+def x_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "value",
+    )
+    hour = F.floor(F.col("ms") / ROLLUP_HOUR_MS).cast("long")
+    l1 = (
+        ev.groupBy("event_type", hour.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    l2 = (
+        l1.groupBy("event_type", F.floor(F.col("bucket") / 24).cast("long").alias("bucket"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        )
+    )
+    return (
+        l1.withColumn("level", F.lit("hour"))
+        .unionByName(l2.withColumn("level", F.lit("day")))
+        .select("level", "event_type", "bucket", "n_events", "sum_value")
+    )
+
+
+ROLLUP_SQL = f"""
+WITH l1 AS (
+  SELECT event_type, (epoch_ms(ts) // {ROLLUP_HOUR_MS})::bigint AS bucket,
+         count(*)::bigint AS n_events,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+l2 AS (
+  SELECT event_type, (bucket // 24)::bigint AS bucket,
+         sum(n_events)::bigint AS n_events,
+         round(sum(sum_value), 4) AS sum_value
+  FROM l1 GROUP BY 1, 2
+)
+SELECT 'hour' AS level, event_type, bucket, n_events, sum_value FROM l1
+UNION ALL
+SELECT 'day' AS level, event_type, bucket, n_events, sum_value FROM l2
+"""
+
+
 # -- Q3-style join+agg+topk headline (S3+J+G+O composition) -----------------
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")

@@ -27,8 +27,10 @@ from crawler_spark.operators.pipeline import PIPELINE_SQL, pipeline_clean_corpus
 from crawler_spark.operators.relational import (
     ASOF_SQL,
     RANGE_SQL,
+    ROLLUP_SQL,
     x_asof_join,
     x_range_join,
+    x_rollup_hier,
 )
 from crawler_spark.operators.similarity import (
     ANN_MULTIPROBE_SQL,
@@ -81,6 +83,7 @@ def test_ungated_builders_match_oracle(spark):
         ("text_dup_grams", text_dup_grams, DUP_GRAMS_SQL),
         ("x_asof_join", x_asof_join, ASOF_SQL),
         ("x_range_join", x_range_join, RANGE_SQL),
+        ("x_rollup_hier", x_rollup_hier, ROLLUP_SQL),
         ("text_pii_scrub", text_pii_scrub, PII_SQL),
         ("mm_quality_filter", mm_quality_filter, QUALITY_SQL),
         ("mm_pair_curation", mm_pair_curation, PAIR_CURATION_SQL),
