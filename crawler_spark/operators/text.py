@@ -717,6 +717,87 @@ GROUP BY g.doc_id
 DUP_GRAMS_SQL = _dup_grams_sql()
 
 
+# -- KMV (bottom-k) distinct sketch -----------------------------------------
+# The sketch archetype with EXACT cross-engine parity: unlike HLL (whose
+# register layout is implementation-specific), the K-minimum-values sketch
+# is a pure order statistic — the k smallest 32-bit hashes of the distinct
+# tokens — so both engines compute the identical integers and the identical
+# estimate n_hat = (k-1) * 2^32 / kth_min. Per-source vocabulary estimates
+# here; at scale the sketch property that matters is MERGEABILITY: the
+# bottom-k of a union is the bottom-k of the concatenated bottom-k's, so
+# partial sketches combine associatively across partitions/days (the same
+# reason production systems sketch instead of counting). The exact distinct
+# rides along to report the realized relative error. k=16 sits below the
+# synthetic per-source vocabularies (30-31 distinct tokens), so the
+# ESTIMATOR branch actually runs at every sf — production sizing is
+# k=1024+ for ~3% error; the n_kept < k branch is the exact fallback for
+# small strata.
+KMV_K = 16
+
+
+def text_kmv_distinct(spark: SparkSession, sf_dir: str,
+                      k: int = KMV_K) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .common import spark_h32
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.expr(SPARK_TOKENS)).alias("tok"))
+        .select("source", F.expr(spark_h32("tok")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("h"))
+    ranked = toks.withColumn("rk", F.row_number().over(w))
+    kth = (
+        ranked.filter(F.col("rk") <= k)
+        .groupBy("source")
+        .agg(F.max("h").alias("kth_min"), F.count("*").alias("n_kept"))
+    )
+    exact = toks.groupBy("source").agg(F.count("*").alias("n_exact"))
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")  # small stratum: exact
+    ).otherwise((k - 1) * float(1 << 32) / F.col("kth_min"))
+    return kth.join(exact, "source").select(
+        "source",
+        "kth_min",
+        "n_exact",
+        F.round(est, 2).alias("n_est"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+    )
+
+
+def _kmv_sql(k: int = KMV_K) -> str:
+    from .common import duck_h32
+
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT source, {duck_h32('tok')} AS h FROM (
+    SELECT source, unnest({DUCK_TOKENS}) AS tok FROM documents) raw
+),
+ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+  FROM toks
+),
+kth AS (
+  SELECT source, max(h)::bigint AS kth_min, count(*)::bigint AS n_kept
+  FROM ranked WHERE rk <= {k} GROUP BY source
+),
+exact AS (SELECT source, count(*)::bigint AS n_exact FROM toks GROUP BY source)
+SELECT kth.source, kth_min, n_exact,
+       round(CASE WHEN n_kept < {k} THEN n_kept::double
+                  ELSE ({k} - 1) * {float(1 << 32)!r} / kth_min END, 2) AS n_est,
+       round((CASE WHEN n_kept < {k} THEN n_kept::double
+                   ELSE ({k} - 1) * {float(1 << 32)!r} / kth_min END
+              - n_exact) / n_exact, 4) AS rel_err
+FROM kth JOIN exact ON kth.source = exact.source
+"""
+
+
+KMV_SQL = _kmv_sql()
+
+
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
 }

@@ -42,6 +42,7 @@ from crawler_spark.operators.text import (
     DECONTAM_SQL,
     DUP_GRAMS_SQL,
     FINGERPRINT_SQL,
+    KMV_SQL,
     MIXTURE_SQL,
     PACK_SQL,
     PII_SQL,
@@ -54,6 +55,7 @@ from crawler_spark.operators.text import (
     sample_stratified,
     text_fingerprint,
     text_dup_grams,
+    text_kmv_distinct,
     text_pii_scrub,
     text_repetition,
     text_surprisal,
@@ -84,6 +86,7 @@ def test_ungated_builders_match_oracle(spark):
         ("x_asof_join", x_asof_join, ASOF_SQL),
         ("x_range_join", x_range_join, RANGE_SQL),
         ("x_rollup_hier", x_rollup_hier, ROLLUP_SQL),
+        ("text_kmv_distinct", text_kmv_distinct, KMV_SQL),
         ("text_pii_scrub", text_pii_scrub, PII_SQL),
         ("mm_quality_filter", mm_quality_filter, QUALITY_SQL),
         ("mm_pair_curation", mm_pair_curation, PAIR_CURATION_SQL),
