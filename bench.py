@@ -49,13 +49,26 @@ def _ungated_headline() -> dict:
     """Round-3 ungated operators worth a recorded timing (builders live
     outside the 50-entry gated catalog, so they are referenced directly)."""
     from crawler_spark.operators.multimodal import mm_pair_curation, mm_phash_groups
-    from crawler_spark.operators.text import text_dup_grams, text_surprisal
+    from crawler_spark.operators.relational import (
+        x_asof_join,
+        x_range_join,
+        x_rollup_hier,
+    )
+    from crawler_spark.operators.text import (
+        text_dup_grams,
+        text_kmv_distinct,
+        text_surprisal,
+    )
 
     return {
         "text_surprisal": text_surprisal,
         "text_dup_grams": text_dup_grams,
+        "text_kmv_distinct": text_kmv_distinct,
         "mm_pair_curation": mm_pair_curation,
         "mm_phash_groups": mm_phash_groups,
+        "x_asof_join": x_asof_join,
+        "x_range_join": x_range_join,
+        "x_rollup_hier": x_rollup_hier,
     }
 
 N_IMAGES = 400

@@ -4,6 +4,7 @@ from .rounds import (  # noqa: F401
     stream_first_seen_rocksdb,
     stream_link_extract,
     stream_quality_gate,
+    stream_rollup,
     stream_sessionize,
     stream_windowed_lineage,
 )

@@ -249,6 +249,33 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_rollup(events: DataFrame, fine: str = "1 hour",
+                  coarse: str = "1 day", watermark: str = "2 days") -> DataFrame:
+    """Streaming hierarchical rollup — the continuous twin of
+    `x_rollup_hier`, as CHAINED stateful aggregations (multiple stateful
+    operators in one query, the Spark 3.4+ watermark-propagation feature):
+    the fine windowed count aggregates raw events, and the coarse level
+    aggregates the FINE windows' outputs (grouping on
+    window(window_time(fine_window), coarse)) — raw events are touched by
+    exactly one stateful operator, the coarse state sees only closed fine
+    windows. A coarse window emits once (append mode) when the watermark
+    passes its end."""
+    l1 = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", fine).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    l2 = (
+        l1.groupBy(F.window(F.window_time("w"), coarse).alias("cw"), "event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    return l2.select(
+        "event_type",
+        F.col("cw.start").alias("bucket_start"),
+        "n_events",
+    )
+
+
 def stream_windowed_lineage(discovered: DataFrame, window: str = "10 seconds",
                             watermark: str = "30 seconds") -> DataFrame:
     """Tumbling-window per-host-bucket discovery counters with late-data

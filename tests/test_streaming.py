@@ -161,6 +161,56 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_stream_rollup_chained_aggs_match_batch(spark, tmp_path):
+    """Chained stateful aggregations (fine window -> coarse window of
+    window_time): coarse buckets closed by the watermark must emit exactly
+    once and match the batch evaluation of the same chained expression."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.streaming import stream_rollup
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type")
+    )
+    src = str(tmp_path / "events_r")
+    events.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    events.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    sentinel = pd.DataFrame(
+        [(10**9, pd.Timestamp("2024-06-01 00:00:00"), 10**6, "sentinel")],
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("rollup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("select * from rollup")
+        .toPandas()
+        .sort_values(["event_type", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        stream_rollup(spark.read.schema(schema).parquet(src))
+        .filter(F.col("event_type") != "sentinel")  # its bucket stays open
+        .toPandas()
+        .sort_values(["event_type", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0 and got["n_events"].sum() == 1000
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_stream_sessionize_closed_sessions_match_batch(spark, tmp_path):
     """session_window sessions closed by the watermark must emit exactly
     once and equal a batch session_window aggregation over the same events
