@@ -281,6 +281,17 @@ def min_label_components(edges: DataFrame, max_iters: int = 16) -> DataFrame:
         labels = upd.drop("_chg")
         if not changed:
             break
+    else:
+        # max_iters exhausted with changes still pending: the labels are
+        # NOT a fixpoint — emitting them would silently split components
+        # (and diverge from the oracles' unbounded transitive closures).
+        # Fail loudly; a caller with adversarial long-chain graphs should
+        # raise max_iters (or switch to large-star/small-star, which
+        # bounds rounds at O(log^2 n) with the same join shape).
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_iters} "
+            "iterations — component diameter exceeds the iteration budget"
+        )
     return labels
 
 

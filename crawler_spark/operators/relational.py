@@ -292,11 +292,20 @@ FROM events GROUP BY 1, 2
 """
 
 
+# Event time in epoch ms. ONE definition for every events-table operator:
+# the testdata parquet stores TIMESTAMP_NTZ, so the cast to session-TZ
+# timestamp (UTC, pinned by session.py) must precede unix_millis for
+# DuckDB epoch_ms parity — a change here reaches w2/asof/range/rollup at
+# once instead of drifting per operator.
+def _event_ms():
+    return F.unix_millis(F.col("ts").cast("timestamp"))
+
+
 # -- W2: sessionization (30-min gap), deferral/round semantics analog -------
 def w2_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # parquet is TIMESTAMP_NTZ
+    ms = _event_ms()
     with_gap = events.withColumn(
         "new_sess",
         F.when(ms - F.lag(ms).over(w) > 30 * 60 * 1000, 1).otherwise(0),
@@ -337,7 +346,7 @@ GROUP BY user_id, session_no
 # residual ties identically in both engines.
 def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # parquet TIMESTAMP_NTZ
+    ms = _event_ms()
     tagged = (
         ev.filter(F.col("event_type").isin("view", "purchase"))
         .select(
@@ -420,8 +429,7 @@ def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("end_ms"),
     )
     ev = load(spark, sf_dir, "events").select(
-        "event_id",
-        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id", _event_ms().alias("ms")
     )
     # w valid iff w*STEP <= ms-E0 < w*STEP + LEN, integer bounds below;
     # guard the empty case — Spark's sequence(hi, lo) DESCENDS, not empties
@@ -473,9 +481,7 @@ ROLLUP_HOUR_MS = 3_600_000
 
 def x_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
-        "value",
+        "event_type", _event_ms().alias("ms"), "value"
     )
     hour = F.floor(F.col("ms") / ROLLUP_HOUR_MS).cast("long")
     l1 = (

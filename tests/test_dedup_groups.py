@@ -43,3 +43,21 @@ def test_groups_are_transitive_with_min_id_rep(spark, tmp_path):
     assert not out[1]["is_rep"] and not out[2]["is_rep"]
     # disjoint doc is its own singleton representative
     assert out[3]["group_id"] == 3 and out[3]["group_size"] == 1 and out[3]["is_rep"]
+
+
+def test_min_label_components_nonconvergence_raises(spark):
+    """A component whose diameter exceeds the iteration budget must fail
+    loudly — silently split components would diverge from the oracles'
+    unbounded transitive closures."""
+    import pytest
+
+    from crawler_spark.operators.dedup import min_label_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(chain, max_iters=2)
+    # a sufficient budget resolves the same chain into one component
+    labels = min_label_components(chain, max_iters=16)
+    assert {r["label"] for r in labels.collect()} == {0}
