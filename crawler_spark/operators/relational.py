@@ -343,19 +343,28 @@ GROUP BY user_id, session_no
 # no candidate explosion at any scale; the standard distributed as-of
 # shape). Ties at the same millisecond order view-before-purchase so an
 # exactly-simultaneous view matches (the <= semantics), event_id breaking
-# residual ties identically in both engines.
-def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+# residual ties identically in both engines. `tolerance_ms` is the
+# standard as-of knob: a match older than the tolerance is discarded
+# (null) — applied AFTER the carry-forward, so it stays one window pass.
+def x_asof_join(spark: SparkSession, sf_dir: str,
+                tolerance_ms: int | None = None) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    ms = _event_ms()
-    tagged = (
-        ev.filter(F.col("event_type").isin("view", "purchase"))
-        .select(
-            "event_id",
-            "user_id",
-            F.col("event_type").alias("et"),
-            ms.alias("ms"),
-        )
-        .withColumn("tr", F.when(F.col("et") == "view", 0).otherwise(1))
+    return asof_frame(
+        ev.filter(F.col("event_type").isin("view", "purchase")).select(
+            "event_id", "user_id", F.col("event_type").alias("et"),
+            _event_ms().alias("ms"),
+        ),
+        tolerance_ms,
+    )
+
+
+def asof_frame(tagged: DataFrame, tolerance_ms: int | None = None) -> DataFrame:
+    """The as-of kernel over any (event_id, user_id, et in {view,purchase},
+    ms) frame — split out so randomized tests drive it on synthetic event
+    sets (tests/test_ungated_oracles.py checks it against a brute-force
+    Python reference, simultaneous events and no-prior-view included)."""
+    tagged = tagged.withColumn(
+        "tr", F.when(F.col("et") == "view", 0).otherwise(1)
     )
     w = (
         Window.partitionBy("user_id")
@@ -368,17 +377,22 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lv_ms = F.last(
         F.when(F.col("et") == "view", F.col("ms")), ignorenulls=True
     ).over(w)
-    return (
+    out = (
         tagged.withColumn("view_id", lv_id)
         .withColumn("view_ms", lv_ms)
         .filter(F.col("et") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            "ms",
-            "view_id",
-            (F.col("ms") - F.col("view_ms")).alias("gap_ms"),
-        )
+    )
+    if tolerance_ms is not None:
+        stale = F.col("ms") - F.col("view_ms") > tolerance_ms
+        out = out.withColumn(
+            "view_id", F.when(stale, None).otherwise(F.col("view_id"))
+        ).withColumn("view_ms", F.when(stale, None).otherwise(F.col("view_ms")))
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ms",
+        "view_id",
+        (F.col("ms") - F.col("view_ms")).alias("gap_ms"),
     )
 
 

@@ -96,6 +96,53 @@ def test_ungated_builders_match_oracle(spark):
         assert ok, (name, msg)
 
 
+def test_asof_randomized_vs_python(spark):
+    """The as-of kernel (window carry-forward + tie ordering + tolerance)
+    against a brute-force Python reference on seeded random event sets,
+    with deliberate simultaneous-timestamp collisions and users who never
+    view."""
+    import random
+
+    from crawler_spark.operators.relational import asof_frame
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for user in range(12):
+        for _ in range(rng.randint(0, 25)):
+            # coarse ms grid -> frequent exact-timestamp collisions
+            rows.append(
+                (eid, user, rng.choice(["view", "purchase"]), rng.randint(0, 40) * 1000)
+            )
+            eid += 1
+
+    def ref(tolerance):
+        out = {}
+        for pid, user, et, ms in rows:
+            if et != "purchase":
+                continue
+            cands = [
+                (vms, vid)
+                for vid, vu, vet, vms in rows
+                if vu == user and vet == "view" and vms <= ms
+            ]
+            best = max(cands, default=None)  # latest ms, then highest id
+            if best and tolerance is not None and ms - best[0] > tolerance:
+                best = None
+            out[pid] = (best[1], ms - best[0]) if best else (None, None)
+        return out
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, et string, ms long"
+    )
+    for tol in (None, 5000):
+        got = {
+            r["purchase_id"]: (r["view_id"], r["gap_ms"])
+            for r in asof_frame(df, tol).collect()
+        }
+        assert got == ref(tol), f"tolerance={tol}"
+
+
 def test_max_run_fold_randomized(spark):
     """The repetition filter's max-consecutive-run is computed by two
     different mechanisms (Spark: linear HOF fold; DuckDB oracle:
