@@ -317,16 +317,34 @@ class StateStore:
                 )
             live = [r for r in self.rounds if r > upto]
             if live:
-                if os.path.isdir(self._seen_dir()):
+                # Resolve PER ROUND, not per layout: a store checkpointed
+                # under the pre-round-3 layout (plain round=r/seen_delta
+                # dirs) may gain new-layout partitions on its first resumed
+                # commit — reading only seen/ would silently drop every
+                # legacy round's rows (re-enqueues + oracle divergence).
+                new_rounds = [
+                    r
+                    for r in live
+                    if os.path.isdir(os.path.join(self._seen_dir(), f"round={r}"))
+                ]
+                legacy = []
+                for r in live:
+                    if r in new_rounds:
+                        continue
+                    p = os.path.join(self.root, f"round={r}", "seen_delta")
+                    if not os.path.isdir(p):
+                        raise FileNotFoundError(
+                            f"seen rows for committed round {r} missing from both "
+                            f"the partitioned table and the legacy layout under "
+                            f"{self.root} — store is corrupt; restore or re-crawl"
+                        )
+                    legacy.append(p)
+                if new_rounds:
                     # manifest filter = snapshot isolation: a crashed round's
                     # orphan partitions are pruned out, never read
-                    parts.append(self._read_seen().filter(F.col("round").isin(live)))
-                else:
-                    # legacy layout (pre round-3): plain per-round parquet dirs
-                    paths = [
-                        os.path.join(self.root, f"round={r}", "seen_delta") for r in live
-                    ]
-                    parts.append(self.spark.read.schema(SEEN_SCHEMA).parquet(*paths))
+                    parts.append(self._read_seen().filter(F.col("round").isin(new_rounds)))
+                if legacy:
+                    parts.append(self.spark.read.schema(SEEN_SCHEMA).parquet(*legacy))
             out = parts[0] if parts else self.spark.createDataFrame([], SEEN_SCHEMA)
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -474,6 +492,13 @@ class StateStore:
             for entry in os.listdir(sd):
                 if entry.startswith("round=") and int(entry.split("=", 1)[1]) <= upto:
                     shutil.rmtree(os.path.join(sd, entry))
+        # legacy layout (pre round-3): per-round seen_delta dirs the base
+        # generation now covers
+        for r in self.rounds:
+            if r <= upto:
+                d = os.path.join(self.root, f"round={r}", "seen_delta")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
 
     def traces(self) -> DataFrame:
         if self.root and self.rounds:

@@ -105,6 +105,56 @@ def test_resume_from_pre_depth_checkpoint(spark, tmp_path):
     assert (resumed.lineage["n_depth_capped"] == 0).all()
 
 
+def test_resume_from_legacy_seen_layout(spark, tmp_path):
+    """Migration: a state dir written before the partitioned seen/ table
+    (pre round-3: plain round=r/seen_delta dirs) must resume cleanly. The
+    first resumed commit creates seen/ with ONLY the new round's partitions;
+    seen() must still read each legacy round from its old dir — an
+    all-or-nothing layout switch would silently drop every legacy round's
+    rows (re-enqueues + oracle divergence)."""
+    import os
+    import shutil
+
+    w = datagen.make_world(n_urls=120, n_hosts=8, n_images=20, with_corpus=False)
+    sdf = datagen.to_spark(spark, w)
+    cfg = CrawlConfig(page_size=15, tries=2, max_rounds=100)
+
+    full = crawl(spark, sdf, cfg, state_dir=str(tmp_path / "full"))
+
+    state = str(tmp_path / "legacy")
+    cut = dataclasses.replace(cfg, max_rounds=3)
+    crawl(spark, sdf, cut, state_dir=state)
+
+    # rewrite the on-disk format to the pre-round-3 layout: one plain
+    # parquet dir per round, no partitioned seen/ table
+    seen_dir = os.path.join(state, "seen")
+    assert os.path.isdir(seen_dir)
+    for entry in os.listdir(seen_dir):
+        if not entry.startswith("round="):
+            continue
+        r = int(entry.split("=", 1)[1])
+        rows = spark.read.parquet(os.path.join(seen_dir, entry)).toPandas()
+        rows["round"] = r
+        legacy_dir = os.path.join(state, f"round={r}", "seen_delta")
+        spark.createDataFrame(
+            rows[["url_id", "host_bucket", "status", "round"]],
+            schema="url_id long, host_bucket int, status string, round int",
+        ).write.parquet(legacy_dir)
+    shutil.rmtree(seen_dir)
+
+    resumed = crawl(spark, sdf, cfg, state_dir=state, resume=True)
+    assert resumed.rounds == full.rounds
+    pd.testing.assert_frame_equal(
+        _norm(full.trace, ["round", "seq"]), _norm(resumed.trace, ["round", "seq"])
+    )
+    pd.testing.assert_frame_equal(
+        _norm(full.seen, ["url_id"]), _norm(resumed.seen, ["url_id"])
+    )
+    pd.testing.assert_frame_equal(
+        _norm(full.lineage, ["round"]), _norm(resumed.lineage, ["round"])
+    )
+
+
 def test_resume_loads_saved_bloom(spark, tmp_path):
     """Bloom persistence: a completed crawl saves its bitsets next to the
     checkpoint; resume loads them (plus a catch-up of any newer rounds)
