@@ -696,6 +696,61 @@ def _sq8_index(base: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
+def _sq8_stage1(qz: DataFrame, q_ids, q_mat, q_qn) -> DataFrame:
+    """Quantized candidate scan with a per-batch per-query top-m cut.
+
+    Each Arrow batch computes one int64 GEMM (queries x batch codes) and
+    emits only its LOCAL top-(SQ8_SHORTLIST_MULT*TOP_K) candidates per
+    query under the exact shortlist order (qcos desc, neighbor_id asc) —
+    so the global row_number window merges at most n_batches x Q x 3k rows
+    instead of Q x N. The cut is lossless: the order is TOTAL (neighbor
+    ids are unique), so every member of the global top-m is necessarily
+    within its own batch's top-m — top-m of per-batch top-m's is the
+    global top-m, bit-identical to the unbounded scan and to the DuckDB
+    oracle's full window. At 100 TB this is the difference between each
+    query's whole candidate stream serializing through one window task
+    and a bounded merge."""
+    import numpy as np
+
+    m = SQ8_SHORTLIST_MULT * TOP_K
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            codes = np.stack(pdf["q8"].to_numpy()).astype(np.int64)
+            dots = q_mat @ codes.T  # (Q, n) exact int64
+            qcos = dots.astype(np.float64) / (
+                q_qn[:, None] * pdf["qn"].to_numpy(dtype=np.float64)[None, :]
+            )
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # self-pairs sink below every real candidate so the cut never
+            # selects them; filtered out after the take
+            qcos[q_ids[:, None] == c_ids[None, :]] = -np.inf
+            k = min(m, n)
+            # per-row order: qcos desc, neighbor_id asc (last lexsort key
+            # is primary) — the shortlist window's exact composite order
+            order = np.lexsort(
+                (np.broadcast_to(c_ids, qcos.shape), -qcos), axis=-1
+            )[:, :k]
+            qc = np.take_along_axis(qcos, order, axis=1).ravel()
+            real = np.isfinite(qc)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, k)[real],
+                    "neighbor_id": c_ids[order.ravel()][real],
+                    "qcos": qc[real],
+                }
+            )
+
+    return qz.select("vec_id", "q8", "qn").mapInPandas(
+        _score, schema="query_id long, neighbor_id long, qcos double"
+    )
+
+
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized ANN: int8 codes score all candidates (4x less data
     than the float scan), exact cosine reranks the 3k-per-query shortlist.
@@ -734,32 +789,7 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["q8"] for r in qrows], dtype=np.int64)
     q_qn = np.array([r["qn"] for r in qrows], dtype=np.float64)
-
-    def _score(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            n = len(pdf)
-            if not n:
-                continue
-            codes = np.stack(pdf["q8"].to_numpy()).astype(np.int64)
-            dots = q_mat @ codes.T  # (Q, n) exact int64
-            qcos = dots.astype(np.float64) / (
-                q_qn[:, None] * pdf["qn"].to_numpy(dtype=np.float64)[None, :]
-            )
-            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            keep = q_ids[:, None] != c_ids[None, :]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(q_ids, n)[keep.ravel()],
-                    "neighbor_id": np.tile(c_ids, len(q_ids))[keep.ravel()],
-                    "qcos": qcos.ravel()[keep.ravel()],
-                }
-            )
-
-    stage1 = qz.select("vec_id", "q8", "qn").mapInPandas(
-        _score, schema="query_id long, neighbor_id long, qcos double"
-    )
+    stage1 = _sq8_stage1(qz, q_ids, q_mat, q_qn)
     w1 = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
     shortlist = (
         stage1.withColumn("r1", F.row_number().over(w1))

@@ -110,6 +110,70 @@ def test_sq8_two_stage_plan(spark):
     assert plan.count("zip_with") <= 2, plan.count("zip_with")
 
 
+def test_sq8_stage1_bounded_per_batch(spark):
+    """The quantized scan must emit at most (SQ8_SHORTLIST_MULT*TOP_K)
+    candidates per query PER ARROW BATCH — not all QxN pairs — so the
+    shortlist window merges a bounded stream at any corpus size. Asserted
+    as a hard row-count bound: batches x Q x 3k, with batches derived from
+    the per-partition row counts and the Arrow batch size. Also re-checks
+    the cut is lossless: the merged shortlist equals the unbounded scan's."""
+    import math
+
+    import numpy as np
+
+    from crawler_spark.operators.similarity import (
+        N_QUERIES,
+        SQ8_SHORTLIST_MULT,
+        TOP_K,
+        _indexed_embeddings,
+        _sq8_index,
+        _sq8_stage1,
+    )
+
+    base = _indexed_embeddings(spark, SF)
+    qz = _sq8_index(base)
+    qrows = qz.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "q8", "qn").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["q8"] for r in qrows], dtype=np.int64)
+    q_qn = np.array([r["qn"] for r in qrows], dtype=np.float64)
+
+    stage1 = _sq8_stage1(qz, q_ids, q_mat, q_qn)
+    arrow_batch = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))
+    per_part = (
+        qz.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    n_batches = sum(math.ceil(r["count"] / arrow_batch) for r in per_part)
+    m = SQ8_SHORTLIST_MULT * TOP_K
+    n_rows = stage1.count()
+    assert n_rows <= n_batches * len(q_ids) * m, (n_rows, n_batches, len(q_ids), m)
+
+    # lossless: global top-m over the bounded stream == top-m over all pairs
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    got = (
+        stage1.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= m)
+        .select("query_id", "r", "neighbor_id")
+        .orderBy("query_id", "r")
+        .collect()
+    )
+    n_corpus = qz.count()
+    exp_rows = []
+    all_rows = qz.select("vec_id", "q8", "qn").orderBy("vec_id").collect()
+    c_ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
+    c_mat = np.array([r["q8"] for r in all_rows], dtype=np.int64)
+    c_qn = np.array([r["qn"] for r in all_rows], dtype=np.float64)
+    qcos = (q_mat @ c_mat.T).astype(np.float64) / (q_qn[:, None] * c_qn[None, :])
+    qcos[q_ids[:, None] == c_ids[None, :]] = -np.inf
+    for qi, qid in enumerate(q_ids):
+        order = np.lexsort((c_ids, -qcos[qi]))[: min(m, n_corpus)]
+        for r, j in enumerate(order, start=1):
+            if np.isfinite(qcos[qi][j]):
+                exp_rows.append((int(qid), r, int(c_ids[j])))
+    assert [(g["query_id"], g["r"], g["neighbor_id"]) for g in got] == sorted(exp_rows)
+
+
 def test_frame_sample_single_python_stage(spark):
     """mm_frame_sample must be mapInPandas stages over Arrow batches — no
     per-row Python dispatch (BatchEvalPython) anywhere in the plan."""
