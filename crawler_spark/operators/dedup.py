@@ -70,7 +70,15 @@ def _spark_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     them three times per element, and inlining the tokenizer would evaluate
     the regex split repeatedly per row."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
+    return shingle_rows_from_toks(
+        docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
+    )
+
+
+def shingle_rows_from_toks(toks: DataFrame) -> DataFrame:
+    """The shingle explode over a pre-tokenized (doc_id, toks) frame — lets
+    pipeline_clean_corpus derive shingles from its shared tokenize
+    checkpoint instead of re-scanning documents."""
     shingles = toks.select(
         "doc_id",
         F.explode(
@@ -93,7 +101,10 @@ DUCK_SHINGLE_ROWS = f"""
 
 # -- exact dedup (hash-groupBy), the K4 (repo_id,path) upsert analog --------
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return dedup_exact_frame(load(spark, sf_dir, "documents"))
+
+
+def dedup_exact_frame(docs: DataFrame) -> DataFrame:
     return (
         docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
         .groupBy("text_hash")
@@ -321,6 +332,17 @@ def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 16) -> DataF
     state is proportional to the duplicate subgraph (typically a few percent
     of the corpus), not the corpus."""
     sh = _spark_shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
+    return dedup_groups_from_shingles(
+        sh, load(spark, sf_dir, "documents").select("doc_id"), max_iters
+    )
+
+
+def dedup_groups_from_shingles(
+    sh: DataFrame, all_docs: DataFrame, max_iters: int = 16
+) -> DataFrame:
+    """The group builder over a MATERIALIZED shingle frame plus the corpus
+    doc_id universe — pipeline_clean_corpus feeds both from its shared
+    tokenize checkpoint."""
     edges = (
         _pair_overlap(sh)
         .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
@@ -333,8 +355,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 16) -> DataF
         labels.groupBy("label").agg(F.count("*").alias("group_size")), "label"
     )
     return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
+        all_docs.select("doc_id")
         .join(sized, "doc_id", "left")
         .select(
             "doc_id",

@@ -20,18 +20,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import load
-from .dedup import GROUPS_SQL, dedup_exact, dedup_groups
+from .common import SPARK_TOKENS, load
+from .dedup import (
+    GROUPS_SQL,
+    dedup_exact_frame,
+    dedup_groups_from_shingles,
+    shingle_rows_from_toks,
+)
 from .text import (
     DECONTAM_EVAL_MOD,
     DECONTAM_SQL,
     METRICS_SQL,
     REPETITION_SQL,
     SURPRISAL_SQL,
-    decontaminate,
-    text_metrics,
-    text_repetition,
-    text_surprisal,
+    decontaminate_frame,
+    gram_hashes,
+    text_metrics_frame,
+    text_repetition_frame,
+    text_surprisal_frame,
 )
 
 # CCNet-style LM gate: drop the high-surprisal (junk) tail. 5.2 bits/token
@@ -49,17 +55,33 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     short to shingle (< 3 tokens) never gets a near-dup edge, so
     byte-identical short documents are both singleton `is_rep` — the hash
     representative still drops the copy. Missing metrics (a token-less
-    document) fail their gates — junk never trains by omission."""
-    m = text_metrics(spark, sf_dir).select(
+    document) fail their gates — junk never trains by omission.
+
+    Scan discipline: at 100 TB the tokenizer pass IS the pipeline's
+    dominant cost, so `documents` is read ONCE into a checkpointed
+    (doc_id, text, toks) frame and every stage derives from it — metrics,
+    repetition, surprisal, and exact dedup read the tokens directly;
+    decontamination and the near-dup shingles each derive one gram frame
+    from the same checkpoint (the gram frame is itself checkpointed so its
+    eval/train split is one pass). A plan test asserts the whole pipeline
+    plan contains at most one `documents` scan."""
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.expr(SPARK_TOKENS).alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    m = text_metrics_frame(base).select(
         "doc_id", "n_tokens", "quality_score", "keep"
     )
-    rep = text_repetition(spark, sf_dir).select("doc_id", "repetitive")
-    srp = text_surprisal(spark, sf_dir).select("doc_id", "bits_per_token")
-    cont = decontaminate(spark, sf_dir).select(
+    rep = text_repetition_frame(base).select("doc_id", "repetitive")
+    srp = text_surprisal_frame(base).select("doc_id", "bits_per_token")
+    grams = gram_hashes(base).localCheckpoint(eager=True)
+    cont = decontaminate_frame(grams).select(
         "doc_id", F.lit(True).alias("contaminated")
     )
-    g = dedup_groups(spark, sf_dir)
-    ex = dedup_exact(spark, sf_dir).select(
+    sh = shingle_rows_from_toks(base).localCheckpoint(eager=True)
+    g = dedup_groups_from_shingles(sh, base.select("doc_id"))
+    ex = dedup_exact_frame(base).select(
         F.col("rep_doc_id").alias("doc_id"), F.lit(True).alias("exact_rep")
     )
     emb = load(spark, sf_dir, "embeddings").select(

@@ -42,12 +42,16 @@ def text_metrics_frame(docs: DataFrame) -> DataFrame:
     """The metric expressions over any (doc_id, text) frame — every column
     is a stateless per-row expression, so this works unchanged on a
     STREAMING input (`streaming.stream_quality_gate` is exactly this on a
-    readStream — the ingest-time quality gate)."""
-    toks = F.expr(SPARK_TOKENS)
+    readStream — the ingest-time quality gate). A frame that already
+    carries a `toks` column (the pipeline's shared tokenize checkpoint)
+    is reused as-is — the tokenizer regex runs zero additional times."""
+    if "toks" not in docs.columns:
+        docs = docs.withColumn("toks", F.expr(SPARK_TOKENS))
+    toks = F.col("toks")
     ws = "filter(split(text, ' +'), x -> x != '')"
     n_tokens = F.greatest(F.size(toks), F.lit(1))
     stop_ratio = F.size(
-        F.expr(f"filter({SPARK_TOKENS}, x -> x in ({_STOP_SQL}))")
+        F.expr(f"filter(toks, x -> x in ({_STOP_SQL}))")
     ) / n_tokens
     alpha_ratio = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")) / F.greatest(
         F.length("text"), F.lit(1)
@@ -59,7 +63,7 @@ def text_metrics_frame(docs: DataFrame) -> DataFrame:
         lang: F.round(
             F.size(
                 F.expr(
-                    f"filter({SPARK_TOKENS}, x -> x in ({', '.join(repr(m) for m in ms)}))"
+                    f"filter(toks, x -> x in ({', '.join(repr(m) for m in ms)}))"
                 )
             )
             / n_tokens,
@@ -80,7 +84,7 @@ def text_metrics_frame(docs: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0)).cast("long").alias("n_bpe_pieces"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
         F.round(
-            F.expr(f"aggregate({SPARK_TOKENS}, 0L, (acc,x) -> acc + length(x))")
+            F.expr("aggregate(toks, 0L, (acc,x) -> acc + length(x))")
             / F.greatest(F.size(toks), F.lit(1)),
             4,
         ).alias("avg_token_len"),
@@ -92,7 +96,7 @@ def text_metrics_frame(docs: DataFrame) -> DataFrame:
         *[lang_scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
         pred.alias("pred_lang"),
         F.expr(spark_polyhash("text")).alias("fp_chars"),
-        F.expr(spark_polyhash(f"array_join({SPARK_TOKENS}, ' ')")).alias("fp_tokens"),
+        F.expr(spark_polyhash("array_join(toks, ' ')")).alias("fp_tokens"),
     )
 
 
@@ -188,12 +192,18 @@ def gram_hashes(docs: DataFrame, k: int = DECONTAM_K) -> DataFrame:
     """Per-document k-token-gram 32-bit hashes: (doc_id, h), one row per
     gram occurrence. Works on batch AND streaming inputs (pure per-row
     tokenize → explode → hash, no shuffle) — the shared front half of the
-    batch `decontaminate` and `streaming.stream_decontaminate`."""
+    batch `decontaminate` and `streaming.stream_decontaminate`. A frame
+    that already carries `toks` (the pipeline's shared tokenize
+    checkpoint) skips the tokenizer."""
     from .common import spark_h32
 
+    toks = (
+        docs.select("doc_id", "toks")
+        if "toks" in docs.columns
+        else docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
+    )
     return (
-        docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
-        .select("doc_id", F.explode(F.expr(_spark_kgrams(k))).alias("gram"))
+        toks.select("doc_id", F.explode(F.expr(_spark_kgrams(k))).alias("gram"))
         .select("doc_id", F.expr(spark_h32("gram")).alias("h"))
     )
 
@@ -211,7 +221,19 @@ def decontaminate(spark: SparkSession, sf_dir: str, k: int = DECONTAM_K,
     split here is a deterministic stand-in (doc_id % eval_mod == 0); a real
     pipeline reads a benchmark table — the dataflow is identical.
     """
-    grams = gram_hashes(load(spark, sf_dir, "documents"), k)
+    # ONE tokenize+gram pass feeds both the eval and the train side (the
+    # in-corpus eval stand-in previously built the gram frame twice); a
+    # production pipeline reads eval grams from a separate benchmark table
+    # and the train side still pays exactly one scan.
+    grams = gram_hashes(load(spark, sf_dir, "documents"), k).localCheckpoint(
+        eager=True
+    )
+    return decontaminate_frame(grams, eval_mod)
+
+
+def decontaminate_frame(grams: DataFrame, eval_mod: int = DECONTAM_EVAL_MOD) -> DataFrame:
+    """The back half over a materialized (doc_id, h) gram frame — shared by
+    the standalone query and pipeline_clean_corpus' fused scan."""
     eval_grams = grams.filter(F.expr(f"doc_id % {eval_mod} = 0")).select("h").distinct()
     return (
         grams.filter(F.expr(f"doc_id % {eval_mod} <> 0"))
@@ -403,9 +425,15 @@ _SPARK_MAX_RUN = (
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+    return text_repetition_frame(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+        )
     )
+
+
+def text_repetition_frame(docs: DataFrame) -> DataFrame:
+    """Repetition metrics over a pre-tokenized (doc_id, toks) frame."""
     base = docs.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
@@ -607,9 +635,15 @@ STRATIFIED_SQL = _stratified_sql()
 
 
 def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+    return text_surprisal_frame(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+        )
     )
+
+
+def text_surprisal_frame(docs: DataFrame) -> DataFrame:
+    """Surprisal over a pre-tokenized (doc_id, toks) frame."""
     toks = docs.select("doc_id", F.explode("toks").alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint(
         eager=True

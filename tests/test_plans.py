@@ -281,6 +281,26 @@ def test_pipeline_text_ops_plan_shapes(spark):
     assert has_broadcast_join(decontaminate(spark, SF))
 
 
+def test_pipeline_single_documents_scan(spark):
+    """pipeline_clean_corpus reads `documents` ONCE into a checkpointed
+    (doc_id, text, toks) frame; metrics, repetition, surprisal,
+    decontamination grams, near-dup shingles, and exact dedup all derive
+    from that leaf. The returned plan must therefore contain ZERO further
+    `documents` scans (the one embeddings scan remains) and no tokenizer
+    regex anywhere — the tokenize ran exactly once, inside the checkpoint."""
+    from crawler_spark.operators.common import SPARK_TOKENS
+    from crawler_spark.operators.pipeline import pipeline_clean_corpus
+
+    df = pipeline_clean_corpus(spark, SF)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "documents" not in plan.lower(), plan
+    # the tokenizer's regex literal appears nowhere downstream of the leaf
+    tokenizer_regex = SPARK_TOKENS.split("'")[1]
+    assert tokenizer_regex not in plan
+    # exactly one parquet relation survives: the embeddings coverage probe
+    assert plan.lower().count("parquet") == 1, plan
+
+
 def test_round3_ops_plan_shapes(spark):
     """Scale-claim audits for the round-3 additions: text_surprisal's
     unigram model must enter the doc scan as a broadcast (the corpus side
