@@ -49,6 +49,12 @@ def _add_common(p: argparse.ArgumentParser, toml_defaults: dict) -> None:
     p.add_argument("--max-rounds", type=int, default=1000)
     p.add_argument("--n-salt", type=int, default=1)
     p.add_argument("--max-depth", type=int, default=None, help="link-depth cap")
+    p.add_argument(
+        "--rank-alpha", type=int, default=0,
+        help="mix host-authority rank into enqueued priority "
+        "(priority + alpha*rank_scaled/2^30; 0 = off)",
+    )
+    p.add_argument("--rank-iters", type=int, default=5)
     # BooleanOptionalAction so a TOML `bloom = true` can still be overridden
     # back off on the command line (--no-bloom / --no-payload)
     p.add_argument(
@@ -81,6 +87,7 @@ def _cfg(args: argparse.Namespace, **over) -> CrawlConfig:
     base = dict(
         page_size=args.page_size, tries=args.tries, round_ms=args.round_ms,
         max_rounds=args.max_rounds, n_salt=args.n_salt, max_depth=args.max_depth,
+        rank_alpha=args.rank_alpha, rank_iters=args.rank_iters,
     )
     base.update(over)
     return CrawlConfig(**base)
@@ -90,7 +97,8 @@ def _cfg(args: argparse.Namespace, **over) -> CrawlConfig:
 # the reference's serde-strict config validation (config.rs:53-74 panics on
 # parse failure; the language subset check is config.rs:62-66 / U3)
 _TOML_SECTIONS = {
-    "crawl": {"page_size", "tries", "round_ms", "max_rounds", "n_salt", "max_depth"},
+    "crawl": {"page_size", "tries", "round_ms", "max_rounds", "n_salt", "max_depth",
+              "rank_alpha", "rank_iters"},
     "runner": {"cores", "bloom", "payload", "intern"},
     "io": {"world", "state"},
 }

@@ -40,6 +40,7 @@ class World:
                        # dst_url, dst_host, dst_host_bucket, dst_priority
     robots: DataFrame  # host, disallow_prefixes, budget
     corpus: DataFrame | None = None  # image_id, bytes, w, h, fmt, caption, phash
+    host_ranks: DataFrame | None = None  # host, rank_scaled (cfg.rank_alpha > 0)
 
 
 def prepare_world(spark: SparkSession, raw: dict[str, DataFrame], cfg: CrawlConfig) -> World:
@@ -78,7 +79,19 @@ def prepare_world(spark: SparkSession, raw: dict[str, DataFrame], cfg: CrawlConf
         .select("src_url_id", "href_kind", "dst_url_id", "dst_url", "dst_host", "dst_host_bucket", "dst_priority")
     )
     corpus = raw.get("corpus")
-    return World(pages=pages, links=links, robots=robots, corpus=corpus)
+    host_ranks = None
+    if cfg.rank_alpha:
+        # integer host-authority rank over the static link graph, computed
+        # ONCE per crawl (checkpoint-truncated iterations inside host_rank);
+        # the table is host-cardinality — the broadcast side at any scale
+        from ..operators.graph import host_rank
+
+        host_ranks = host_rank(
+            raw["links"], n_iter=cfg.rank_iters, pages=raw["pages"]
+        ).select("host", "rank_scaled")
+    return World(
+        pages=pages, links=links, robots=robots, corpus=corpus, host_ranks=host_ranks
+    )
 
 
 def seeds_frontier(spark: SparkSession, raw_seeds: DataFrame, world: World, cfg: CrawlConfig) -> DataFrame:
@@ -313,6 +326,24 @@ def run_round(
         )
         .withColumnRenamed("dst_url_id", "url_id")
     )
+
+    if cfg.rank_alpha and world.host_ranks is not None:
+        # authority mix on ENQUEUE (oracle step 7): one broadcast join of
+        # the host-cardinality rank table + one per-row float expression —
+        # exactly `priority + (alpha * rank_scaled) / 2^30` in the same op
+        # order as the oracle, so the mixed double is bit-identical
+        from ..operators.graph import RANK_SCALE
+
+        distinct_new = (
+            distinct_new.join(F.broadcast(world.host_ranks), "host", "left")
+            .withColumn(
+                "priority",
+                F.col("priority")
+                + (F.lit(cfg.rank_alpha) * F.coalesce(F.col("rank_scaled"), F.lit(0)))
+                / F.lit(RANK_SCALE),
+            )
+            .drop("rank_scaled")
+        )
 
     # known = already in seen, or surviving in the frontier (incl. this
     # round's retries/deferrals), or terminal this round. SCALE: instead of

@@ -38,7 +38,11 @@ canonical ids throughout:
                distinct by url_id within the round (extra copies of any id ->
                n_dup_in_round); distinct ids already in seen or in the
                post-fetch frontier -> n_dup_known; rest ENQUEUED with pages priority, depth parent+1,
-               tries_left = cfg.tries -> n_discovered  (search.rs:113-141)
+               tries_left = cfg.tries -> n_discovered  (search.rs:113-141).
+               With cfg.rank_alpha > 0 the enqueued priority is
+               priority + (rank_alpha * rank_scaled(host)) / 2^30, where
+               rank_scaled is the integer host-authority rank over the
+               static link graph (operators/graph.py; seeds are unmixed)
   8. COMMIT    frontier := frontier - terminal(fetched|exhausted|denied|dedup)
                with decremented tries on retries, plus discoveries; lineage
                row appended; state is checkpointable between rounds.
@@ -70,6 +74,15 @@ class CrawlConfig:
     #                  skew knob — result-identical, oracle ignores it)
     max_depth: int | None = None  # link-depth cap: discoveries deeper than
     #                  this are dropped at parse time (n_depth_capped)
+    rank_alpha: int = 0  # >0: mix host authority into the priority of every
+    #                  ENQUEUED discovery: priority' = priority +
+    #                  (rank_alpha * rank_scaled(host)) / 2^30 — the
+    #                  reference's star-count priority (search.rs:208-218)
+    #                  upgraded with the crawl's own link graph
+    #                  (operators/graph.py host_rank). Integer rank, one
+    #                  float mix per row — deterministic across engines and
+    #                  partitionings. Seeds keep their page priority.
+    rank_iters: int = 5  # damped PageRank iterations for the rank table
 
     def host_budget(self, crawl_delay_ms: int) -> int:
         if crawl_delay_ms is None or crawl_delay_ms <= 0:
@@ -104,6 +117,25 @@ def simulate(world: dict[str, pd.DataFrame], cfg: CrawlConfig) -> OracleResult:
         out_links.setdefault(canonicalize_url(row.src_url), []).append(
             (row.href, row.href_kind)
         )
+
+    # host-authority priority mix (rank_alpha > 0): the same edge derivation
+    # as operators/graph.host_edges (system hrefs dropped, self-host loops
+    # removed, dangling destination hosts excluded) feeding the identical
+    # integer recurrence (host_rank_py)
+    host_ranks: dict[str, int] = {}
+    if cfg.rank_alpha:
+        from .operators.graph import RANK_SCALE, host_rank_py
+
+        page_hosts = {url_host(cu) for cu in by_url}
+        edges = set()
+        for row in world["links"].itertuples(index=False):
+            if row.href_kind == "system":
+                continue
+            s = url_host(canonicalize_url(row.src_url))
+            d = url_host(canonicalize_url(row.href))
+            if s != d and d in page_hosts:
+                edges.add((s, d))
+        host_ranks = host_rank_py(edges, cfg.rank_iters)
 
     # frontier: url_id -> [url, host, priority, depth, tries_left]
     frontier: dict[int, list] = {}
@@ -202,6 +234,10 @@ def simulate(world: dict[str, pd.DataFrame], cfg: CrawlConfig) -> OracleResult:
                     ln["n_dup_known"] += 1
                     continue
                 pr, host, _, _ = by_url[cu]
+                if cfg.rank_alpha:
+                    # one float mix per row, same op order as the engine:
+                    # int*int exact, correctly-rounded division, one add
+                    pr = pr + (cfg.rank_alpha * host_ranks.get(host, 0)) / RANK_SCALE
                 frontier[uid] = [cu, host, pr, depth + 1, cfg.tries]
                 ln["n_discovered"] += 1
 

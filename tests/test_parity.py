@@ -74,6 +74,28 @@ def test_max_depth_parity_local32():
     assert len(o.seen) < len(o_uncapped.seen)
 
 
+def test_host_rank_priority_parity_local32():
+    """rank_alpha > 0: host authority mixes into every ENQUEUED discovery's
+    priority (oracle step 7) — trace/seen/lineage stay exactly parity, and
+    the fetch ORDER actually differs from the unmixed crawl (the knob
+    binds; a vacuous mix would make this test meaningless)."""
+    w = datagen.make_world(n_urls=300, n_hosts=10, n_images=20, with_corpus=False)
+    cfg = CrawlConfig(page_size=25, tries=2, max_rounds=100, rank_alpha=8)
+    o_ranked, _ = assert_parity(spark_at(32), w, cfg)
+    o_plain = simulate(w, CrawlConfig(page_size=25, tries=2, max_rounds=100))
+    assert not o_ranked.trace.equals(o_plain.trace)
+    # same pages resolve in the end — the mix reorders, it doesn't drop
+    assert sorted(o_ranked.seen["url_id"]) == sorted(o_plain.seen["url_id"])
+
+
+def test_host_rank_priority_parity_local8():
+    """Same ranked crawl at 1/4 cores: identical result (the mixed priority
+    is one deterministic float per row, partition-invariant)."""
+    w = datagen.make_world(n_urls=300, n_hosts=10, n_images=20, with_corpus=False)
+    cfg = CrawlConfig(page_size=25, tries=2, max_rounds=100, rank_alpha=8)
+    assert_parity(spark_at(8), w, cfg)
+
+
 def test_generated_world_parity_local8_same_result():
     """Same world at 1/4 the cores: identical trace/seen/lineage — order is
     partition-invariant (the N vs 4N determinism half of the scaling rule)."""
