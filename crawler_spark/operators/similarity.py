@@ -455,7 +455,11 @@ WHERE {_duck_dot('a.embedding', 'b.embedding')}
 # count is nprobe/nlist of the corpus instead of all of it. More Lloyd
 # iterations = repeat the same two groupBys; the dataflow is unchanged.
 N_CENTROIDS = 16
-N_PROBE = 2
+# 4 of 16 lists probed (25% of the corpus per query): with the 2-round
+# Lloyd codebook this measures recall@5 ~0.5-0.6 overall (1.0 in the
+# cos>=0.5 near-dup regime) — floors asserted in tests/test_ann_recall.py
+N_PROBE = 4
+IVF_ITERS = 2  # gated default Lloyd rounds (ivf_sql(n) generates any depth)
 _CSCALE = 1 << 20
 
 
@@ -510,9 +514,9 @@ def _trained_centroids(base: DataFrame, n_iter: int = 1) -> DataFrame:
     nearest current centroid (cosine, ties by c_id — deterministic) before
     recomputing means. Every round is the same two groupBys over the
     materialized index + one broadcast affinity join — more iterations
-    repeat the dataflow, they do not change it. Default 1 keeps the gated
-    `ann_ivf_topk` oracle byte-stable; the multi-iteration path has its own
-    DuckDB twin (`ivf_sql(n_iter)`) verified ungated."""
+    repeat the dataflow, they do not change it. The gated `ann_ivf_topk`
+    trains IVF_ITERS rounds (its oracle is ivf_sql(IVF_ITERS), generated
+    from the same parameters); a deeper path is verified ungated."""
     cents = _centroid_means(base, None)
     for _ in range(1, n_iter):
         aff = _affinity_to(base, cents, "vec_id")
@@ -530,12 +534,12 @@ def _centroid_affinity(base: DataFrame, id_col: str, n_iter: int = 1) -> DataFra
     return _affinity_to(base, _trained_centroids(base, n_iter), id_col)
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_iter: int = 1) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_iter: int = IVF_ITERS) -> DataFrame:
     """IVF ANN: assign every vector to its nearest centroid list, probe the
     N_PROBE nearest lists per query, exact-cosine rerank the union of those
     lists. Ties broken by c_id / neighbor_id for cross-engine determinism.
-    `n_iter` Lloyd rounds train the codebook (default 1 = the gated form;
-    `ivf_sql(n_iter)` generates the matching oracle for any depth).
+    `n_iter` Lloyd rounds train the codebook (default IVF_ITERS = the gated
+    form; `ivf_sql(n_iter)` generates the matching oracle for any depth).
 
     Plan hygiene: the affinity table feeds BOTH `members` and `probes`, so it
     is materialized once (lazy checkpoint would do, but eager keeps the job
@@ -656,7 +660,7 @@ WHERE rank <= {TOP_K}
 """
 
 
-ANN_IVF_SQL = ivf_sql(1)
+ANN_IVF_SQL = ivf_sql(IVF_ITERS)
 
 
 # -- SQ8: int8 scalar-quantized scan + full-precision rerank -----------------
@@ -883,7 +887,10 @@ def ann_recall(spark: SparkSession, sf_dir: str, sim_floor: float = 0.5) -> dict
     noise floor (cos ~0.2 at 64 dims), no sublinear index can recall them —
     sign-LSH band collisions and IVF list assignments carry no signal there
     by construction — so the high-similarity recall is the meaningful
-    number. Recorded per corpus in COVERAGE.md alongside lsh_recall."""
+    number. CAVEAT: an EMPTY regime reads as 1.0 — callers asserting a
+    floor must check the n_exact_cos>= count first (tests/test_ann_recall.py
+    does; both test corpora are empty above cos 0.5). Recorded per corpus
+    in COVERAGE.md alongside lsh_recall."""
     emb = load(spark, sf_dir, "embeddings")
     queries = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "q")
     cands = _with_norm(emb, "neighbor_id", "c")

@@ -1,0 +1,62 @@
+"""Enforced ANN recall floors (VERDICT r3 item 4): the oracle gates prove
+both engines compute the SAME approximate answer, so a recall regression
+both engines share (e.g. a hyperplane-literal typo) would pass every gate.
+These floors pin the measured quality so such a regression fails loudly.
+
+Regime choice matters: NEITHER test corpus has an exact top-5 pair at
+cos >= 0.5 (the 64-dim noise floor puts top neighbors at ~0.25-0.49), so a
+0.5-regime assertion would be VACUOUSLY true — `ann_recall` returns 1.0 on
+an empty regime. Each floor below asserts its regime is non-empty first,
+and sits at the top of the measured cosine range (cos >= 0.35 at sf0.01:
+25 ground-truth pairs; cos >= 0.4 at sf0.1: 19 pairs).
+
+All numbers are DETERMINISTIC (fixed corpus, integer/bit-exact kernels), so
+the floors sit just below the measured values — any drop is a real change:
+
+  regime recall   sf0.01@0.35: ivf 0.64, bucket 0.28, multiprobe 0.48, sq8 1.0
+                  sf0.1 @0.40: ivf 0.5789, bucket 0.1053, multiprobe 0.2632, sq8 1.0
+  overall @5      ivf 0.60/0.50, bucket 0.18/0.16, multiprobe 0.46/0.33,
+                  sq8 1.0/1.0 (sf0.01/sf0.1, IVF at N_PROBE=4 x IVF_ITERS=2)
+
+The band paths are honestly weak in these regimes — sign-LSH carries little
+signal at cos ~0.4 in 64 dims; the floors exist to catch regressions, not
+to certify absolute quality (COVERAGE.md records the analysis).
+"""
+
+from __future__ import annotations
+
+from crawler_spark.operators.similarity import ann_recall
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+
+
+def test_recall_floors_sf001(spark):
+    r = ann_recall(spark, SF_SMALL, sim_floor=0.35)
+    # regime must be NON-VACUOUS or the floor means nothing
+    assert r["n_exact_cos>=0.35"] >= 20, r
+    # regime floors (measured 0.64 / 0.28 / 0.48 / 1.0)
+    assert r["recall_ivf_cos>=0.35"] >= 0.60, r
+    assert r["recall_bucket_rerank_cos>=0.35"] >= 0.25, r
+    assert r["recall_multiprobe_cos>=0.35"] >= 0.45, r
+    assert r["recall_sq8_cos>=0.35"] == 1.0, r
+    # overall recall@5 floors (measured 0.60 / 0.18 / 0.46 / 1.0)
+    assert r["recall_ivf"] >= 0.55, r
+    assert r["recall_bucket_rerank"] >= 0.15, r
+    assert r["recall_multiprobe"] >= 0.40, r
+    assert r["recall_sq8"] == 1.0, r
+
+
+def test_recall_floors_sf01(spark):
+    r = ann_recall(spark, SF_BIG, sim_floor=0.4)
+    assert r["n_exact_cos>=0.4"] >= 15, r
+    # regime floors (measured 0.5789 / 0.1053 / 0.2632 / 1.0)
+    assert r["recall_ivf_cos>=0.4"] >= 0.55, r
+    assert r["recall_bucket_rerank_cos>=0.4"] >= 0.10, r
+    assert r["recall_multiprobe_cos>=0.4"] >= 0.25, r
+    assert r["recall_sq8_cos>=0.4"] == 1.0, r
+    # overall recall@5 floors (measured 0.50 / 0.16 / 0.33 / 1.0)
+    assert r["recall_ivf"] >= 0.45, r
+    assert r["recall_bucket_rerank"] >= 0.15, r
+    assert r["recall_multiprobe"] >= 0.30, r
+    assert r["recall_sq8"] == 1.0, r

@@ -76,9 +76,10 @@ def test_ungated_builders_match_oracle(spark):
         ("sample_mixture", sample_mixture, MIXTURE_SQL),
         ("pack_sequences", pack_sequences, PACK_SQL),
         ("ann_multiprobe_topk", ann_multiprobe_topk, ANN_MULTIPROBE_SQL),
-        # multi-round Lloyd training: re-assignment between rounds, same
-        # dataflow — the generated oracle trains the identical codebook
-        ("ann_ivf_topk_2iter", lambda s, d: ann_ivf_topk(s, d, n_iter=2), ivf_sql(2)),
+        # multi-round Lloyd training past the gated IVF_ITERS depth:
+        # re-assignment between rounds, same dataflow — the generated
+        # oracle trains the identical codebook
+        ("ann_ivf_topk_3iter", lambda s, d: ann_ivf_topk(s, d, n_iter=3), ivf_sql(3)),
         ("text_repetition", text_repetition, REPETITION_SQL),
         ("sample_stratified", sample_stratified, STRATIFIED_SQL),
         ("text_surprisal", text_surprisal, SURPRISAL_SQL),
