@@ -56,8 +56,36 @@ def test_min_label_components_nonconvergence_raises(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
     )
+    # local_max_edges=0 forces the DISTRIBUTED loop (the in-core
+    # union-find path has no iteration budget to exhaust)
     with pytest.raises(RuntimeError, match="did not converge"):
-        min_label_components(chain, max_iters=2)
+        min_label_components(chain, max_iters=2, local_max_edges=0)
     # a sufficient budget resolves the same chain into one component
-    labels = min_label_components(chain, max_iters=16)
+    labels = min_label_components(chain, max_iters=16, local_max_edges=0)
     assert {r["label"] for r in labels.collect()} == {0}
+
+
+def test_local_and_distributed_components_agree(spark):
+    """The in-core union-find and the distributed propagation are twins:
+    identical (doc_id, label) output on a graph with chains, a clique,
+    and an isolated edge."""
+    import random
+
+    from crawler_spark.operators.dedup import min_label_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(30)]                      # long chain
+    edges += [(100 + a, 100 + b) for a in range(8) for b in range(a)]  # clique
+    edges += [(500, 501)]
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {
+        (r["doc_id"], r["label"])
+        for r in min_label_components(df).collect()
+    }
+    dist = {
+        (r["doc_id"], r["label"])
+        for r in min_label_components(df, max_iters=64, local_max_edges=0).collect()
+    }
+    assert local == dist and local
