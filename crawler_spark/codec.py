@@ -73,16 +73,31 @@ def phash64(pixels: np.ndarray) -> int:
     rounding — so the scalar and the batch twin (engine.verify._phash_batch)
     agree bit-for-bit by construction, and no float64 gray plane (2 KB/row)
     is ever materialized. Remainder rows/cols when a side is not divisible
-    by 8 are ignored, matching the old slice-based fallback."""
+    by 8 are ignored, matching the old slice-based fallback.
+
+    Images narrower than 8 in either dimension can't form 8x8 blocks; they
+    fall back to nearest-neighbor sampling an 8x8 grid (row i -> i*h//8) —
+    still deterministic and integer-exact, instead of a reshape ValueError.
+    The batch twin never sees this path (its fast-path gate requires
+    side % 8 == 0 and side >= 8; smaller rows go through this scalar)."""
     h, w, _ = pixels.shape
-    bh, bw = max(h // 8, 1), max(w // 8, 1)
-    s = (
-        pixels[: 8 * bh, : 8 * bw]
-        .astype(np.int64)
-        .sum(axis=2)
-        .reshape(8, bh, 8, bw)
-        .sum(axis=(1, 3))
-    )
+    if h < 8 or w < 8:
+        if h == 0 or w == 0:
+            raise ValueError("phash64 needs a non-empty image")
+        s = (
+            pixels[(np.arange(8) * h) // 8][:, (np.arange(8) * w) // 8]
+            .astype(np.int64)
+            .sum(axis=2)
+        )
+    else:
+        bh, bw = h // 8, w // 8
+        s = (
+            pixels[: 8 * bh, : 8 * bw]
+            .astype(np.int64)
+            .sum(axis=2)
+            .reshape(8, bh, 8, bw)
+            .sum(axis=(1, 3))
+        )
     bits = (s * 64 > s.sum()).flatten()
     val = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
     return val - (1 << 64) if val >= (1 << 63) else val

@@ -125,30 +125,57 @@ def _prefetch(it: Iterator, depth: int = 2) -> Iterator:
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()  # consumer gone: unblock the pump so it exits
+
+    def put(x) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(x, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def pump() -> None:
         try:
             for x in it:
-                q.put(x)
-            q.put(_END)
+                if not put(x):
+                    return
+            put(_END)
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
-            q.put(e)
+            put(e)
 
     threading.Thread(target=pump, daemon=True).start()
-    while True:
-        x = q.get()
-        if x is _END:
-            return
-        if isinstance(x, BaseException):
-            raise x
-        yield x
+    try:
+        while True:
+            x = q.get()
+            if x is _END:
+                return
+            if isinstance(x, BaseException):
+                raise x
+            yield x
+    finally:
+        # Reached on normal end, consumer error, or GeneratorExit when the
+        # task abandons the iterator early (kill / limit / downstream error);
+        # without it the pump blocks forever on a full queue and leaks the
+        # thread plus up to `depth` pinned Arrow batches.
+        stop.set()
 
 
 def parse_k(s) -> int:
-    """image_id 'img<digits>' -> k; -1 otherwise. Digits-only by design so
-    the Python parse and the JVM twin (rlike '^img[0-9]+$' + try_cast in
-    ``verify_stats``) agree on every input."""
-    return int(s[3:]) if isinstance(s, str) and s.startswith("img") and s[3:].isdigit() else -1
+    """image_id 'img<digits>' -> k; -1 otherwise. Digits-only and bounded to
+    18 digits (always < 2^63) by design so the Python parse and the JVM twin
+    (rlike '^img[0-9]{1,18}$' + try_cast in ``stats_input``) agree on every
+    input — an unbounded digit run would overflow np.int64 here while the
+    JVM's try_cast maps it to -1."""
+    return (
+        int(s[3:])
+        if isinstance(s, str)
+        and s.startswith("img")
+        and 1 <= len(s) - 3 <= 18
+        and s[3:].isdigit()
+        else -1
+    )
 
 
 def _make_kernel(corpus_seed: int, side: int):
@@ -209,7 +236,7 @@ def _make_kernel(corpus_seed: int, side: int):
         fast = (ks >= 0) & (lens == payload_len)
         if bvalid is not None:
             fast &= bvalid
-        if side % 8 != 0:
+        if side < 8 or side % 8 != 0:
             fast[:] = False  # vectorized phash needs 8x8 blocks
         starts = off[:-1]
 
@@ -379,7 +406,7 @@ def stats_input(fetched_with_payload: DataFrame) -> DataFrame:
     string equality against the expected-caption SQL twin."""
     k = F.coalesce(
         F.when(
-            F.col("image_id").rlike("^img[0-9]+$"),
+            F.col("image_id").rlike("^img[0-9]{1,18}$"),
             F.expr("try_cast(substring(image_id, 4) as bigint)"),
         ),
         F.lit(-1),

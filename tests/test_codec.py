@@ -47,6 +47,54 @@ def test_phash_stability_and_sensitivity():
     assert -(1 << 63) <= codec.phash64(px) < (1 << 63)
 
 
+def test_phash_small_images_degrade_gracefully():
+    """h<8 or w<8 must hash via the nearest-sampled 8x8 grid, not raise
+    (regression: reshape ValueError for sub-8 dimensions)."""
+    rng = np.random.default_rng(11)
+    for shape in [(5, 5), (3, 12), (12, 3), (1, 1), (7, 64)]:
+        px = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        v = codec.phash64(px)
+        assert v == codec.phash64(px.copy())
+        assert -(1 << 63) <= v < (1 << 63)
+    with pytest.raises(ValueError):
+        codec.phash64(np.zeros((0, 4, 3), dtype=np.uint8))
+
+
+def test_parse_k_overflow_matches_jvm_twin():
+    """Digit runs past 18 map to -1 in BOTH twins (the JVM try_cast side
+    already did; the Python side used to overflow np.int64 instead)."""
+    from crawler_spark.engine.verify import parse_k
+
+    assert parse_k("img7") == 7
+    assert parse_k("img" + "9" * 18) == int("9" * 18)
+    assert parse_k("img" + "9" * 19) == -1
+    assert parse_k("img") == -1
+    assert parse_k("img12x") == -1
+    # and it must build an int64 array without raising
+    np.array([parse_k("img" + "9" * 40)], dtype=np.int64)
+
+
+def test_prefetch_pump_exits_on_abandoned_consumer():
+    """Abandoning the _prefetch iterator early (task kill / limit) must not
+    leak the pump thread blocked on a full queue."""
+    import threading
+    import time
+
+    from crawler_spark.engine.verify import _prefetch
+
+    before = set(threading.enumerate())
+    g = _prefetch(iter(range(1000)), depth=2)
+    assert next(g) == 0
+    g.close()  # GeneratorExit -> finally sets the stop event
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"pump thread leaked: {leaked}"
+
+
 def test_unknown_format_raises():
     with pytest.raises(NotImplementedError):
         codec.encode(_pixels(), "webp")
