@@ -101,6 +101,13 @@ def stream_first_seen(discovered: DataFrame) -> DataFrame:
     )
 
 
+#: Declared ValueState schema of `stream_first_seen_rocksdb` — ONE boolean
+#: per url_id key. Module-level so the protobuf-free guard test can assert
+#: the documented state shape even in containers where the processor itself
+#: cannot run (see tests/test_streaming.py).
+ROCKSDB_STATE_SCHEMA = "emitted boolean"
+
+
 def stream_first_seen_rocksdb(discovered: DataFrame) -> DataFrame:
     """The 10^10-id first-seen gate: `transformWithStateInPandas` keyed by
     url_id with a per-key ValueState in the RocksDB state store. Unlike
@@ -108,6 +115,12 @@ def stream_first_seen_rocksdb(discovered: DataFrame) -> DataFrame:
     every micro-batch), per-key state is INCREMENTAL — each batch touches
     only its own keys' entries, so state I/O is O(batch), not O(|seen|),
     and total state is bounded by RocksDB spill, not executor memory.
+
+    Expected state shape (``ROCKSDB_STATE_SCHEMA``): one RocksDB entry per
+    DISTINCT url_id ever emitted — key = the 8-byte url_id, value = a single
+    boolean — so resident state is O(#distinct ids · (8 B key + 1 B value +
+    fixed store overhead)) with no per-micro-batch growth for redelivered
+    ids, and a micro-batch writes only its own fresh keys.
 
     Requires `spark.sql.streaming.stateStore.providerClass =
     ...state.RocksDBStateStoreProvider` (set before starting the query).
@@ -135,7 +148,7 @@ def stream_first_seen_rocksdb(discovered: DataFrame) -> DataFrame:
 
     class FirstSeen(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._seen = handle.getValueState("seen", "emitted boolean")
+            self._seen = handle.getValueState("seen", ROCKSDB_STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
             if self._seen.exists():

@@ -121,6 +121,73 @@ def test_stream_first_seen_cross_batch_state(spark, tmp_path):
     assert set(got.loc[got["host_bucket"] == 1, "url_id"]) == {3, 4, 6}
 
 
+def test_stream_first_seen_state_bytes_bounded(spark, tmp_path):
+    """The seen-gate's per-bucket state blob must stay a COMPACT id array —
+    exactly 8 bytes per distinct id, zero per-element row overhead, and no
+    growth from redelivered ids. (For xxhash64 ids the key space is sparse
+    over 2^64, so 8 B/id is the compact exact layout; a max_id/8 bitset
+    would be 2^61 bytes.) Read back from the checkpoint via the state data
+    source so the assertion covers what the store actually persists."""
+    src = str(tmp_path / "ids_sz")
+    ckpt = str(tmp_path / "ckpt_sz")
+    schema = "url_id long, host_bucket int, ts timestamp"
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # 2 buckets; batch 2 redelivers ids 50..99 and adds 100..199
+    b1 = pd.DataFrame(
+        {"url_id": list(range(100)), "host_bucket": [i % 2 for i in range(100)],
+         "ts": [base] * 100}
+    )
+    b2 = pd.DataFrame(
+        {"url_id": list(range(50, 200)),
+         "host_bucket": [i % 2 for i in range(50, 200)],
+         "ts": [base + pd.Timedelta(seconds=5)] * 150}
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen_sz")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from first_seen_sz").toPandas()
+    assert sorted(out["url_id"]) == list(range(200))
+    state = spark.read.format("statestore").load(ckpt).toPandas()
+    blobs = {
+        int(r["key"]["host_bucket"]): bytes(r["value"]["groupState"]["ids"])
+        for _, r in state.iterrows()
+    }
+    assert set(blobs) == {0, 1}
+    for bucket, blob in blobs.items():
+        n_ids = 100  # each bucket saw 100 distinct ids (redeliveries excluded)
+        assert len(blob) == 8 * n_ids, (
+            f"bucket {bucket}: state is {len(blob)} B for {n_ids} ids — "
+            f"expected exactly 8 B/id (compact int64 array, no row overhead)"
+        )
+        ids = sorted(int.from_bytes(blob[i:i + 8], "little", signed=True)
+                     for i in range(0, len(blob), 8))
+        assert ids == [i for i in range(200) if i % 2 == bucket]
+
+
+def test_stream_first_seen_rocksdb_state_shape_documented():
+    """The RocksDB variant's declared ValueState schema must stay the
+    documented one-boolean-per-key shape (protobuf-free check, so the
+    container's skip of the runtime test can't hide a rot)."""
+    from pyspark.sql.types import BooleanType, StructType
+
+    from crawler_spark.streaming.rounds import ROCKSDB_STATE_SCHEMA
+
+    st = StructType.fromDDL(ROCKSDB_STATE_SCHEMA)
+    assert len(st.fields) == 1
+    assert isinstance(st.fields[0].dataType, BooleanType)
+    assert st.fields[0].name == "emitted"
+
+
 def test_stream_quality_gate_matches_batch(spark, tmp_path):
     """The stateless quality gate must produce the batch text_metrics rows
     exactly, across micro-batches."""
