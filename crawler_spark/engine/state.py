@@ -123,6 +123,15 @@ class StateStore:
                 .partitionBy("round", "host_bucket")
                 .parquet(self._seen_dir())
             )
+            # A zero-row delta (an all-retry or fully politeness-deferred
+            # round) writes NO round=r partition; commit an empty marker dir
+            # so seen()'s per-round resolution can tell a committed-empty
+            # round from a lost partition (which stays a hard error). The
+            # Iceberg analog: a snapshot that adds no data files still
+            # commits.
+            os.makedirs(
+                os.path.join(self._seen_dir(), f"round={round_no}"), exist_ok=True
+            )
             trace.write.mode("overwrite").parquet(os.path.join(d, "trace"))
             fetched.write.mode("overwrite").parquet(os.path.join(d, "fetched"))
             self._last_fetched_dir = os.path.join(d, "fetched")

@@ -173,7 +173,8 @@ def parse_k(s) -> int:
         if isinstance(s, str)
         and s.startswith("img")
         and 1 <= len(s) - 3 <= 18
-        and s[3:].isdigit()
+        and s[3:].isascii()  # isdigit() alone admits Unicode digits the
+        and s[3:].isdigit()  # JVM's [0-9] rejects (and int('²') raises)
         else -1
     )
 

@@ -264,10 +264,13 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 LOCAL_CC_MAX_EDGES = 1_000_000
 
 
-def _local_components(sym_rows) -> dict[int, int]:
-    """Union-find (path-halving) over collected directed edge rows ->
-    {vertex: component-min-id}. Bit-exact twin of the distributed
-    fixpoint: both emit the component's minimum vertex id."""
+def _local_components(doc_a, doc_b) -> dict[int, int]:
+    """Union-find (path-halving) over two parallel int arrays of directed
+    edges -> {vertex: component-min-id}. Bit-exact twin of the distributed
+    fixpoint: both emit the component's minimum vertex id. Takes arrays,
+    not Rows — at the in-core threshold (2M directed edges) Row objects
+    cost ~100-150 B each on the driver where the Arrow-transferred int64
+    columns cost 16 B/edge."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -276,8 +279,7 @@ def _local_components(sym_rows) -> dict[int, int]:
             x = parent[x]
         return x
 
-    for r in sym_rows:
-        a, b = r["doc_a"], r["doc_b"]
+    for a, b in zip(doc_a.tolist(), doc_b.tolist()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -332,11 +334,17 @@ def min_label_components(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
     if sym.count() <= 2 * local_max_edges:  # sym carries both directions
-        comp = _local_components(sym.collect())
-        spark = sym.sparkSession
-        return spark.createDataFrame(
-            sorted(comp.items()), "doc_id long, label long"
+        import pandas as pd
+
+        pdf = sym.toPandas()  # Arrow transfer: 16 B/edge, no Row boxing
+        comp = _local_components(
+            pdf["doc_a"].to_numpy(), pdf["doc_b"].to_numpy()
         )
+        spark = sym.sparkSession
+        if not comp:
+            return spark.createDataFrame([], "doc_id long, label long")
+        out = pd.DataFrame(sorted(comp.items()), columns=["doc_id", "label"])
+        return spark.createDataFrame(out, "doc_id long, label long")
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()

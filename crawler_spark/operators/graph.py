@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 
 from ..engine import canon
 
-RANK_SCALE = 1 << 30
-DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
+# constants + the pure-Python twin live in the Spark-free crawler_spark.rank
+# so oracle.py can use them without importing pyspark; re-exported here for
+# the operator's public surface
+from ..rank import DAMP_DEN, DAMP_NUM, RANK_SCALE, host_rank_py  # noqa: F401
 
 
 def host_edges(links: DataFrame, pages: DataFrame | None = None) -> DataFrame:
@@ -114,21 +116,3 @@ def host_rank(
     )
 
 
-def host_rank_py(edges: set[tuple[str, str]], n_iter: int = 5) -> dict[str, int]:
-    """Pure-Python replica of the identical integer recurrence — the test
-    oracle (ids.py twin pattern)."""
-    nodes = {h for e in edges for h in e}
-    n = len(nodes)
-    if n == 0:
-        return {}
-    teleport = (DAMP_DEN - DAMP_NUM) * (RANK_SCALE // n) // DAMP_DEN
-    outdeg: dict[str, int] = {}
-    for s, _ in edges:
-        outdeg[s] = outdeg.get(s, 0) + 1
-    ranks = dict.fromkeys(nodes, RANK_SCALE // n)
-    for _ in range(n_iter):
-        inflow = dict.fromkeys(nodes, 0)
-        for s, t in edges:
-            inflow[t] += ranks[s] // outdeg[s]
-        ranks = {h: teleport + (DAMP_NUM * inflow[h]) // DAMP_DEN for h in nodes}
-    return ranks

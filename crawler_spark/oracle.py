@@ -124,7 +124,10 @@ def simulate(world: dict[str, pd.DataFrame], cfg: CrawlConfig) -> OracleResult:
     # integer recurrence (host_rank_py)
     host_ranks: dict[str, int] = {}
     if cfg.rank_alpha:
-        from .operators.graph import RANK_SCALE, host_rank_py
+        # crawler_spark.rank is Spark-free (operators.graph is NOT — it
+        # imports pyspark at module level), keeping this oracle replayable
+        # without a Spark install even with the rank mix on
+        from .rank import RANK_SCALE, host_rank_py
 
         page_hosts = {url_host(cu) for cu in by_url}
         edges = set()

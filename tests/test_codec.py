@@ -70,6 +70,11 @@ def test_parse_k_overflow_matches_jvm_twin():
     assert parse_k("img" + "9" * 19) == -1
     assert parse_k("img") == -1
     assert parse_k("img12x") == -1
+    # Unicode digits pass str.isdigit() but the JVM twin's [0-9] rejects
+    # them (and int('²') raises) — both sides must map them to -1
+    assert parse_k("img٣") == -1  # ARABIC-INDIC THREE
+    assert parse_k("img²") == -1  # SUPERSCRIPT TWO
+    assert parse_k("img1٨3") == -1  # mixed ASCII + EXTENDED ARABIC-INDIC
     # and it must build an int64 array without raising
     np.array([parse_k("img" + "9" * 40)], dtype=np.int64)
 

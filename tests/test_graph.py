@@ -38,3 +38,40 @@ def test_host_rank_empty_graph(spark):
     )
     assert host_rank(links).count() == 0
     assert host_rank_py(set()) == {}
+
+
+def test_oracle_rank_path_is_spark_free():
+    """oracle.simulate with rank_alpha > 0 must stay replayable without a
+    Spark install: the rank twin lives in the pure crawler_spark.rank
+    module, NOT behind operators.graph's module-level pyspark import.
+    Asserted by importing both in a subprocess that blocks pyspark."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import sys
+        class Block:
+            def find_module(self, name, path=None):
+                if name == "pyspark" or name.startswith("pyspark."):
+                    return self
+            def load_module(self, name):
+                raise ImportError("pyspark blocked")
+        sys.meta_path.insert(0, Block())
+        from crawler_spark import datagen
+        from crawler_spark.oracle import CrawlConfig, simulate
+        w = datagen.make_world(n_urls=60, n_hosts=4, n_images=8,
+                               with_corpus=False)
+        g = simulate(w, CrawlConfig(page_size=8, tries=2, max_rounds=30,
+                                    rank_alpha=8))
+        assert len(g.trace) > 0
+        print("OK")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout

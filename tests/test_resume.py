@@ -229,3 +229,56 @@ def test_resume_bloom_fallback_on_mismatch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         _norm(full.seen, ["url_id"]), _norm(resumed.seen, ["url_id"])
     )
+
+
+def test_empty_seen_delta_round_commits_and_resumes(spark, tmp_path):
+    """A committed round whose seen_delta is EMPTY (every attempt retried or
+    politeness-deferred) must not poison the store: the zero-row dynamic
+    partition write creates no seen/round=r dir, so commit_round writes an
+    empty marker dir — seen() and a fresh-open resume read the round as
+    empty instead of raising the missing-partition corruption error."""
+    import os
+
+    from crawler_spark.engine.state import SEEN_SCHEMA, TRACE_SCHEMA, StateStore
+
+    state = str(tmp_path / "s")
+    store = StateStore(spark, root=state)
+    frontier = spark.createDataFrame(
+        [(1, 0, 5, "http://a/x", "a")],
+        "url_id long, host_bucket int, priority int, url string, host string",
+    )
+    empty = spark.createDataFrame([], SEEN_SCHEMA)
+    trace = spark.createDataFrame([], TRACE_SCHEMA)
+    fetched = spark.createDataFrame([], "round int, url_id long, image_id string")
+
+    store.commit_round(1, frontier, empty, trace, fetched)
+    store.finalize_round(1, {"round": 1})
+    assert os.path.isdir(os.path.join(state, "seen", "round=1"))  # marker
+    assert store.seen().count() == 0
+
+    delta2 = spark.createDataFrame([(99, 3, "fetched", 2)], SEEN_SCHEMA)
+    store.commit_round(2, frontier, delta2, trace, fetched)
+    store.finalize_round(2, {"round": 2})
+    assert store.seen().count() == 1
+
+    # fresh open (the resume path) and maintenance over the marker dir
+    store2 = StateStore(spark, root=state)
+    assert [r.url_id for r in store2.seen().collect()] == [99]
+    store2.compact_seen()
+    store2.vacuum_seen()
+    assert StateStore(spark, root=state).seen().count() == 1
+
+    # a genuinely lost partition is still a hard error
+    import shutil
+
+    store3 = StateStore(spark, root=state)
+    delta3 = spark.createDataFrame([(7, 1, "fetched", 3)], SEEN_SCHEMA)
+    store3.commit_round(3, frontier, delta3, trace, fetched)
+    store3.finalize_round(3, {"round": 3})
+    shutil.rmtree(os.path.join(state, "seen", "round=3"))
+    fresh = StateStore(spark, root=state)
+    try:
+        fresh.seen()
+        raise AssertionError("lost partition must raise")
+    except FileNotFoundError:
+        pass
