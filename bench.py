@@ -46,8 +46,9 @@ HEADLINE = [
 
 
 def _ungated_headline() -> dict:
-    """Round-3 ungated operators worth a recorded timing (builders live
+    """Round-3/4 ungated operators worth a recorded timing (builders live
     outside the 50-entry gated catalog, so they are referenced directly)."""
+    from crawler_spark.operators.dedup import dedup_incremental
     from crawler_spark.operators.multimodal import mm_pair_curation, mm_phash_groups
     from crawler_spark.operators.relational import (
         x_asof_join,
@@ -61,6 +62,7 @@ def _ungated_headline() -> dict:
     )
 
     return {
+        "dedup_incremental": dedup_incremental,
         "text_surprisal": text_surprisal,
         "text_dup_grams": text_dup_grams,
         "text_kmv_distinct": text_kmv_distinct,

@@ -511,6 +511,171 @@ SELECT doc_id, ({sim})::bigint AS simhash FROM agg
 """
 
 
+# -- incremental near-dup gate over a persisted band index ------------------
+def dedup_incremental_frames(
+    batch_docs: DataFrame,
+    batch_sh: DataFrame,
+    index_bands: DataFrame,
+    index_sh: DataFrame,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Admission-time near-dup verdict for an INCOMING BATCH against an
+    already-indexed corpus, in O(batch) — the production shape where
+    re-running LSH over the whole corpus per ingest (what dedup_groups
+    does) is not an option.
+
+    Inputs (production): `index_bands` (doc_id, band_no, band_hash) and
+    `index_sh` (doc_id, h) are PERSISTED tables maintained by appending
+    each admitted batch's bands/shingles — nothing here recomputes them.
+    `batch_docs` is the batch's doc_id universe (docs with <3 tokens have
+    no shingles and are trivially novel); `batch_sh` its shingle rows.
+
+    Output, one row per batch doc: is_novel (no verified near-dup),
+    dup_of = the MIN-doc_id verified neighbor among index docs and
+    SMALLER-id batch docs (-1 when novel), jaccard of that neighbor
+    (0.0 when novel). The greedy min-id rule is deterministic and
+    SQL-expressible; full transitive grouping remains dedup_groups' job
+    at compaction time — this operator is the admission decision.
+
+    Scale shape: the batch is banded in O(batch); candidates come from
+    TWO equi-joins — batch bands x index bands (persist the index
+    bucketed by band_hash so only the batch side shuffles) and batch x
+    batch for intra-batch dups. Verification touches ONLY matched docs'
+    shingle rows (the candidate neighbor set semi-join prunes index_sh —
+    here the matched fraction IS small by construction, unlike the
+    corpus-wide prune rejected in CLAUDE.md), so no stage reads the
+    corpus."""
+    bb = _bands_df(batch_sh, n_minhash, n_bands)
+    cross = (
+        bb.select(F.col("doc_id").alias("doc_a"), "band_no", "band_hash")
+        .join(
+            index_bands.select(F.col("doc_id").alias("doc_b"), "band_no", "band_hash"),
+            ["band_no", "band_hash"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    internal = (
+        bb.select(F.col("doc_id").alias("doc_a"), "band_no", "band_hash")
+        .join(bb.select(F.col("doc_id").alias("doc_b"), "band_no", "band_hash"),
+              ["band_no", "band_hash"])
+        .filter(F.col("doc_b") < F.col("doc_a"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand = cross.unionByName(internal)  # disjoint sides (index vs batch ids)
+    nbr_ids = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    nbr_sh = index_sh.unionByName(batch_sh).join(nbr_ids, "doc_id", "inner")
+    n_a = batch_sh.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    n_b = nbr_sh.groupBy("doc_id").agg(F.count("*").alias("n_b"))
+    inter = (
+        cand.join(batch_sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(nbr_sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    verified = (
+        inter.join(n_a.select(F.col("doc_id").alias("doc_a"), "n_a"), "doc_a")
+        .join(n_b.select(F.col("doc_id").alias("doc_b"), "n_b"), "doc_b")
+        .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
+    )
+    # min-doc_b neighbor per batch doc; doc_b is unique per pair, so the
+    # struct min is deterministic and carries that neighbor's counts along
+    best = verified.groupBy("doc_a").agg(
+        F.min(F.struct("doc_b", "n_inter", "n_a", "n_b")).alias("m")
+    )
+    return (
+        batch_docs.select("doc_id")
+        .join(best.select(F.col("doc_a").alias("doc_id"), "m"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("m").isNull().alias("is_novel"),
+            F.coalesce(F.col("m.doc_b"), F.lit(-1)).alias("dup_of"),
+            F.coalesce(
+                F.round(
+                    F.col("m.n_inter")
+                    / (F.col("m.n_a") + F.col("m.n_b") - F.col("m.n_inter")),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """In-corpus stand-in for the incremental gate (same trick as
+    text.decontaminate): docs with doc_id % 4 == 0 play the incoming
+    batch, the rest the indexed corpus. The stand-in derives the "index"
+    bands/shingles from the corpus scan; production passes the persisted
+    tables to dedup_incremental_frames. MinHash signatures are per-doc
+    (corpus-independent), so a batch/index split computes EXACTLY the
+    pairs the full-corpus LSH would emit for pairs touching the batch."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _spark_shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
+    is_batch = F.col("doc_id") % 4 == 0
+    batch_sh, index_sh = sh.filter(is_batch), sh.filter(~is_batch)
+    return dedup_incremental_frames(
+        docs.select("doc_id").filter(is_batch),
+        batch_sh,
+        _bands_df(index_sh, n_minhash, n_bands),
+        index_sh,
+        n_minhash,
+        n_bands,
+    )
+
+
+INCREMENTAL_SQL = (
+    _duck_minhash_cte()
+    + """
+, bb AS (SELECT * FROM bands WHERE doc_id % 4 = 0),
+ib AS (SELECT * FROM bands WHERE doc_id % 4 <> 0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a JOIN ib b ON a.band_no = b.band_no AND a.band_hash = b.band_hash
+  UNION
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a JOIN bb b
+    ON a.band_no = b.band_no AND a.band_hash = b.band_hash
+   AND b.doc_id < a.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter, za.n_sh AS n_a, zb.n_sh AS n_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE 3 * i.n_inter >= za.n_sh + zb.n_sh
+),
+best AS (
+  SELECT doc_a, doc_b, n_inter, n_a, n_b,
+         row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS rn
+  FROM verified
+)
+SELECT d.doc_id::bigint AS doc_id,
+       (b.doc_a IS NULL) AS is_novel,
+       coalesce(b.doc_b, -1)::bigint AS dup_of,
+       coalesce(round(b.n_inter / (b.n_a + b.n_b - b.n_inter), 6), 0.0)::double AS jaccard
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_a = d.doc_id
+WHERE d.doc_id % 4 = 0
+"""
+)
+
+
 # -- LSH recall audit (not a gated query: a measurement) --------------------
 def lsh_recall(
     spark: SparkSession,

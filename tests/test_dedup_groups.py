@@ -89,3 +89,45 @@ def test_local_and_distributed_components_agree(spark):
         for r in min_label_components(df, max_iters=64, local_max_edges=0).collect()
     }
     assert local == dist and local
+
+
+def test_dedup_incremental_gate_semantics(spark):
+    """The admission gate's greedy min-id rule on a hand-crafted world:
+    identical shingle sets guarantee band collisions, so verdicts are
+    deterministic. Covers cross dup, min(index, smaller-batch) tie, an
+    intra-batch-only pair, a novel doc, and a shingle-less (<3-token) doc."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.dedup import _bands_df, dedup_incremental_frames
+
+    def sh_rows(spec):  # {doc_id: iterable of shingle hashes}
+        return spark.createDataFrame(
+            [(d, int(h)) for d, hs in spec.items() for h in hs],
+            "doc_id long, h long",
+        )
+
+    index_sh = sh_rows({1: range(1, 11), 3: range(100, 111)})
+    batch_sh = sh_rows(
+        {
+            4: range(1, 11),     # copy of index doc 1 -> dup_of 1
+            8: range(1, 11),     # matches index 1 AND batch 4 -> min id = 1
+            12: range(200, 211),  # pairs only with 16 -> novel (smaller id)
+            16: range(200, 211),  # -> dup_of 12
+            20: range(300, 306),  # unlike anything -> novel
+        }
+    )
+    batch_docs = spark.createDataFrame(
+        [(i,) for i in (4, 8, 12, 16, 20, 24)], "doc_id long"
+    )  # 24 has <3 tokens (no shingles) -> trivially novel
+    out = {
+        r["doc_id"]: (r["is_novel"], r["dup_of"], r["jaccard"])
+        for r in dedup_incremental_frames(
+            batch_docs, batch_sh, _bands_df(index_sh), index_sh
+        ).collect()
+    }
+    assert out[4] == (False, 1, 1.0)
+    assert out[8] == (False, 1, 1.0)
+    assert out[12] == (True, -1, 0.0)
+    assert out[16] == (False, 12, 1.0)
+    assert out[20] == (True, -1, 0.0)
+    assert out[24] == (True, -1, 0.0)

@@ -23,6 +23,7 @@ from crawler_spark.operators.multimodal import (
     mm_phash_groups,
     mm_quality_filter,
 )
+from crawler_spark.operators.dedup import INCREMENTAL_SQL, dedup_incremental
 from crawler_spark.operators.pipeline import PIPELINE_SQL, pipeline_clean_corpus
 from crawler_spark.operators.relational import (
     ASOF_SQL,
@@ -92,6 +93,9 @@ def test_ungated_builders_match_oracle(spark):
         ("mm_quality_filter", mm_quality_filter, QUALITY_SQL),
         ("mm_pair_curation", mm_pair_curation, PAIR_CURATION_SQL),
         ("mm_phash_groups", mm_phash_groups, PHASH_GROUPS_SQL),
+        # admission-time near-dup gate: batch (doc_id % 4 == 0) against the
+        # indexed rest — O(batch), no corpus rescan
+        ("dedup_incremental", dedup_incremental, INCREMENTAL_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
