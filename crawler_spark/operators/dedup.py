@@ -195,22 +195,32 @@ FROM bands a JOIN bands b
 
 
 # -- n-gram Jaccard verification on the LSH candidates ----------------------
-def _pair_overlap(sh: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, n_inter, n_a, n_b) for every LSH candidate pair — the
-    integer facts both the Jaccard verifier and the group builder derive
-    from (jaccard = n_inter / (n_a + n_b - n_inter))."""
-    pairs = _pairs_df(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+def _overlap_counts(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) for the given candidate pairs,
+    with doc_a shingles drawn from sh_a and doc_b shingles from sh_b — the
+    ONE implementation of the intersection-count + size-join shape, shared
+    by the whole-corpus verifier (_pair_overlap) and the incremental gate
+    so the integer facts (and any future fix to them) cannot drift between
+    callers."""
+    n_a = sh_a.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    n_b = sh_b.groupBy("doc_id").agg(F.count("*").alias("n_b"))
     inter = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        cand.join(sh_a.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh_b.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        inter.join(n_a.select(F.col("doc_id").alias("doc_a"), "n_a"), "doc_a")
+        .join(n_b.select(F.col("doc_id").alias("doc_b"), "n_b"), "doc_b")
     )
+
+
+def _pair_overlap(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) for every LSH candidate pair — the
+    integer facts both the Jaccard verifier and the group builder derive
+    from (jaccard = n_inter / (n_a + n_b - n_inter))."""
+    return _overlap_counts(_pairs_df(sh), sh, sh)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,11 +551,19 @@ def dedup_incremental_frames(
     Scale shape: the batch is banded in O(batch); candidates come from
     TWO equi-joins — batch bands x index bands (persist the index
     bucketed by band_hash so only the batch side shuffles) and batch x
-    batch for intra-batch dups. Verification touches ONLY matched docs'
-    shingle rows (the candidate neighbor set semi-join prunes index_sh —
-    here the matched fraction IS small by construction, unlike the
-    corpus-wide prune rejected in CLAUDE.md), so no stage reads the
-    corpus."""
+    batch for intra-batch dups. Verification's shuffles and compute are
+    O(batch + matched): only matched neighbors' shingle rows survive the
+    semi-join on index_sh — bucket the persisted shingle store by doc_id
+    so that join also prunes its SCAN; without bucketing the scan of
+    index_sh is the one corpus-sized IO (pruned to matched docs before
+    any shuffle).
+
+    Integrity contract: index_bands and index_sh must be appended in ONE
+    transactional commit (the StateStore manifest pattern). A re-run of
+    an already-appended batch cannot corrupt verdicts — self-pairs are
+    filtered and duplicated shingle rows collapse in the distinct — and
+    a neighbor that has band rows but NO shingle rows (torn store) fails
+    the job loudly instead of admitting a true near-dup as novel."""
     bb = _bands_df(batch_sh, n_minhash, n_bands)
     cross = (
         bb.select(F.col("doc_id").alias("doc_a"), "band_no", "band_hash")
@@ -553,8 +571,8 @@ def dedup_incremental_frames(
             index_bands.select(F.col("doc_id").alias("doc_b"), "band_no", "band_hash"),
             ["band_no", "band_hash"],
         )
+        .filter(F.col("doc_a") != F.col("doc_b"))  # re-run of an admitted batch
         .select("doc_a", "doc_b")
-        .distinct()
     )
     internal = (
         bb.select(F.col("doc_id").alias("doc_a"), "band_no", "band_hash")
@@ -562,22 +580,26 @@ def dedup_incremental_frames(
               ["band_no", "band_hash"])
         .filter(F.col("doc_b") < F.col("doc_a"))
         .select("doc_a", "doc_b")
+    )
+    # one distinct over the union: if a doc is in BOTH sides (re-run), a
+    # pair seen by cross and internal must still count its shingles once
+    cand = cross.unionByName(internal).distinct()
+    nbr_ids = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    # semi-join each store BEFORE the union (lets a doc_id-bucketed
+    # index_sh prune); distinct collapses rows duplicated by a re-run
+    nbr_sh = (
+        index_sh.join(nbr_ids, "doc_id")
+        .unionByName(batch_sh.join(nbr_ids, "doc_id"))
         .distinct()
     )
-    cand = cross.unionByName(internal)  # disjoint sides (index vs batch ids)
-    nbr_ids = cand.select(F.col("doc_b").alias("doc_id")).distinct()
-    nbr_sh = index_sh.unionByName(batch_sh).join(nbr_ids, "doc_id", "inner")
-    n_a = batch_sh.groupBy("doc_id").agg(F.count("*").alias("n_a"))
-    n_b = nbr_sh.groupBy("doc_id").agg(F.count("*").alias("n_b"))
-    inter = (
-        cand.join(batch_sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(nbr_sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    # torn-store guard, in-plan so it fires when the verdict executes: a
+    # consistent store cannot have a banded doc without shingle rows
+    # (bands derive from shingles), so any such neighbor is corruption
+    n_missing = nbr_ids.join(
+        nbr_sh.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).agg(F.count("*").alias("_n_missing"))
     verified = (
-        inter.join(n_a.select(F.col("doc_id").alias("doc_a"), "n_a"), "doc_a")
-        .join(n_b.select(F.col("doc_id").alias("doc_b"), "n_b"), "doc_b")
+        _overlap_counts(cand, batch_sh, nbr_sh)
         .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
     )
     # min-doc_b neighbor per batch doc; doc_b is unique per pair, so the
@@ -588,6 +610,13 @@ def dedup_incremental_frames(
     return (
         batch_docs.select("doc_id")
         .join(best.select(F.col("doc_a").alias("doc_id"), "m"), "doc_id", "left")
+        .crossJoin(F.broadcast(n_missing))  # 1-row: carries the guard
+        .filter(F.assert_true(
+            F.col("_n_missing") == 0,
+            F.lit("dedup_incremental: index_bands has docs with no shingle "
+                  "rows in index_sh — the index store is torn; restore or "
+                  "rebuild before admitting batches"),
+        ).isNull())
         .select(
             "doc_id",
             F.col("m").isNull().alias("is_novel"),

@@ -96,8 +96,6 @@ def test_dedup_incremental_gate_semantics(spark):
     identical shingle sets guarantee band collisions, so verdicts are
     deterministic. Covers cross dup, min(index, smaller-batch) tie, an
     intra-batch-only pair, a novel doc, and a shingle-less (<3-token) doc."""
-    from pyspark.sql import functions as F
-
     from crawler_spark.operators.dedup import _bands_df, dedup_incremental_frames
 
     def sh_rows(spec):  # {doc_id: iterable of shingle hashes}
