@@ -129,3 +129,40 @@ def test_dedup_incremental_gate_semantics(spark):
     assert out[16] == (False, 12, 1.0)
     assert out[20] == (True, -1, 0.0)
     assert out[24] == (True, -1, 0.0)
+
+
+def test_dedup_incremental_rerun_and_torn_store(spark):
+    """Two integrity properties of the gate: (1) re-running a batch whose
+    bands/shingles were already appended to the index (crash between append
+    and admission record) yields the same verdict as the clean run — no
+    self-dups, no double-counted shingles; (2) an index doc with band rows
+    but no shingle rows (torn store) fails LOUDLY instead of admitting a
+    true near-dup as novel."""
+    import pytest
+
+    from crawler_spark.operators.dedup import _bands_df, dedup_incremental_frames
+
+    def sh_rows(spec):
+        return spark.createDataFrame(
+            [(d, int(h)) for d, hs in spec.items() for h in hs],
+            "doc_id long, h long",
+        )
+
+    batch_sh = sh_rows({4: range(1, 11)})
+    batch_docs = spark.createDataFrame([(4,)], "doc_id long")
+
+    # (1) index already contains doc 4 (the re-run) alongside true doc 1
+    idx_sh = sh_rows({1: range(1, 11), 4: range(1, 11)})
+    out = {
+        r["doc_id"]: (r["is_novel"], r["dup_of"], r["jaccard"])
+        for r in dedup_incremental_frames(
+            batch_docs, batch_sh, _bands_df(idx_sh), idx_sh
+        ).collect()
+    }
+    assert out == {4: (False, 1, 1.0)}  # dup of 1, NOT of itself, jaccard <= 1
+
+    # (2) doc 1 banded but shingle rows lost
+    torn_bands = _bands_df(sh_rows({1: range(1, 11)}))
+    empty_sh = spark.createDataFrame([], "doc_id long, h long")
+    with pytest.raises(Exception, match="torn"):
+        dedup_incremental_frames(batch_docs, batch_sh, torn_bands, empty_sh).collect()
