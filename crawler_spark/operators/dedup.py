@@ -582,15 +582,20 @@ def dedup_incremental_frames(
         .select("doc_a", "doc_b")
     )
     # one distinct over the union: if a doc is in BOTH sides (re-run), a
-    # pair seen by cross and internal must still count its shingles once
-    cand = cross.unionByName(internal).distinct()
+    # pair seen by cross and internal must still count its shingles once.
+    # Materialized once — nbr_ids, the intersection join, and the guard
+    # all consume it (and the band self-joins behind it are not free).
+    cand = cross.unionByName(internal).distinct().localCheckpoint(eager=True)
     nbr_ids = cand.select(F.col("doc_b").alias("doc_id")).distinct()
     # semi-join each store BEFORE the union (lets a doc_id-bucketed
-    # index_sh prune); distinct collapses rows duplicated by a re-run
+    # index_sh prune); distinct collapses rows duplicated by a re-run.
+    # Materialized once for the same reason: n_b, the intersection join,
+    # and the torn-store guard each read it.
     nbr_sh = (
         index_sh.join(nbr_ids, "doc_id")
         .unionByName(batch_sh.join(nbr_ids, "doc_id"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # torn-store guard, in-plan so it fires when the verdict executes: a
     # consistent store cannot have a banded doc without shingle rows
