@@ -346,3 +346,19 @@ def test_asof_and_range_join_plan_shapes(spark):
     rng = explain_str(x_range_join(spark, SF))
     assert "NestedLoop" not in rng, rng
     assert "BroadcastHashJoin" in rng, rng
+
+
+def test_dedup_incremental_gate_plan_shape(spark):
+    """The admission gate's plan: band equi-joins only (no cartesian — the
+    1-row integrity guard rides a broadcast), and the final plan reads the
+    MATERIALIZED candidate/neighbor checkpoints instead of re-deriving the
+    band self-joins per consumer (scan leaves, not three join subtrees)."""
+    from crawler_spark.operators.dedup import dedup_incremental
+    from crawler_spark.plans.audit import assert_no_cartesian, explain_str
+
+    df = dedup_incremental(spark, SF)
+    assert_no_cartesian(df)
+    plan = explain_str(df, "simple")
+    # the cand/nbr_sh checkpoints appear as in-memory scans; the band
+    # stack/self-join must NOT be re-planned downstream of them
+    assert plan.count("ExistingRDD") >= 2 or plan.count("Scan ExistingRDD") >= 2, plan[:2000]
