@@ -341,13 +341,37 @@ class StateStore:
                     if r in new_rounds:
                         continue
                     p = os.path.join(self.root, f"round={r}", "seen_delta")
-                    if not os.path.isdir(p):
-                        raise FileNotFoundError(
-                            f"seen rows for committed round {r} missing from both "
-                            f"the partitioned table and the legacy layout under "
-                            f"{self.root} — store is corrupt; restore or re-crawl"
-                        )
-                    legacy.append(p)
+                    if os.path.isdir(p):
+                        legacy.append(p)
+                        continue
+                    # Migration: stores written BEFORE the empty-round marker
+                    # (commit_round above) have no seen/round=r dir when the
+                    # round's delta had zero rows. The round's own lineage
+                    # proves whether that is the case — delta rows are
+                    # exactly fetched + exhausted + denied — so a provably
+                    # empty round self-heals (marker created), while a round
+                    # the lineage says had rows stays a hard error.
+                    lp = os.path.join(self.root, f"round={r}", "lineage.json")
+                    if os.path.isfile(lp):
+                        with open(lp) as f:
+                            row = json.load(f)
+                        keys = ("n_fetched", "n_exhausted", "n_denied")
+                        # the counters must be PRESENT to prove emptiness —
+                        # a lineage row missing them proves nothing and the
+                        # round stays a hard error
+                        if all(k in row for k in keys) and not any(
+                            row[k] or 0 for k in keys
+                        ):
+                            os.makedirs(
+                                os.path.join(self._seen_dir(), f"round={r}"),
+                                exist_ok=True,
+                            )
+                            continue
+                    raise FileNotFoundError(
+                        f"seen rows for committed round {r} missing from both "
+                        f"the partitioned table and the legacy layout under "
+                        f"{self.root} — store is corrupt; restore or re-crawl"
+                    )
                 if new_rounds:
                     # manifest filter = snapshot isolation: a crashed round's
                     # orphan partitions are pruned out, never read

@@ -559,11 +559,15 @@ def dedup_incremental_frames(
     any shuffle).
 
     Integrity contract: index_bands and index_sh must be appended in ONE
-    transactional commit (the StateStore manifest pattern). A re-run of
-    an already-appended batch cannot corrupt verdicts — self-pairs are
-    filtered and duplicated shingle rows collapse in the distinct — and
-    a neighbor that has band rows but NO shingle rows (torn store) fails
-    the job loudly instead of admitting a true near-dup as novel."""
+    transactional commit (the StateStore manifest pattern), and doc_ids
+    are unique — a batch doc_id found in the index IS a prior append of
+    this batch. A re-run of an already-appended batch cannot corrupt
+    verdicts: the index's copies of the current batch (self-pairs and
+    batch siblings alike) are excluded from cross candidates so replay
+    verdicts equal the clean run's, and duplicated shingle rows collapse
+    in the distinct. A neighbor that has band rows but NO shingle rows
+    (torn store) fails the job loudly instead of admitting a true
+    near-dup as novel."""
     bb = _bands_df(batch_sh, n_minhash, n_bands)
     cross = (
         bb.select(F.col("doc_id").alias("doc_a"), "band_no", "band_hash")
@@ -571,8 +575,18 @@ def dedup_incremental_frames(
             index_bands.select(F.col("doc_id").alias("doc_b"), "band_no", "band_hash"),
             ["band_no", "band_hash"],
         )
-        .filter(F.col("doc_a") != F.col("doc_b"))  # re-run of an admitted batch
         .select("doc_a", "doc_b")
+        # re-run of an already-appended batch: the index's copies of the
+        # CURRENT batch (self-pairs AND batch siblings) must not count as
+        # index neighbors — a sibling reached via the index copy would
+        # shadow internal's smaller-id rule and flip the group's smallest
+        # doc from novel to dup on replay. Batch-vs-batch pairs are
+        # internal's job exclusively.
+        .join(
+            F.broadcast(batch_docs.select(F.col("doc_id").alias("doc_b"))),
+            "doc_b",
+            "left_anti",
+        )
     )
     internal = (
         bb.select(F.col("doc_id").alias("doc_a"), "band_no", "band_hash")

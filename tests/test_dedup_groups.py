@@ -148,18 +148,31 @@ def test_dedup_incremental_rerun_and_torn_store(spark):
             "doc_id long, h long",
         )
 
-    batch_sh = sh_rows({4: range(1, 11)})
-    batch_docs = spark.createDataFrame([(4,)], "doc_id long")
+    batch_sh = sh_rows({4: range(1, 11), 12: range(200, 211), 16: range(200, 211)})
+    batch_docs = spark.createDataFrame([(4,), (12,), (16,)], "doc_id long")
 
-    # (1) index already contains doc 4 (the re-run) alongside true doc 1
-    idx_sh = sh_rows({1: range(1, 11), 4: range(1, 11)})
-    out = {
-        r["doc_id"]: (r["is_novel"], r["dup_of"], r["jaccard"])
-        for r in dedup_incremental_frames(
-            batch_docs, batch_sh, _bands_df(idx_sh), idx_sh
-        ).collect()
-    }
-    assert out == {4: (False, 1, 1.0)}  # dup of 1, NOT of itself, jaccard <= 1
+    def verdicts(index_sh):
+        return {
+            r["doc_id"]: (r["is_novel"], r["dup_of"], r["jaccard"])
+            for r in dedup_incremental_frames(
+                batch_docs, batch_sh, _bands_df(index_sh), index_sh
+            ).collect()
+        }
+
+    # clean run: index holds only true doc 1
+    clean = verdicts(sh_rows({1: range(1, 11)}))
+    assert clean == {4: (False, 1, 1.0), 12: (True, -1, 0.0), 16: (False, 12, 1.0)}
+
+    # (1) re-run: the index ALSO contains the whole batch (4, 12, 16).
+    # Verdicts must equal the clean run's — in particular doc 12, the
+    # smallest of the intra-batch pair, must stay NOVEL (the index copy of
+    # sibling 16 must not shadow internal's smaller-id rule), and no doc
+    # may dup itself or double-count shingles (jaccard <= 1).
+    rerun = verdicts(
+        sh_rows({1: range(1, 11), 4: range(1, 11),
+                 12: range(200, 211), 16: range(200, 211)})
+    )
+    assert rerun == clean
 
     # (2) doc 1 banded but shingle rows lost
     torn_bands = _bands_df(sh_rows({1: range(1, 11)}))

@@ -282,3 +282,59 @@ def test_empty_seen_delta_round_commits_and_resumes(spark, tmp_path):
         raise AssertionError("lost partition must raise")
     except FileNotFoundError:
         pass
+
+
+def test_pre_marker_empty_round_self_heals_on_resume(spark, tmp_path):
+    """Migration: a store written BEFORE the empty-round marker existed has
+    no seen/round=r dir for a zero-delta round. Its lineage proves the
+    delta was empty (fetched+exhausted+denied == 0), so seen() self-heals
+    by creating the marker — while a missing partition whose lineage shows
+    rows (or proves nothing) stays the hard corruption error."""
+    import json
+    import os
+    import shutil
+
+    from crawler_spark.engine.state import SEEN_SCHEMA, TRACE_SCHEMA, StateStore
+
+    state = str(tmp_path / "s")
+    store = StateStore(spark, root=state)
+    frontier = spark.createDataFrame(
+        [(1, 0, 5, "http://a/x", "a")],
+        "url_id long, host_bucket int, priority int, url string, host string",
+    )
+    trace = spark.createDataFrame([], TRACE_SCHEMA)
+    fetched = spark.createDataFrame([], "round int, url_id long, image_id string")
+    zeros = {"n_fetched": 0, "n_exhausted": 0, "n_denied": 0}
+
+    store.commit_round(1, frontier, spark.createDataFrame([], SEEN_SCHEMA), trace, fetched)
+    store.finalize_round(1, {"round": 1, **zeros})
+    delta2 = spark.createDataFrame([(99, 3, "fetched", 2)], SEEN_SCHEMA)
+    store.commit_round(2, frontier, delta2, trace, fetched)
+    store.finalize_round(2, {"round": 2, "n_fetched": 1, "n_exhausted": 0, "n_denied": 0})
+
+    # simulate the pre-marker writer: remove round 1's (empty) marker dir
+    marker = os.path.join(state, "seen", "round=1")
+    shutil.rmtree(marker)
+    fresh = StateStore(spark, root=state)
+    assert [r.url_id for r in fresh.seen().collect()] == [99]  # healed
+    assert os.path.isdir(marker)  # marker recreated
+
+    # a lost NON-empty partition stays fatal (lineage shows rows)
+    shutil.rmtree(os.path.join(state, "seen", "round=2"))
+    try:
+        StateStore(spark, root=state).seen()
+        raise AssertionError("lost non-empty partition must raise")
+    except FileNotFoundError:
+        pass
+
+    # and a lineage missing the counters proves nothing -> still fatal
+    state2 = str(tmp_path / "s2")
+    s2 = StateStore(spark, root=state2)
+    s2.commit_round(1, frontier, delta2.withColumn("round", delta2.round - 1), trace, fetched)
+    s2.finalize_round(1, {"round": 1})
+    shutil.rmtree(os.path.join(state2, "seen", "round=1"))
+    try:
+        StateStore(spark, root=state2).seen()
+        raise AssertionError("counter-less lineage must not self-heal")
+    except FileNotFoundError:
+        pass
