@@ -58,6 +58,7 @@ def _ungated_headline() -> dict:
     from crawler_spark.operators.text import (
         text_dup_grams,
         text_kmv_distinct,
+        text_line_dedup,
         text_surprisal,
     )
 
@@ -65,6 +66,7 @@ def _ungated_headline() -> dict:
         "dedup_incremental": dedup_incremental,
         "text_surprisal": text_surprisal,
         "text_dup_grams": text_dup_grams,
+        "text_line_dedup": text_line_dedup,
         "text_kmv_distinct": text_kmv_distinct,
         "mm_pair_curation": mm_pair_curation,
         "mm_phash_groups": mm_phash_groups,

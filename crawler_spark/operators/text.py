@@ -832,6 +832,97 @@ FROM kth JOIN exact ON kth.source = exact.source
 KMV_SQL = _kmv_sql()
 
 
+# -- cross-document line-level dedup (CCNet/RefinedWeb span removal) --------
+# The transformation text_dup_grams only diagnoses: REMOVE duplicated spans
+# from every document but one and reassemble the cleaned text. Real
+# pipelines segment on newlines; the synthetic corpus is single-line token
+# streams, so the segment unit here is a fixed non-overlapping window of
+# LINE_CHUNK tokens ("pseudo-lines") — swap the segmenter for
+# split(text,'\n') on real web text, the dataflow is identical. Keeper
+# policy: the globally first occurrence (min doc_id, then min position)
+# of each distinct line survives; every other copy — cross-doc AND
+# intra-doc — is dropped. Dataflow: one tokenize scan -> posexplode lines
+# -> ONE exchange keyed by the line (sort-window picks the keeper; the
+# wordcount shuffle shape, AQE absorbs hot boilerplate lines) -> one
+# exchange on doc_id to reassemble kept lines in position order. At 100 TB
+# the window key would be a 128-bit content hash instead of the line
+# string (collision-negligible, shrinks shuffle bytes ~10x); here the
+# exact string keeps the oracle contract collision-free.
+LINE_CHUNK = 8  # tokens per pseudo-line
+
+
+def text_line_dedup(spark: SparkSession, sf_dir: str,
+                    chunk: int = LINE_CHUNK) -> DataFrame:
+    return text_line_dedup_frame(load(spark, sf_dir, "documents"), chunk)
+
+
+def text_line_dedup_frame(docs: DataFrame, chunk: int = LINE_CHUNK) -> DataFrame:
+    """Back half over a docs frame (accepts a pre-tokenized `toks` column,
+    the pipeline's shared-scan convention)."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select("doc_id", "toks")
+        if "toks" in docs.columns
+        else docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
+    )
+    # (size+chunk-1) div chunk pseudo-lines; the size=0 guard matters under
+    # ANSI mode where sequence(1, 0) DESCENDS instead of being empty
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"case when size(toks) = 0 then cast(array() as array<string>) "
+                f"else transform(sequence(1, (size(toks) + {chunk} - 1) div {chunk}), "
+                f"i -> concat_ws(' ', slice(toks, cast((i - 1) * {chunk} + 1 as int), {chunk}))) end"
+            )
+        ).alias("ci", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "ci")
+    flagged = lines.withColumn("kept", F.row_number().over(w) == F.lit(1))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(case when kept then struct(ci, line) end)), s -> s.line))"
+            ).alias("text_clean"),
+            F.expr("count_if(kept)").alias("n_kept"),
+            F.expr("count_if(not kept)").alias("n_dropped"),
+        )
+        .select("doc_id", "text_clean", "n_kept", "n_dropped")
+    )
+
+
+def _line_dedup_sql(chunk: int = LINE_CHUNK) -> str:
+    return f"""
+WITH toksd AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(range(1, ((len(toks) + {chunk} - 1) // {chunk}) + 1)) AS i
+  FROM toksd
+), occ AS (
+  SELECT doc_id, (i - 1)::bigint AS ci,
+         array_to_string(toks[((i - 1) * {chunk} + 1):(i * {chunk})], ' ') AS line
+  FROM idx
+), flagged AS (
+  SELECT doc_id, ci, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, ci) = 1 AS kept
+  FROM occ
+)
+SELECT doc_id::bigint AS doc_id,
+       coalesce(string_agg(line, ' ' ORDER BY ci) FILTER (WHERE kept), '') AS text_clean,
+       count(*) FILTER (WHERE kept)::bigint AS n_kept,
+       count(*) FILTER (WHERE NOT kept)::bigint AS n_dropped
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+LINE_DEDUP_SQL = _line_dedup_sql()
+
+
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
 }

@@ -331,6 +331,24 @@ def test_round3_ops_plan_shapes(spark):
     assert "BatchEvalPython" not in pair, pair
 
 
+def test_line_dedup_plan_shape(spark):
+    """text_line_dedup is the two-exchange wordcount shape: ONE shuffle
+    keyed by the line (keeper window) and ONE keyed by doc_id (reassembly)
+    over a single documents scan — no join, no cartesian."""
+    from crawler_spark.operators.text import text_line_dedup
+    from crawler_spark.plans import assert_no_cartesian, explain_str, scan_read_schema
+
+    df = text_line_dedup(spark, SF)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert plan.count("Exchange (") == 2, plan
+    assert "hashpartitioning(line" in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    schemas = scan_read_schema(df)
+    assert len(schemas) == 1, schemas  # single documents scan
+    assert set(schemas[0]) <= {"doc_id", "text"}, schemas  # pruned to 2 cols
+
+
 def test_asof_and_range_join_plan_shapes(spark):
     """The as-of join must be a single ordered window (no join operator at
     all); the bucketed range join must plan as an EQUI hash join on the

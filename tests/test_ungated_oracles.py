@@ -44,6 +44,7 @@ from crawler_spark.operators.text import (
     DUP_GRAMS_SQL,
     FINGERPRINT_SQL,
     KMV_SQL,
+    LINE_DEDUP_SQL,
     MIXTURE_SQL,
     PACK_SQL,
     PII_SQL,
@@ -57,6 +58,7 @@ from crawler_spark.operators.text import (
     text_fingerprint,
     text_dup_grams,
     text_kmv_distinct,
+    text_line_dedup,
     text_pii_scrub,
     text_repetition,
     text_surprisal,
@@ -85,6 +87,10 @@ def test_ungated_builders_match_oracle(spark):
         ("sample_stratified", sample_stratified, STRATIFIED_SQL),
         ("text_surprisal", text_surprisal, SURPRISAL_SQL),
         ("text_dup_grams", text_dup_grams, DUP_GRAMS_SQL),
+        # CCNet-style span removal: globally-first occurrence of each
+        # pseudo-line survives, every other copy is dropped and the
+        # cleaned text is reassembled in position order
+        ("text_line_dedup", text_line_dedup, LINE_DEDUP_SQL),
         ("x_asof_join", x_asof_join, ASOF_SQL),
         ("x_range_join", x_range_join, RANGE_SQL),
         ("x_rollup_hier", x_rollup_hier, ROLLUP_SQL),
@@ -99,6 +105,34 @@ def test_ungated_builders_match_oracle(spark):
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
+
+
+def test_line_dedup_keeper_policy(spark):
+    """Pin the span-removal semantics on a hand-crafted corpus,
+    independent of the DuckDB twin (a shared mis-specification would pass
+    the oracle): the globally FIRST occurrence (min doc_id, then min
+    position) of each pseudo-line survives; later copies are dropped both
+    across documents and within one; the cleaned text preserves position
+    order; a fully-duplicated doc collapses to the empty string."""
+    from crawler_spark.operators.text import text_line_dedup_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # lines (chunk=2): "a b", "a b", "c"
+            (2, "c d a b"),     # lines: "c d", "a b"
+            (3, "a b"),         # every line already seen -> empty doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_dropped"])
+        for r in text_line_dedup_frame(docs, chunk=2).collect()
+    }
+    assert got == {
+        1: ("a b c", 2, 1),  # intra-doc repeat dropped, tail chunk kept
+        2: ("c d", 1, 1),    # "a b" lost to doc 1's earlier occurrence
+        3: ("", 0, 1),
+    }, got
 
 
 def test_asof_randomized_vs_python(spark):
