@@ -1,10 +1,12 @@
 """End-to-end training-corpus pipeline: the composition a real user runs,
 built purely from this repo's own operators — quality gate (text_metrics'
-`keep`), repetition filter, unigram-surprisal LM gate, benchmark
-decontamination (+ eval-split exclusion), exact dedup (hash-groupBy
-representative), near-dup clustering (LSH -> verified edges -> connected
-components, dedup_groups), and embedding coverage — emitting one manifest
-row per document with the final `train_keep` verdict.
+`keep`), repetition filter, unigram-surprisal LM gate, Gopher
+duplicate-line-fraction gate (text_line_dedup's span_dup_ratio),
+benchmark decontamination (+ eval-split exclusion), exact dedup
+(hash-groupBy representative), near-dup clustering (LSH -> verified
+edges -> connected components, dedup_groups), and embedding coverage —
+emitting one manifest row per document with the final `train_keep`
+verdict.
 
 Not a catalog slot (the driver gates at most 50 queries); the DuckDB twin
 composes the same verified SQL blocks and is checked in
@@ -30,11 +32,13 @@ from .dedup import (
 from .text import (
     DECONTAM_EVAL_MOD,
     DECONTAM_SQL,
+    LINE_DEDUP_SQL,
     METRICS_SQL,
     REPETITION_SQL,
     SURPRISAL_SQL,
     decontaminate_frame,
     gram_hashes,
+    text_line_dedup_frame,
     text_metrics_frame,
     text_repetition_frame,
     text_surprisal_frame,
@@ -44,6 +48,13 @@ from .text import (
 # sits above the synthetic corpus's median (5.0) and below its max (~5.45),
 # so the gate trims a small real tail at every sf.
 SURPRISAL_MAX = 5.2
+
+# Gopher repetition rule: drop documents whose duplicate-line fraction
+# exceeds 0.30 (Rae et al. 2021, table A1 — "duplicate line fraction").
+# The line unit here is text_line_dedup's pseudo-line; the ratio trims a
+# real 5-7% tail at every sf (measured: 25/500 at sf0.001, 333/5000 at
+# sf0.1 exceed it).
+SPAN_DUP_MAX = 0.3
 
 
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,6 +90,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = decontaminate_frame(grams).select(
         "doc_id", F.lit(True).alias("contaminated")
     )
+    ld = text_line_dedup_frame(base).select(
+        "doc_id",
+        F.round(
+            F.col("n_dropped") / (F.col("n_kept") + F.col("n_dropped")), 6
+        ).alias("span_dup_ratio"),
+    )
     sh = shingle_rows_from_toks(base).localCheckpoint(eager=True)
     g = dedup_groups_from_shingles(sh, base.select("doc_id"))
     ex = dedup_exact_frame(base).select(
@@ -91,6 +108,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.join(rep, "doc_id", "left")
         .join(srp, "doc_id", "left")
         .join(cont, "doc_id", "left")
+        .join(ld, "doc_id", "left")
         .join(g, "doc_id")
         .join(ex, "doc_id", "left")
         .join(emb, "doc_id", "left")
@@ -100,12 +118,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "quality_score",
         "bits_per_token",
+        "span_dup_ratio",
         "group_id",
         "group_size",
         (
             F.col("keep")
             & ~F.coalesce("repetitive", F.lit(True))
             & F.coalesce(F.col("bits_per_token") <= SURPRISAL_MAX, F.lit(False))
+            & F.coalesce(F.col("span_dup_ratio") <= SPAN_DUP_MAX, F.lit(False))
             & F.expr(f"doc_id % {DECONTAM_EVAL_MOD} <> 0")
             & ~F.coalesce("contaminated", F.lit(False))
             & F.col("is_rep")
@@ -120,6 +140,11 @@ WITH m AS ({METRICS_SQL}),
 rep AS (SELECT doc_id, repetitive FROM ({REPETITION_SQL}) rr),
 srp AS (SELECT doc_id, bits_per_token FROM ({SURPRISAL_SQL}) ss),
 cont AS (SELECT doc_id, true AS contaminated FROM ({DECONTAM_SQL}) cc),
+ld AS (
+  SELECT doc_id,
+         round(n_dropped * 1.0 / (n_kept + n_dropped), 6) AS span_dup_ratio
+  FROM ({LINE_DEDUP_SQL}) ll
+),
 g AS (SELECT * FROM ({GROUPS_SQL}) gg),
 ex AS (
   SELECT min(doc_id) AS doc_id, true AS exact_rep
@@ -127,10 +152,11 @@ ex AS (
 ),
 e AS (SELECT vec_id AS doc_id, true AS has_embedding FROM embeddings)
 SELECT m.doc_id, m.n_tokens, m.quality_score, srp.bits_per_token,
-       g.group_id, g.group_size,
+       ld.span_dup_ratio, g.group_id, g.group_size,
        (m.keep
         AND NOT coalesce(rep.repetitive, true)
         AND coalesce(srp.bits_per_token <= {SURPRISAL_MAX}, false)
+        AND coalesce(ld.span_dup_ratio <= {SPAN_DUP_MAX}, false)
         AND m.doc_id % {DECONTAM_EVAL_MOD} <> 0
         AND NOT coalesce(cont.contaminated, false)
         AND g.is_rep
@@ -140,6 +166,7 @@ FROM m
 LEFT JOIN rep ON rep.doc_id = m.doc_id
 LEFT JOIN srp ON srp.doc_id = m.doc_id
 LEFT JOIN cont ON cont.doc_id = m.doc_id
+LEFT JOIN ld ON ld.doc_id = m.doc_id
 JOIN g ON g.doc_id = m.doc_id
 LEFT JOIN ex ON ex.doc_id = m.doc_id
 LEFT JOIN e ON e.doc_id = m.doc_id
