@@ -1,7 +1,8 @@
 """End-to-end training-corpus pipeline: the composition a real user runs,
 built purely from this repo's own operators — quality gate (text_metrics'
-`keep`), repetition filter, unigram-surprisal LM gate, Gopher
-duplicate-line-fraction gate (text_line_dedup's span_dup_ratio),
+`keep`), repetition filter, unigram-surprisal LM gate, duplicate-span
+gate (text_line_dedup's span_dup_ratio — the corpus-level analogue of
+Gopher's duplicate-line-fraction rule),
 benchmark decontamination (+ eval-split exclusion), exact dedup
 (hash-groupBy representative), near-dup clustering (LSH -> verified
 edges -> connected components, dedup_groups), and embedding coverage —
@@ -49,11 +50,19 @@ from .text import (
 # so the gate trims a small real tail at every sf.
 SURPRISAL_MAX = 5.2
 
-# Gopher repetition rule: drop documents whose duplicate-line fraction
-# exceeds 0.30 (Rae et al. 2021, table A1 — "duplicate line fraction").
-# The line unit here is text_line_dedup's pseudo-line; the ratio trims a
-# real 5-7% tail at every sf (measured: 25/500 at sf0.001, 333/5000 at
-# sf0.1 exceed it).
+# Duplicate-span gate: drop documents whose pseudo-line stream is >30%
+# spans already seen elsewhere in the corpus (text_line_dedup's keeper
+# policy — globally-first occurrence survives). This is the CORPUS-level
+# generalization of Gopher's intra-document "duplicate line fraction"
+# rule (Rae et al. 2021, table A1, threshold 0.30): it additionally
+# catches boilerplate-heavy documents whose spans repeat across pages
+# rather than within one. Like dedup_groups' min-id representative, which
+# copy of shared boilerplate trains is decided by doc_id order —
+# deterministic, and consistent with the pipeline's other keeper choices.
+# (A CCNet-style alternative keeps the stripped remainder instead of the
+# doc-level verdict; text_line_dedup already emits that as text_clean.)
+# The threshold trims a real 5-7% tail at every sf (measured: 25/500 at
+# sf0.001, 333/5000 at sf0.1 exceed it).
 SPAN_DUP_MAX = 0.3
 
 
@@ -90,10 +99,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = decontaminate_frame(grams).select(
         "doc_id", F.lit(True).alias("contaminated")
     )
+    # NULL ratio for token-less docs (0 pseudo-lines) — the gate's
+    # coalesce(..., false) fails them, and ANSI mode would otherwise raise
+    # on the 0/0 division
     ld = text_line_dedup_frame(base).select(
         "doc_id",
-        F.round(
-            F.col("n_dropped") / (F.col("n_kept") + F.col("n_dropped")), 6
+        F.when(
+            F.col("n_kept") + F.col("n_dropped") > 0,
+            F.round(F.col("n_dropped") / (F.col("n_kept") + F.col("n_dropped")), 6),
         ).alias("span_dup_ratio"),
     )
     sh = shingle_rows_from_toks(base).localCheckpoint(eager=True)
@@ -142,7 +155,9 @@ srp AS (SELECT doc_id, bits_per_token FROM ({SURPRISAL_SQL}) ss),
 cont AS (SELECT doc_id, true AS contaminated FROM ({DECONTAM_SQL}) cc),
 ld AS (
   SELECT doc_id,
-         round(n_dropped * 1.0 / (n_kept + n_dropped), 6) AS span_dup_ratio
+         CASE WHEN n_kept + n_dropped > 0
+              THEN round(n_dropped * 1.0 / (n_kept + n_dropped), 6)
+         END AS span_dup_ratio
   FROM ({LINE_DEDUP_SQL}) ll
 ),
 g AS (SELECT * FROM ({GROUPS_SQL}) gg),

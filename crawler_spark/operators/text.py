@@ -841,13 +841,20 @@ KMV_SQL = _kmv_sql()
 # split(text,'\n') on real web text, the dataflow is identical. Keeper
 # policy: the globally first occurrence (min doc_id, then min position)
 # of each distinct line survives; every other copy — cross-doc AND
-# intra-doc — is dropped. Dataflow: one tokenize scan -> posexplode lines
-# -> ONE exchange keyed by the line (sort-window picks the keeper; the
-# wordcount shuffle shape, AQE absorbs hot boilerplate lines) -> one
-# exchange on doc_id to reassemble kept lines in position order. At 100 TB
-# the window key would be a 128-bit content hash instead of the line
-# string (collision-negligible, shrinks shuffle bytes ~10x); here the
-# exact string keeps the oracle contract collision-free.
+# intra-doc — is dropped. Dataflow: one tokenize scan materialized as the
+# narrow (doc_id, toks) frame -> posexplode lines -> groupBy(line) with
+# min(struct(doc_id, ci)) picks the keeper — deliberately an AGGREGATE,
+# not a row_number window: web boilerplate lines ("Home", the empty line)
+# can each cover ~1% of a corpus, and a window partitioned by line funnels
+# every occurrence of a hot line through ONE sort task, while min(struct)
+# partial-aggregates hot lines map-side to one row per input partition.
+# The keeper rows ARE the kept occurrences, so reassembly aggregates them
+# by doc_id in position order, and per-doc totals come from the token
+# frame's arithmetic (one row per doc, no occurrence-level join anywhere).
+# At 100 TB the agg key would be a 128-bit content hash instead of the
+# line string (collision-negligible, shrinks shuffle bytes ~10x); here the
+# exact string keeps the oracle contract collision-free. Token-less
+# documents emit ('', 0, 0) — they are not silently dropped.
 LINE_CHUNK = 8  # tokens per pseudo-line
 
 
@@ -857,15 +864,17 @@ def text_line_dedup(spark: SparkSession, sf_dir: str,
 
 
 def text_line_dedup_frame(docs: DataFrame, chunk: int = LINE_CHUNK) -> DataFrame:
-    """Back half over a docs frame (accepts a pre-tokenized `toks` column,
-    the pipeline's shared-scan convention)."""
-    from pyspark.sql import Window
-
-    toks = (
-        docs.select("doc_id", "toks")
-        if "toks" in docs.columns
-        else docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
-    )
+    """Back half over a docs frame. A caller passing a pre-tokenized
+    `toks` column (the pipeline's shared-scan convention) must pass a
+    materialized frame — both the keeper agg and the per-doc totals
+    consume it; the standalone path checkpoints the narrow projection
+    itself so the tokenizer runs exactly once."""
+    if "toks" in docs.columns:
+        toks = docs.select("doc_id", "toks")
+    else:
+        toks = docs.select(
+            "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+        ).localCheckpoint(eager=True)
     # (size+chunk-1) div chunk pseudo-lines; the size=0 guard matters under
     # ANSI mode where sequence(1, 0) DESCENDS instead of being empty
     lines = toks.select(
@@ -878,19 +887,27 @@ def text_line_dedup_frame(docs: DataFrame, chunk: int = LINE_CHUNK) -> DataFrame
             )
         ).alias("ci", "line"),
     )
-    w = Window.partitionBy("line").orderBy("doc_id", "ci")
-    flagged = lines.withColumn("kept", F.row_number().over(w) == F.lit(1))
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.expr(
-                "concat_ws(' ', transform(array_sort("
-                "collect_list(case when kept then struct(ci, line) end)), s -> s.line))"
-            ).alias("text_clean"),
-            F.expr("count_if(kept)").alias("n_kept"),
-            F.expr("count_if(not kept)").alias("n_dropped"),
-        )
-        .select("doc_id", "text_clean", "n_kept", "n_dropped")
+    keeper = lines.groupBy("line").agg(F.min(F.struct("doc_id", "ci")).alias("k"))
+    kept = keeper.select(
+        F.col("k.doc_id").alias("doc_id"), F.col("k.ci").alias("ci"), "line"
+    )
+    kept_per_doc = kept.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort("
+            "collect_list(struct(ci, line))), s -> s.line))"
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = toks.select(
+        "doc_id", F.expr(f"(size(toks) + {chunk} - 1) div {chunk}").alias("n_lines")
+    )
+    return totals.join(kept_per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
     )
 
 
@@ -911,12 +928,12 @@ WITH toksd AS (
          row_number() OVER (PARTITION BY line ORDER BY doc_id, ci) = 1 AS kept
   FROM occ
 )
-SELECT doc_id::bigint AS doc_id,
-       coalesce(string_agg(line, ' ' ORDER BY ci) FILTER (WHERE kept), '') AS text_clean,
-       count(*) FILTER (WHERE kept)::bigint AS n_kept,
-       count(*) FILTER (WHERE NOT kept)::bigint AS n_dropped
-FROM flagged
-GROUP BY doc_id
+SELECT t.doc_id::bigint AS doc_id,
+       coalesce(string_agg(f.line, ' ' ORDER BY f.ci) FILTER (WHERE f.kept), '') AS text_clean,
+       count(f.ci) FILTER (WHERE f.kept)::bigint AS n_kept,
+       count(f.ci) FILTER (WHERE NOT f.kept)::bigint AS n_dropped
+FROM toksd t LEFT JOIN flagged f ON f.doc_id = t.doc_id
+GROUP BY t.doc_id
 """
 
 

@@ -332,21 +332,27 @@ def test_round3_ops_plan_shapes(spark):
 
 
 def test_line_dedup_plan_shape(spark):
-    """text_line_dedup is the two-exchange wordcount shape: ONE shuffle
-    keyed by the line (keeper window) and ONE keyed by doc_id (reassembly)
-    over a single documents scan — no join, no cartesian."""
+    """text_line_dedup's keeper must be an AGGREGATE (min(struct) with a
+    map-side partial pass that collapses hot boilerplate lines), NEVER a
+    row_number window (which funnels every occurrence of a hot line
+    through one un-splittable sort task). Shape: keeper agg keyed by the
+    line + reassembly agg keyed by doc_id + the totals join — all fed
+    from one checkpointed tokenize (zero parquet re-scans downstream),
+    no cartesian."""
     from crawler_spark.operators.text import text_line_dedup
     from crawler_spark.plans import assert_no_cartesian, explain_str, scan_read_schema
 
     df = text_line_dedup(spark, SF)
     assert_no_cartesian(df)
     plan = explain_str(df)
-    assert plan.count("Exchange (") == 2, plan
+    assert "Window" not in plan, plan  # the skew-unsafe shape
     assert "hashpartitioning(line" in plan, plan
     assert "hashpartitioning(doc_id" in plan, plan
-    schemas = scan_read_schema(df)
-    assert len(schemas) == 1, schemas  # single documents scan
-    assert set(schemas[0]) <= {"doc_id", "text"}, schemas  # pruned to 2 cols
+    assert plan.count("Exchange (") == 3, plan  # keeper, reassembly, totals join
+    # partial + final pairs for BOTH aggregates (min(struct) is partial-able)
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4, plan
+    # the tokenize ran once, inside the eager checkpoint leaf
+    assert scan_read_schema(df) == [], "expected no parquet scan downstream"
 
 
 def test_asof_and_range_join_plan_shapes(spark):

@@ -121,6 +121,7 @@ def test_line_dedup_keeper_policy(spark):
             (1, "a b a b c"),   # lines (chunk=2): "a b", "a b", "c"
             (2, "c d a b"),     # lines: "c d", "a b"
             (3, "a b"),         # every line already seen -> empty doc
+            (4, "? !"),         # tokenizes to nothing -> 0 pseudo-lines
         ],
         "doc_id long, text string",
     )
@@ -132,6 +133,7 @@ def test_line_dedup_keeper_policy(spark):
         1: ("a b c", 2, 1),  # intra-doc repeat dropped, tail chunk kept
         2: ("c d", 1, 1),    # "a b" lost to doc 1's earlier occurrence
         3: ("", 0, 1),
+        4: ("", 0, 0),       # token-less doc still emitted, not dropped
     }, got
 
 
