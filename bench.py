@@ -50,6 +50,7 @@ def _ungated_headline() -> dict:
     outside the 50-entry gated catalog, so they are referenced directly)."""
     from crawler_spark.operators.dedup import dedup_incremental
     from crawler_spark.operators.multimodal import mm_pair_curation, mm_phash_groups
+    from crawler_spark.operators.similarity import dedup_semantic
     from crawler_spark.operators.relational import (
         x_asof_join,
         x_range_join,
@@ -64,6 +65,7 @@ def _ungated_headline() -> dict:
 
     return {
         "dedup_incremental": dedup_incremental,
+        "dedup_semantic": dedup_semantic,
         "text_surprisal": text_surprisal,
         "text_dup_grams": text_dup_grams,
         "text_line_dedup": text_line_dedup,

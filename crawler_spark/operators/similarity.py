@@ -663,6 +663,108 @@ WHERE rank <= {TOP_K}
 ANN_IVF_SQL = ivf_sql(IVF_ITERS)
 
 
+# -- SemDeDup: semantic dedup via cluster-then-compare -----------------------
+# Abbas et al. 2023 ("SemDeDup"): cluster the embedding space, compare
+# pairs ONLY within a cluster, and drop one side of every epsilon-similar
+# pair. The cluster bound is what makes the pairwise step tractable —
+# quadratic within a cluster, never across the corpus (the paper's k is
+# sized so clusters stay small; here the trained Lloyd codebook from the
+# IVF family is reused verbatim). Keeper policy mirrors the repo's other
+# dedup ops: a vector is a duplicate iff some LOWER-id cluster-mate sits
+# within the threshold (greedy, no transitive rescue — the paper's
+# variant), dup_of = the smallest such mate. The paper thresholds at
+# 1-eps ~ 0.95 on real normalized embeddings; this synthetic corpus's
+# near-dup regime sits at cos >= ~0.3 (see dedup_embedding_cosine and the
+# ann_recall caveat), so the default keeps the measured 12%/32% dup tail
+# at sf0.01/sf0.1 without degenerating.
+SEMDEDUP_TAU = 0.35
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str,
+                   n_iter: int = IVF_ITERS, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """Per-vector semantic-dup verdict: (vec_id, c_id, dup_of, is_dup).
+
+    Dataflow: ONE embeddings scan (the materialized index), the IVF
+    codebook's broadcast affinity + assignment, a within-cluster self-join
+    keyed by c_id (bounded per cluster), the vectorized `_score_pairs`
+    cosine kernel (bit-identical to the oracle's sequential fold), and one
+    min-aggregate for dup_of. The threshold compare needs no rounding:
+    both engines compute the identical doubles."""
+    base = _indexed_embeddings(spark, sf_dir)
+    aff = _centroid_affinity(base, "vec_id", n_iter)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+    # Lloyd training runs once: the assignment feeds both pair sides and
+    # the final verdict join
+    assign = (
+        aff.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "c_id")
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        assign.select(F.col("vec_id").alias("vec_a"), "c_id")
+        .join(assign.select(F.col("vec_id").alias("vec_b"), "c_id"), "c_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    scored = _score_pairs(pairs, _side(base, "vec_a", "ea"), _side(base, "vec_b", "eb"))
+    dup = (
+        scored.filter(F.col("cos") >= tau)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"))
+        .select(F.col("vec_b").alias("vec_id"), "dup_of")
+    )
+    return assign.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "c_id",
+        "dup_of",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )
+
+
+def semdedup_sql(n_iter: int = IVF_ITERS, tau: float = SEMDEDUP_TAU) -> str:
+    return f"""
+WITH {_ivf_cents_ctes(n_iter)},
+aff AS (
+  SELECT e.vec_id, c.c_id,
+         {_duck_dot('e.embedding', 'c.ce')}
+           / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
+              * sqrt({_duck_dot('c.ce', 'c.ce')})) AS c_cos
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id ASC) AS r
+    FROM aff) t
+  WHERE r = 1
+),
+prs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+),
+sc AS (
+  SELECT vec_a, vec_b,
+         {_duck_dot('ea.embedding', 'eb.embedding')}
+           / (sqrt({_duck_dot('ea.embedding', 'ea.embedding')})
+              * sqrt({_duck_dot('eb.embedding', 'eb.embedding')})) AS cos
+  FROM prs
+  JOIN embeddings ea ON ea.vec_id = vec_a
+  JOIN embeddings eb ON eb.vec_id = vec_b
+),
+dup AS (
+  SELECT vec_b AS vec_id, min(vec_a)::bigint AS dup_of
+  FROM sc WHERE cos >= {tau} GROUP BY vec_b
+)
+SELECT a.vec_id::bigint AS vec_id, a.c_id::bigint AS c_id, d.dup_of,
+       d.dup_of IS NOT NULL AS is_dup
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+"""
+
+
+SEMDEDUP_SQL = semdedup_sql()
+
+
 # -- SQ8: int8 scalar-quantized scan + full-precision rerank -----------------
 #
 # The memory/IO lever at 100 TB: a 64-dim float32 corpus scanned through an

@@ -98,6 +98,15 @@ def test_ann_family_single_embeddings_scan(spark):
         plan = fn(spark, SF)._jdf.queryExecution().analyzed().toString()
         assert "parquet" not in plan.lower(), name
         assert plan.count("zip_with") <= 1, (name, plan.count("zip_with"))
+    # dedup_semantic (ungated) shares the discipline: index + assignment
+    # are checkpoint leaves, the pair cosine is the vectorized kernel —
+    # no parquet rescan, no interpreted fold in the pair path at all
+    from crawler_spark.operators.similarity import dedup_semantic
+
+    plan = dedup_semantic(spark, SF)._jdf.queryExecution().analyzed().toString()
+    assert "parquet" not in plan.lower()
+    assert plan.count("zip_with") == 0, plan.count("zip_with")
+    assert "mapInPandas" in plan or "MapInPandas" in plan
 
 
 def test_sq8_two_stage_plan(spark):

@@ -35,8 +35,10 @@ from crawler_spark.operators.relational import (
 )
 from crawler_spark.operators.similarity import (
     ANN_MULTIPROBE_SQL,
+    SEMDEDUP_SQL,
     ann_ivf_topk,
     ann_multiprobe_topk,
+    dedup_semantic,
     ivf_sql,
 )
 from crawler_spark.operators.text import (
@@ -83,6 +85,9 @@ def test_ungated_builders_match_oracle(spark):
         # re-assignment between rounds, same dataflow — the generated
         # oracle trains the identical codebook
         ("ann_ivf_topk_3iter", lambda s, d: ann_ivf_topk(s, d, n_iter=3), ivf_sql(3)),
+        # SemDeDup: within-cluster epsilon-similar pairs over the same
+        # trained codebook; lower-id cluster-mate wins, no transitive rescue
+        ("dedup_semantic", dedup_semantic, SEMDEDUP_SQL),
         ("text_repetition", text_repetition, REPETITION_SQL),
         ("sample_stratified", sample_stratified, STRATIFIED_SQL),
         ("text_surprisal", text_surprisal, SURPRISAL_SQL),
