@@ -49,7 +49,11 @@ def _ungated_headline() -> dict:
     """Round-3/4 ungated operators worth a recorded timing (builders live
     outside the 50-entry gated catalog, so they are referenced directly)."""
     from crawler_spark.operators.dedup import dedup_incremental
-    from crawler_spark.operators.multimodal import mm_pair_curation, mm_phash_groups
+    from crawler_spark.operators.multimodal import (
+        mm_pair_curation,
+        mm_phash_groups,
+        mm_video_neardup,
+    )
     from crawler_spark.operators.similarity import dedup_semantic
     from crawler_spark.operators.relational import (
         x_asof_join,
@@ -57,7 +61,9 @@ def _ungated_headline() -> dict:
         x_rollup_hier,
     )
     from crawler_spark.operators.text import (
+        text_dsir,
         text_dup_grams,
+        text_gopher_rules,
         text_kmv_distinct,
         text_line_dedup,
         text_surprisal,
@@ -66,12 +72,15 @@ def _ungated_headline() -> dict:
     return {
         "dedup_incremental": dedup_incremental,
         "dedup_semantic": dedup_semantic,
+        "text_dsir": text_dsir,
+        "text_gopher_rules": text_gopher_rules,
         "text_surprisal": text_surprisal,
         "text_dup_grams": text_dup_grams,
         "text_line_dedup": text_line_dedup,
         "text_kmv_distinct": text_kmv_distinct,
         "mm_pair_curation": mm_pair_curation,
         "mm_phash_groups": mm_phash_groups,
+        "mm_video_neardup": mm_video_neardup,
         "x_asof_join": x_asof_join,
         "x_range_join": x_range_join,
         "x_rollup_hier": x_rollup_hier,

@@ -599,6 +599,182 @@ FROM px GROUP BY k, f
 """
 
 
+# -- video near-duplicate detection via sampled-frame phash ------------------
+#
+# Frame-based video copy detection, the standard shape in the public
+# literature (and the video analog of mm_phash_neardup): two clips are
+# near-dups when enough of their SAMPLED frames match perceptually —
+# re-encodes, container changes, trims. Matching is temporal-shift
+# TOLERANT by design: a frame of A may match ANY sampled frame of B (a
+# trimmed copy shifts every frame index), so the unit of candidacy is the
+# frame phash, not the (frame_no, phash) pair. Dataflow: one generated
+# corpus scan -> per-sampled-frame 64-bit phash (whole-batch kernel, the
+# strided-view trick from mm_frame_sample so skipped frames are never
+# decoded) materialized ONCE -> band each phash into 4x16-bit slices ->
+# equi-join on (band_no, band_val) -> verify Hamming <= PHASH_HAM_MAX ->
+# count DISTINCT matched frames of the lower-id side per video pair ->
+# edge when >= VID_MATCH_MIN. No all-pairs comparison at any level: at
+# 100 TB the frame-phash index is an ingest-time artifact (a few int64s
+# per clip) and the band join shuffles (band_val, k, frame_no, phash)
+# tuples only, exactly the image-dedup shape. Per-video rollup mirrors
+# mm_phash_neardup (min-id representative of the direct neighborhood).
+#
+# The video corpus's frame uniqueness comes from the per-frame offset
+# (k*7919 + f*523) % 256, so cross-video frame matches are REAL byte-
+# identical frames (whole offset classes), not an artificial pair list —
+# sized at |documents| // 4 clips so matches exist from sf0.001 up.
+
+VID_MATCH_MIN = 1  # matched sampled frames that make a near-dup edge
+_VID_FRAME_NOS = np.arange(0, MM_FRAMES, FRAME_STRIDE, dtype=np.int32)
+
+
+def _frame_phashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..engine.verify import _phash_batch
+
+    side = MM_SIDE
+    nf = len(_VID_FRAME_NOS)
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        blobs = pdf["bytes"].to_numpy()
+        full = np.stack([np.frombuffer(b, np.uint8) for b in blobs])
+        px = full[:, _MM_HDR:].reshape(n, MM_FRAMES, side, side, 3)
+        sampled = px[:, ::FRAME_STRIDE].reshape(n * nf, side, side, 3)
+        yield pd.DataFrame(
+            {
+                "k": np.repeat(
+                    pdf["video_id"].str.slice(3).astype(np.int64).to_numpy(), nf
+                ),
+                "frame_no": np.tile(_VID_FRAME_NOS, n),
+                "fphash": _phash_batch(sampled),
+            }
+        )
+
+
+def _video_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, frame_no, fphash) materialized once — both band-join sides and
+    the per-video rollup read this checkpoint, never the generated corpus."""
+    n = max(table_rows(sf_dir, "documents") // 4, 1)
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_video_corpus, schema=VIDEO_SCHEMA
+    )
+    return corpus.mapInPandas(
+        _frame_phashes, schema="k long, frame_no int, fphash long"
+    ).localCheckpoint(eager=True)
+
+
+def _video_edges(idx: DataFrame) -> DataFrame:
+    """(ka < kb, n_matched) video pairs where n_matched = # distinct sampled
+    frames of ka with a Hamming-<=PHASH_HAM_MAX match anywhere in kb."""
+    mask = (1 << PHASH_BAND_BITS) - 1
+    stack_args = ", ".join(
+        f"{b}, cast(shiftright(fphash, {b * PHASH_BAND_BITS}) & {mask} as bigint)"
+        for b in range(N_PHASH_BANDS)
+    )
+    bands = idx.select(
+        "k", "frame_no", "fphash",
+        F.expr(f"stack({N_PHASH_BANDS}, {stack_args}) as (band_no, band_val)"),
+    )
+    left = bands.select(
+        F.col("k").alias("ka"), F.col("frame_no").alias("fa"),
+        F.col("fphash").alias("pa"), "band_no", "band_val",
+    )
+    right = bands.select(
+        F.col("k").alias("kb"), F.col("fphash").alias("pb"),
+        "band_no", "band_val",
+    )
+    matched = (
+        left.join(right, ["band_no", "band_val"])
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= PHASH_HAM_MAX)
+        .select("ka", "fa", "kb")
+        .distinct()  # one vote per matched frame, however many hits in kb
+    )
+    return (
+        matched.groupBy("ka", "kb")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") >= VID_MATCH_MIN)
+    )
+
+
+def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _video_phash_index(spark, sf_dir)
+    vids = idx.groupBy("k").agg(F.count("*").alias("n_frames_sampled"))
+    edges = _video_edges(idx)
+    directed = edges.select("ka", "kb").unionByName(
+        edges.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
+    )
+    agg = directed.groupBy("ka").agg(
+        F.min("kb").alias("min_nb"), F.count("*").alias("n_near")
+    )
+    return vids.join(agg, vids["k"] == agg["ka"], "left").select(
+        F.concat(F.lit("vid"), F.col("k").cast("string")).alias("video_id"),
+        F.col("n_frames_sampled").cast("long").alias("n_frames_sampled"),
+        F.concat(
+            F.lit("vid"),
+            F.least(F.col("k"), F.coalesce("min_nb", F.col("k"))).cast("string"),
+        ).alias("rep_id"),
+        F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+        (F.coalesce("min_nb", F.col("k")) < F.col("k")).alias("is_dup"),
+    )
+
+
+VIDEO_NEARDUP_SQL = f"""
+WITH ks AS (
+  SELECT k FROM (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
+  ) WHERE k < greatest((SELECT count(*) // 4 FROM documents), 1)
+),
+fs AS (SELECT range AS f FROM range(0, {MM_FRAMES}) WHERE range % {FRAME_STRIDE} = 0),
+g AS (
+  SELECT k, f, i.range // 2 AS bi, j.range // 2 AS bj,
+         ((k*7919 + f*523 + i.range*131 + j.range*17) % 256
+        + (k*7919 + f*523 + i.range*131 + j.range*17 + 101) % 256
+        + (k*7919 + f*523 + i.range*131 + j.range*17 + 202) % 256) AS gray
+  FROM ks, fs, range(0, {MM_SIDE}) i, range(0, {MM_SIDE}) j
+),
+bs AS (SELECT k, f, bi, bj, sum(gray)::bigint AS bsum FROM g GROUP BY k, f, bi, bj),
+tot AS (SELECT k, f, sum(bsum)::hugeint AS total FROM bs GROUP BY k, f),
+bits AS (
+  SELECT bs.k, bs.f, (bi*8 + bj) AS idx,
+         CASE WHEN 64::hugeint * bsum > total THEN 1::hugeint ELSE 0::hugeint END AS bit
+  FROM bs JOIN tot ON bs.k = tot.k AND bs.f = tot.f
+),
+packed AS (SELECT k, f, sum(bit * (1::hugeint << (63 - idx))) AS s FROM bits GROUP BY k, f),
+ph AS (
+  SELECT k, f,
+         (CASE WHEN s >= (1::hugeint << 63) THEN s - (1::hugeint << 64) ELSE s END)::bigint AS fphash,
+         s
+  FROM packed
+),
+bands AS (
+  SELECT k, f, fphash, b.range AS band_no,
+         ((s >> ({PHASH_BAND_BITS} * b.range)::int) & {(1 << PHASH_BAND_BITS) - 1})::bigint AS band_val
+  FROM ph, range(0, {N_PHASH_BANDS}) b
+),
+fmatch AS (
+  SELECT DISTINCT a.k AS ka, a.f AS fa, b.k AS kb
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.k < b.k
+  WHERE bit_count(xor(a.fphash, b.fphash)) <= {PHASH_HAM_MAX}
+),
+edges AS (
+  SELECT ka, kb FROM fmatch GROUP BY ka, kb
+  HAVING count(*) >= {VID_MATCH_MIN}
+),
+directed AS (SELECT ka, kb FROM edges UNION ALL SELECT kb AS ka, ka AS kb FROM edges),
+agg AS (SELECT ka, min(kb) AS min_nb, count(*)::bigint AS n_near FROM directed GROUP BY ka),
+vids AS (SELECT k, count(*)::bigint AS n_frames_sampled FROM ph GROUP BY k)
+SELECT 'vid' || vids.k AS video_id,
+       n_frames_sampled,
+       'vid' || least(vids.k, coalesce(min_nb, vids.k)) AS rep_id,
+       coalesce(n_near, 0)::bigint AS n_near,
+       coalesce(min_nb, vids.k) < vids.k AS is_dup
+FROM vids LEFT JOIN agg ON vids.k = agg.ka
+"""
+
+
 # -- audio feature extraction over PCM binary payloads ----------------------
 #
 # The audio analog of the image/video kernels (not a catalog slot — the

@@ -33,12 +33,14 @@ from .dedup import (
 from .text import (
     DECONTAM_EVAL_MOD,
     DECONTAM_SQL,
+    GOPHER_RULES_SQL,
     LINE_DEDUP_SQL,
     METRICS_SQL,
     REPETITION_SQL,
     SURPRISAL_SQL,
     decontaminate_frame,
     gram_hashes,
+    text_gopher_rules_frame,
     text_line_dedup_frame,
     text_metrics_frame,
     text_repetition_frame,
@@ -67,9 +69,10 @@ SPAN_DUP_MAX = 0.3
 
 
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """train_keep = good quality AND not repetitive AND fluent under the
-    unigram LM AND not in (or overlapping) the eval split AND near-dup
-    representative AND exact-dup representative AND has an embedding.
+    """train_keep = good quality AND passes the Gopher named rules AND not
+    repetitive AND fluent under the unigram LM AND not in (or overlapping)
+    the eval split AND near-dup representative AND exact-dup
+    representative AND has an embedding.
 
     Exact dedup is NOT redundant with the near-dup groups: a document too
     short to shingle (< 3 tokens) never gets a near-dup edge, so
@@ -92,6 +95,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = text_metrics_frame(base).select(
         "doc_id", "n_tokens", "quality_score", "keep"
+    )
+    # the Gopher named-rule gate is a per-row map on the SAME checkpoint —
+    # zero additional scans or exchanges (plan-asserted for the gate alone
+    # in test_gopher_rules_zero_exchange)
+    gr = text_gopher_rules_frame(base).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
     )
     rep = text_repetition_frame(base).select("doc_id", "repetitive")
     srp = text_surprisal_frame(base).select("doc_id", "bits_per_token")
@@ -118,7 +127,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.lit(True).alias("has_embedding")
     )
     joined = (
-        m.join(rep, "doc_id", "left")
+        m.join(gr, "doc_id", "left")
+        .join(rep, "doc_id", "left")
         .join(srp, "doc_id", "left")
         .join(cont, "doc_id", "left")
         .join(ld, "doc_id", "left")
@@ -136,6 +146,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (
             F.col("keep")
+            & F.coalesce("gopher_keep", F.lit(False))
             & ~F.coalesce("repetitive", F.lit(True))
             & F.coalesce(F.col("bits_per_token") <= SURPRISAL_MAX, F.lit(False))
             & F.coalesce(F.col("span_dup_ratio") <= SPAN_DUP_MAX, F.lit(False))
@@ -150,6 +161,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_SQL = f"""
 WITH m AS ({METRICS_SQL}),
+gr AS (SELECT doc_id, keep AS gopher_keep FROM ({GOPHER_RULES_SQL}) qq),
 rep AS (SELECT doc_id, repetitive FROM ({REPETITION_SQL}) rr),
 srp AS (SELECT doc_id, bits_per_token FROM ({SURPRISAL_SQL}) ss),
 cont AS (SELECT doc_id, true AS contaminated FROM ({DECONTAM_SQL}) cc),
@@ -169,6 +181,7 @@ e AS (SELECT vec_id AS doc_id, true AS has_embedding FROM embeddings)
 SELECT m.doc_id, m.n_tokens, m.quality_score, srp.bits_per_token,
        ld.span_dup_ratio, g.group_id, g.group_size,
        (m.keep
+        AND coalesce(gr.gopher_keep, false)
         AND NOT coalesce(rep.repetitive, true)
         AND coalesce(srp.bits_per_token <= {SURPRISAL_MAX}, false)
         AND coalesce(ld.span_dup_ratio <= {SPAN_DUP_MAX}, false)
@@ -178,6 +191,7 @@ SELECT m.doc_id, m.n_tokens, m.quality_score, srp.bits_per_token,
         AND coalesce(ex.exact_rep, false)
         AND coalesce(e.has_embedding, false)) AS train_keep
 FROM m
+LEFT JOIN gr ON gr.doc_id = m.doc_id
 LEFT JOIN rep ON rep.doc_id = m.doc_id
 LEFT JOIN srp ON srp.doc_id = m.doc_id
 LEFT JOIN cont ON cont.doc_id = m.doc_id

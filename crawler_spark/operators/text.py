@@ -9,7 +9,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import DUCK_TOKENS, SPARK_TOKENS, duck_polyhash, load, spark_polyhash
+from .common import (
+    DUCK_TOKENS,
+    SPARK_TOKENS,
+    duck_polyhash,
+    load,
+    spark_polyhash,
+    table_rows,
+)
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -938,6 +945,227 @@ GROUP BY t.doc_id
 
 
 LINE_DEDUP_SQL = _line_dedup_sql()
+
+
+# -- DSIR importance resampling (hashed n-gram data selection) ---------------
+# Data Selection with Importance Resampling (Xie et al., NeurIPS 2023):
+# score every raw document by how target-like its hashed n-gram bag is —
+# log p_target(doc) - log p_source(doc) under two bag-of-buckets unigram
+# models — and keep the highest-scoring quota. Target stand-in here is the
+# held-out split convention decontamination already uses (doc_id % mod
+# == 0, a "curated sample" the pipeline owner supplies in production).
+# Determinism: per-bucket log-probabilities are QUANTIZED to integer bits
+# exactly like text_surprisal — w(b) = floor(log2(cnt_t(b)+1)) -
+# floor(log2(cnt_s(b)+1)) + floor(log2 total_s) - floor(log2 total_t),
+# all via bin()-length, so the per-doc sum is an exact int64 in any
+# partitioning and both engines agree bit-for-bit (+1 is the Laplace
+# smoothing that keeps zero-target buckets finite). Dataflow — the same
+# two-tokenize-pass budget as text_surprisal: pass one builds BOTH
+# histograms in a single groupBy(bucket) (map-side partial agg shrinks the
+# shuffle to <= DSIR_BUCKETS rows; its checkpoint also supplies the two
+# totals, no extra corpus scan); pass two joins the BROADCAST weight table
+# (<= DSIR_BUCKETS rows by construction — broadcastable at any corpus
+# size, unlike a raw vocabulary) and sums per doc. Selection is
+# orderBy+limit, which plans as TakeOrderedAndProject: per-partition top-q
+# then one driver merge of n_partitions x q rows — no global sort. At
+# 100 TB with a large quota the cut becomes an approximate score
+# threshold from a sampled quantile; the exact top-q keeps the oracle
+# contract here. Ties at the boundary are broken by doc_id, so the kept
+# set is unique. Tokens hashed to buckets, never collected; a doc with
+# zero tokens scores nothing and cannot be selected (it has no evidence).
+DSIR_BUCKETS = 512
+DSIR_TARGET_MOD = 10   # target sample stand-in: doc_id % 10 == 0
+DSIR_KEEP_DEN = 4      # keep the top quarter
+
+
+def text_dsir(spark: SparkSession, sf_dir: str,
+              buckets: int = DSIR_BUCKETS,
+              target_mod: int = DSIR_TARGET_MOD) -> DataFrame:
+    quota = max(table_rows(sf_dir, "documents") // DSIR_KEEP_DEN, 1)
+    return text_dsir_frame(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+        ),
+        quota, buckets, target_mod,
+    )
+
+
+def text_dsir_frame(docs: DataFrame, quota: int,
+                    buckets: int = DSIR_BUCKETS,
+                    target_mod: int = DSIR_TARGET_MOD) -> DataFrame:
+    """DSIR selection over a pre-tokenized (doc_id, toks) frame."""
+    from .common import spark_h32
+
+    bucketed = docs.select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).select("doc_id", (F.expr(spark_h32("tok")) % buckets).alias("b"))
+    hist = bucketed.groupBy("b").agg(
+        F.count("*").alias("cnt_s"),
+        F.sum((F.col("doc_id") % target_mod == 0).cast("long")).alias("cnt_t"),
+    ).localCheckpoint(eager=True)
+    tot = hist.agg(F.sum("cnt_s"), F.sum("cnt_t")).collect()[0]
+    total_s, total_t = int(tot[0] or 1), int(tot[1] or 1)
+    base = total_s.bit_length() - total_t.bit_length()
+    weights = hist.select(
+        "b",
+        (
+            F.length(F.expr("bin(cnt_t + 1)"))
+            - F.length(F.expr("bin(cnt_s + 1)"))
+            + F.lit(base)
+        ).cast("long").alias("w_bits"),
+    )
+    scored = bucketed.join(F.broadcast(weights), "b").groupBy("doc_id").agg(
+        F.sum("w_bits").cast("long").alias("dsir_bits"),
+        F.count("*").alias("n_toks"),
+    )
+    return (
+        scored.orderBy(F.col("dsir_bits").desc(), "doc_id")
+        .limit(quota)
+        .select(
+            "doc_id", "dsir_bits", F.col("n_toks").cast("long").alias("n_toks")
+        )
+    )
+
+
+def _dsir_sql(buckets: int = DSIR_BUCKETS,
+              target_mod: int = DSIR_TARGET_MOD,
+              keep_den: int = DSIR_KEEP_DEN) -> str:
+    from .common import duck_h32
+
+    return f"""
+WITH toksd AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+), bkt AS (
+  SELECT doc_id, {duck_h32('tok')} % {buckets} AS b FROM (
+    SELECT doc_id, unnest(toks) AS tok FROM toksd) raw
+), hist AS (
+  SELECT b, count(*)::bigint AS cnt_s,
+         sum((doc_id % {target_mod} = 0)::int)::bigint AS cnt_t
+  FROM bkt GROUP BY b
+), tot AS (
+  SELECT length(bin(greatest(sum(cnt_s), 1)::bigint))
+         - length(bin(greatest(sum(cnt_t), 1)::bigint)) AS base
+  FROM hist
+), w AS (
+  SELECT b, (length(bin(cnt_t + 1)) - length(bin(cnt_s + 1)) + base)::bigint AS w_bits
+  FROM hist, tot
+), scored AS (
+  SELECT doc_id::bigint AS doc_id, sum(w_bits)::bigint AS dsir_bits,
+         count(*)::bigint AS n_toks
+  FROM bkt JOIN w USING (b) GROUP BY doc_id
+)
+SELECT doc_id, dsir_bits, n_toks FROM scored
+ORDER BY dsir_bits DESC, doc_id
+LIMIT (SELECT greatest(count(*) // {keep_den}, 1) FROM documents)
+"""
+
+
+DSIR_SQL = _dsir_sql()
+
+
+# -- Gopher quality rule set (named-rule document gate) -----------------------
+# The Gopher (Rae et al. 2021) / RedPajama document-quality rules as ONE
+# per-row gate: word-count bounds, mean-word-length bounds, symbol-to-word
+# ratio, alphabetic-word fraction, and the minimum-stopword rule — each
+# reported as its own boolean so a pipeline can audit WHICH rule killed a
+# document, plus the conjunction. Every column is a stateless per-row
+# expression on the shared tokenize (zero exchanges, plan-asserted like
+# text_pii_scrub), so the gate fuses onto any scan that already carries
+# `toks`. The paper's line-based rules (bullet/ellipsis line fractions)
+# need multi-line text; their corpus-level analog here is the pipeline's
+# duplicate-span gate over text_line_dedup. Bounds are the paper's except
+# the word-count floor (halved: the synthetic docs are 10-99 tokens, vs
+# web pages' hundreds) — on this corpus the word-count and stopword rules
+# discriminate, the others pass-through (measured: symbol ratio is 0.0 and
+# alpha fraction 1.0 everywhere at sf0.01), which is the honest behavior
+# for clean synthetic text rather than a reason to distort the rule.
+GOPHER_MIN_WORDS = 25       # paper: 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_WLEN_MIN = 3.0
+GOPHER_WLEN_MAX = 10.0
+GOPHER_SYM_MAX = 0.1
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_MIN_STOP = 2
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_gopher_rules_frame(load(spark, sf_dir, "documents"))
+
+
+def text_gopher_rules_frame(docs: DataFrame) -> DataFrame:
+    if "toks" not in docs.columns:
+        docs = docs.withColumn("toks", F.expr(SPARK_TOKENS))
+    n_words = F.size("toks")
+    mean_wlen = F.round(
+        F.expr("aggregate(toks, 0L, (acc,x) -> acc + length(x))")
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    sym_ratio = F.round(
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    alpha_ratio = F.round(
+        F.expr("size(filter(filter(split(text, ' +'), x -> x != ''), "
+               "w -> w rlike '[a-zA-Z]'))")
+        / F.greatest(F.expr("size(filter(split(text, ' +'), x -> x != ''))"), F.lit(1)),
+        6,
+    )
+    n_stop = F.size(F.expr(f"filter(toks, x -> x in ({_STOP_SQL}))"))
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_wlen = (mean_wlen >= GOPHER_WLEN_MIN) & (mean_wlen <= GOPHER_WLEN_MAX)
+    r_sym = sym_ratio <= GOPHER_SYM_MAX
+    r_alpha = alpha_ratio >= GOPHER_ALPHA_MIN
+    r_stop = n_stop >= GOPHER_MIN_STOP
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.cast("long").alias("n_stop"),
+        r_words.alias("r_word_count"),
+        r_wlen.alias("r_word_len"),
+        r_sym.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_words & r_wlen & r_sym & r_alpha & r_stop).alias("keep"),
+    )
+
+
+GOPHER_RULES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {DUCK_TOKENS} AS toks,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks)::bigint AS n_words,
+         round(list_reduce(list_prepend(0::bigint,
+                   list_transform(toks, x -> length(x)::bigint)),
+               (acc,x) -> acc + x)
+               / greatest(len(toks), 1), 6) AS mean_word_len,
+         round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               / greatest(len(toks), 1), 6) AS symbol_ratio,
+         round(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+               / greatest(len(words), 1), 6) AS alpha_word_ratio,
+         len(list_filter(toks, x -> x IN ({_STOP_SQL})))::bigint AS n_stop
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, n_stop,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS r_word_count,
+       (mean_word_len >= {GOPHER_WLEN_MIN} AND mean_word_len <= {GOPHER_WLEN_MAX}) AS r_word_len,
+       (symbol_ratio <= {GOPHER_SYM_MAX}) AS r_symbol,
+       (alpha_word_ratio >= {GOPHER_ALPHA_MIN}) AS r_alpha,
+       (n_stop >= {GOPHER_MIN_STOP}) AS r_stop,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND (mean_word_len >= {GOPHER_WLEN_MIN} AND mean_word_len <= {GOPHER_WLEN_MAX})
+        AND (symbol_ratio <= {GOPHER_SYM_MAX})
+        AND (alpha_word_ratio >= {GOPHER_ALPHA_MIN})
+        AND (n_stop >= {GOPHER_MIN_STOP})) AS keep
+FROM m
+"""
 
 
 QUERIES = {

@@ -2,6 +2,7 @@ from .rounds import (  # noqa: F401
     stream_decontaminate,
     stream_first_seen,
     stream_first_seen_rocksdb,
+    stream_gopher_gate,
     stream_link_extract,
     stream_quality_gate,
     stream_rollup,

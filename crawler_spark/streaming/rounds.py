@@ -228,6 +228,17 @@ def stream_quality_gate(docs_stream: DataFrame) -> DataFrame:
     return text_metrics_frame(docs_stream)
 
 
+def stream_gopher_gate(docs_stream: DataFrame) -> DataFrame:
+    """Ingest-time Gopher named-rule gate (`text_gopher_rules_frame`):
+    like the quality gate, every rule is a stateless per-row expression,
+    so the gate runs on a stream unchanged — no state store, no
+    watermark — and each micro-batch's verdicts equal the batch run's
+    (asserted in tests/test_streaming.py)."""
+    from ..operators.text import text_gopher_rules_frame
+
+    return text_gopher_rules_frame(docs_stream)
+
+
 def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
                       watermark: str = "2 hours") -> DataFrame:
     """Streaming sessionization — the continuous twin of the batch

@@ -395,3 +395,55 @@ def test_dedup_incremental_gate_plan_shape(spark):
     # the cand/nbr_sh checkpoints appear as in-memory scans; the band
     # stack/self-join must NOT be re-planned downstream of them
     assert plan.count("ExistingRDD") >= 2 or plan.count("Scan ExistingRDD") >= 2, plan[:2000]
+
+
+def test_dsir_plan_shape(spark):
+    """text_dsir's scale contract: the <=DSIR_BUCKETS-row weight table
+    enters the scoring pass as a BROADCAST off the histogram checkpoint
+    (the corpus side never shuffles to meet it), the quota cut plans as
+    TakeOrderedAndProject (per-partition top-q, no global sort), and the
+    whole selection touches parquet exactly once — doc_id and text only
+    (pass one's tokenize is checkpointed into the histogram)."""
+    from crawler_spark.operators.text import text_dsir
+    from crawler_spark.plans import (
+        assert_no_cartesian,
+        explain_str,
+        has_broadcast_join,
+        scan_read_schema,
+    )
+
+    df = text_dsir(spark, SF)
+    assert_no_cartesian(df)
+    assert has_broadcast_join(df)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    schemas = scan_read_schema(df)
+    assert len(schemas) == 1, schemas  # one parquet scan in the final plan
+    assert schemas[0] == ["doc_id", "text"], schemas
+
+
+def test_video_neardup_single_phash_pass(spark):
+    """mm_video_neardup's frame-phash index is materialized once: the band
+    self-join, Hamming verify, per-pair containment count, and per-video
+    rollup all read that checkpoint leaf — zero MapInPandas stages
+    downstream (mm_phash_neardup's single-decode property, per frame)."""
+    from crawler_spark.operators.multimodal import mm_video_neardup
+    from crawler_spark.plans import assert_no_cartesian
+
+    df = mm_video_neardup(spark, SF)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # the checkpoint leaf
+
+
+def test_gopher_rules_zero_exchange(spark):
+    """text_gopher_rules is a pure per-row map on the shared tokenize —
+    the gate must add ZERO exchanges and no Python stage (it fuses onto
+    whatever scan already carries the text)."""
+    from crawler_spark.operators.text import text_gopher_rules
+    from crawler_spark.plans import explain_str
+
+    plan = explain_str(text_gopher_rules(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -228,6 +228,46 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_stream_gopher_gate_matches_batch(spark, tmp_path):
+    """The stateless Gopher rule gate must produce the batch
+    text_gopher_rules rows exactly, across micro-batches."""
+    from crawler_spark.operators.text import text_gopher_rules
+    from crawler_spark.streaming import stream_gopher_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_g")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_gopher_gate(stream)
+        .writeStream.format("memory")
+        .queryName("gopher")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("select * from gopher")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        text_gopher_rules(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_stream_rollup_chained_aggs_match_batch(spark, tmp_path):
     """Chained stateful aggregations (fine window -> coarse window of
     window_time): coarse buckets closed by the watermark must emit exactly

@@ -17,11 +17,13 @@ from crawler_spark.operators.multimodal import (
     PAIR_CURATION_SQL,
     PHASH_GROUPS_SQL,
     QUALITY_SQL,
+    VIDEO_NEARDUP_SQL,
     mm_audio_features,
     mm_binary_stats,
     mm_pair_curation,
     mm_phash_groups,
     mm_quality_filter,
+    mm_video_neardup,
 )
 from crawler_spark.operators.dedup import INCREMENTAL_SQL, dedup_incremental
 from crawler_spark.operators.pipeline import PIPELINE_SQL, pipeline_clean_corpus
@@ -43,8 +45,10 @@ from crawler_spark.operators.similarity import (
 )
 from crawler_spark.operators.text import (
     DECONTAM_SQL,
+    DSIR_SQL,
     DUP_GRAMS_SQL,
     FINGERPRINT_SQL,
+    GOPHER_RULES_SQL,
     KMV_SQL,
     LINE_DEDUP_SQL,
     MIXTURE_SQL,
@@ -58,7 +62,9 @@ from crawler_spark.operators.text import (
     SURPRISAL_SQL,
     sample_stratified,
     text_fingerprint,
+    text_dsir,
     text_dup_grams,
+    text_gopher_rules,
     text_kmv_distinct,
     text_line_dedup,
     text_pii_scrub,
@@ -107,6 +113,15 @@ def test_ungated_builders_match_oracle(spark):
         # admission-time near-dup gate: batch (doc_id % 4 == 0) against the
         # indexed rest — O(batch), no corpus rescan
         ("dedup_incremental", dedup_incremental, INCREMENTAL_SQL),
+        # DSIR selection: integer-bit importance weights over hashed
+        # token buckets, top-quarter kept, ties broken by doc_id
+        ("text_dsir", text_dsir, DSIR_SQL),
+        # frame-phash video copy detection: temporal-shift-tolerant
+        # containment over the sampled-frame phash index
+        ("mm_video_neardup", mm_video_neardup, VIDEO_NEARDUP_SQL),
+        # Gopher named-rule gate: per-rule booleans + conjunction,
+        # all stateless per-row expressions on the shared tokenize
+        ("text_gopher_rules", text_gopher_rules, GOPHER_RULES_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
@@ -244,3 +259,97 @@ def test_max_run_fold_randomized(spark):
         GROUP BY t.i ORDER BY t.i
     """).fetchall()
     assert [int(v) for _, v in duck] == want
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Pin the selection DIRECTION on a hand-crafted corpus, independent
+    of the DuckDB twin (a shared sign error in the weight would pass the
+    oracle): target docs (doc_id % 10 == 0) speak vocabulary A, the rest
+    speak B except two B-side docs that also speak A — the quota must go
+    to A-speaking docs, ordered by score before doc_id."""
+    from crawler_spark.operators.text import text_dsir_frame
+
+    a_text = "alpha beta gamma delta " * 8
+    b_text = "omega sigma theta kappa " * 8
+    rows = []
+    for i in range(40):
+        if i % 10 == 0:
+            rows.append((i, a_text))          # target split: pure A
+        elif i in (7, 23):
+            rows.append((i, a_text))          # non-target but target-LIKE
+        else:
+            rows.append((i, b_text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias("toks")
+    )
+    picked = [r["doc_id"] for r in text_dsir_frame(docs, quota=6).collect()]
+    # every selected doc speaks A: the 4 target docs + the 2 target-like ones
+    assert sorted(picked) == [0, 7, 10, 20, 23, 30], picked
+
+
+def test_video_neardup_matches_brute_force():
+    """The DuckDB twin (and hence, via oracle parity, the Spark builder)
+    against an all-pairs numpy reference: for every video pair, count the
+    sampled frames of the lower-id side with a band-sharing Hamming-<=4
+    match anywhere in the other, threshold at VID_MATCH_MIN, and roll up
+    the min-id neighborhood representative. Spark-free."""
+    import collections
+
+    import duckdb
+    import numpy as np
+
+    from crawler_spark.engine.verify import _phash_batch
+    from crawler_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        MM_SIDE,
+        N_PHASH_BANDS,
+        PHASH_BAND_BITS,
+        PHASH_HAM_MAX,
+        VID_MATCH_MIN,
+        VIDEO_NEARDUP_SQL,
+        _video_pixels,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    sql = con.execute(VIDEO_NEARDUP_SQL).df().sort_values("video_id")
+
+    n = max(con.execute("SELECT count(*) FROM documents").fetchone()[0] // 4, 1)
+    ph = _phash_batch(
+        _video_pixels(np.arange(n, dtype=np.int64))[:, ::FRAME_STRIDE].reshape(
+            -1, MM_SIDE, MM_SIDE, 3
+        )
+    ).reshape(n, -1)
+    u = ph.view(np.uint64)
+    nf = u.shape[1]
+    mask = (1 << PHASH_BAND_BITS) - 1
+
+    def hit(x: int, y: int) -> bool:
+        if bin(x ^ y).count("1") > PHASH_HAM_MAX:
+            return False
+        return any(
+            ((x >> (PHASH_BAND_BITS * i)) & mask) == ((y >> (PHASH_BAND_BITS * i)) & mask)
+            for i in range(N_PHASH_BANDS)
+        )
+
+    nb = collections.defaultdict(list)
+    for a in range(n):
+        for b in range(a + 1, n):
+            m = sum(
+                any(hit(int(u[a, fa]), int(u[b, fb])) for fb in range(nf))
+                for fa in range(nf)
+            )
+            if m >= VID_MATCH_MIN:
+                nb[a].append(b)
+                nb[b].append(a)
+
+    for _, r in sql.iterrows():
+        k = int(r["video_id"][3:])
+        mn = min(nb[k]) if nb[k] else k
+        assert int(r["n_near"]) == len(nb[k]), (k, r["n_near"], len(nb[k]))
+        assert r["rep_id"] == f"vid{min(k, mn)}", (k, r["rep_id"])
+        assert bool(r["is_dup"]) == (mn < k), k
+    assert len(sql) == n
