@@ -314,21 +314,30 @@ def _phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
+def _band_stack(df: DataFrame, hash_col: str, *carry: str) -> DataFrame:
+    """Explode a signed-64-bit hash column into N_PHASH_BANDS
+    (band_no, band_val) rows — THE one definition of the LSH band layout,
+    shared by the image (`_phash_edges`) and video (`_video_edges`) dedup
+    paths so the two cannot drift. Arithmetic shiftright then mask keeps
+    exactly bits [16b, 16b+16) of the two's-complement pattern, sign bits
+    masked away (matches the SQL twins' `(s >> 16b) & 0xffff` on the
+    unsigned hugeint)."""
+    mask = (1 << PHASH_BAND_BITS) - 1
+    stack_args = ", ".join(
+        f"{b}, cast(shiftright({hash_col}, {b * PHASH_BAND_BITS}) & {mask} as bigint)"
+        for b in range(N_PHASH_BANDS)
+    )
+    return df.select(
+        *carry, hash_col,
+        F.expr(f"stack({N_PHASH_BANDS}, {stack_args}) as (band_no, band_val)"),
+    )
+
+
 def _phash_edges(idx: DataFrame) -> DataFrame:
     """Undirected verified near-dup edges (ka < kb): band equi-join
     candidates filtered by Hamming <= PHASH_HAM_MAX — shared by the
     pairwise near-dup view and the transitive group builder."""
-    mask = (1 << PHASH_BAND_BITS) - 1
-    stack_args = ", ".join(
-        # arithmetic shiftright then mask keeps exactly bits [16b, 16b+16)
-        # of the two's-complement pattern, sign bits masked away
-        f"{b}, cast(shiftright(phash, {b * PHASH_BAND_BITS}) & {mask} as bigint)"
-        for b in range(N_PHASH_BANDS)
-    )
-    bands = idx.select(
-        "k", "phash",
-        F.expr(f"stack({N_PHASH_BANDS}, {stack_args}) as (band_no, band_val)"),
-    )
+    bands = _band_stack(idx, "phash", "k")
     left = bands.select(
         F.col("k").alias("ka"), F.col("phash").alias("pa"), "band_no", "band_val"
     )
@@ -624,7 +633,13 @@ FROM px GROUP BY k, f
 # identical frames (whole offset classes), not an artificial pair list —
 # sized at |documents| // 4 clips so matches exist from sf0.001 up.
 
-VID_MATCH_MIN = 1  # matched sampled frames that make a near-dup edge
+# Matched sampled frames required for a near-dup edge. With FRAME_STRIDE
+# sampling 2 frames per clip this is FULL containment of the sampled set —
+# at 1 the count aggregate would be inert (any single frame collision =
+# edge, same as a plain distinct); at 2 it discriminates (measured at the
+# 125-clip corpus: 564 single-frame pairs rejected, 122 double-frame edges
+# kept, 80/125 clips flagged dup).
+VID_MATCH_MIN = 2
 _VID_FRAME_NOS = np.arange(0, MM_FRAMES, FRAME_STRIDE, dtype=np.int32)
 
 
@@ -667,15 +682,7 @@ def _video_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _video_edges(idx: DataFrame) -> DataFrame:
     """(ka < kb, n_matched) video pairs where n_matched = # distinct sampled
     frames of ka with a Hamming-<=PHASH_HAM_MAX match anywhere in kb."""
-    mask = (1 << PHASH_BAND_BITS) - 1
-    stack_args = ", ".join(
-        f"{b}, cast(shiftright(fphash, {b * PHASH_BAND_BITS}) & {mask} as bigint)"
-        for b in range(N_PHASH_BANDS)
-    )
-    bands = idx.select(
-        "k", "frame_no", "fphash",
-        F.expr(f"stack({N_PHASH_BANDS}, {stack_args}) as (band_no, band_val)"),
-    )
+    bands = _band_stack(idx, "fphash", "k", "frame_no")
     left = bands.select(
         F.col("k").alias("ka"), F.col("frame_no").alias("fa"),
         F.col("fphash").alias("pa"), "band_no", "band_val",

@@ -1069,9 +1069,15 @@ DSIR_SQL = _dsir_sql()
 # ratio, alphabetic-word fraction, and the minimum-stopword rule — each
 # reported as its own boolean so a pipeline can audit WHICH rule killed a
 # document, plus the conjunction. Every column is a stateless per-row
-# expression on the shared tokenize (zero exchanges, plan-asserted like
-# text_pii_scrub), so the gate fuses onto any scan that already carries
-# `toks`. The paper's line-based rules (bullet/ellipsis line fractions)
+# expression (zero exchanges, plan-asserted like text_pii_scrub). The
+# frame REQUIRES the raw `text` column (the symbol and alphabetic-word
+# rules read untokenized text); a pre-tokenized `toks` column is reused
+# when present. The symbol ratio counts exactly the paper's symbols —
+# '#' and ellipses ('...' or the single char '…') — per word, NOT all
+# punctuation (a 0.1 all-punctuation threshold would reject essentially
+# every normally punctuated paragraph: ~5 periods + 4 commas per 50
+# words is already 0.18). The paper's line-based rules (bullet/ellipsis
+# line fractions)
 # need multi-line text; their corpus-level analog here is the pipeline's
 # duplicate-span gate over text_line_dedup. Bounds are the paper's except
 # the word-count floor (halved: the synthetic docs are 10-99 tokens, vs
@@ -1079,6 +1085,7 @@ DSIR_SQL = _dsir_sql()
 # discriminate, the others pass-through (measured: symbol ratio is 0.0 and
 # alpha fraction 1.0 everywhere at sf0.01), which is the honest behavior
 # for clean synthetic text rather than a reason to distort the rule.
+GOPHER_SYMBOL_RE = r"#|\.\.\.|…"  # the paper's symbol set, nothing more
 GOPHER_MIN_WORDS = 25       # paper: 50
 GOPHER_MAX_WORDS = 100_000
 GOPHER_WLEN_MIN = 3.0
@@ -1093,6 +1100,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_gopher_rules_frame(docs: DataFrame) -> DataFrame:
+    if "text" not in docs.columns:
+        raise ValueError(
+            "text_gopher_rules_frame needs the raw `text` column (the "
+            "symbol and alphabetic-word rules read untokenized text)"
+        )
     if "toks" not in docs.columns:
         docs = docs.withColumn("toks", F.expr(SPARK_TOKENS))
     n_words = F.size("toks")
@@ -1102,7 +1114,7 @@ def text_gopher_rules_frame(docs: DataFrame) -> DataFrame:
         6,
     )
     sym_ratio = F.round(
-        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+        F.regexp_count("text", F.lit(GOPHER_SYMBOL_RE))
         / F.greatest(n_words, F.lit(1)),
         6,
     )
@@ -1146,7 +1158,7 @@ WITH t AS (
                    list_transform(toks, x -> length(x)::bigint)),
                (acc,x) -> acc + x)
                / greatest(len(toks), 1), 6) AS mean_word_len,
-         round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+         round(len(regexp_extract_all(text, '{GOPHER_SYMBOL_RE}'))
                / greatest(len(toks), 1), 6) AS symbol_ratio,
          round(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
                / greatest(len(words), 1), 6) AS alpha_word_ratio,

@@ -287,6 +287,39 @@ def test_dsir_prefers_target_like_docs(spark):
     assert sorted(picked) == [0, 7, 10, 20, 23, 30], picked
 
 
+def test_gopher_symbol_rule_on_punctuated_text(spark):
+    """Pin the symbol rule to the PAPER's symbol set ('#' and ellipses),
+    independent of the DuckDB twin (a shared all-punctuation regex would
+    pass the oracle): a normally punctuated paragraph must KEEP — periods,
+    commas, and quotes are not Gopher symbols — while a '#'-ridden doc
+    with the same words must fail r_symbol, and '...'/'…' must each count
+    as ONE symbol."""
+    from crawler_spark.operators.text import text_gopher_rules_frame
+
+    # 30 words, ordinary punctuation: 5 periods, 4 commas, 2 quotes
+    clean = (
+        'the cat sat, and the dog ran. "fast" horses, they said, gallop '
+        "over green hills. the sun rose. birds sang loud songs. rivers "
+        "flow, time moves on."
+    )
+    hashy = "the cat sat and the dog ran " * 4 + "# " * 10
+    dots = "the cat sat and the dog ran over green hills today " * 3 + "... … .."
+    docs = spark.createDataFrame(
+        [(1, clean), (2, hashy), (3, dots)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in text_gopher_rules_frame(docs).collect()}
+    assert out[1]["symbol_ratio"] == 0.0 and out[1]["r_symbol"], out[1]
+    assert out[1]["keep"], out[1]
+    assert out[2]["symbol_ratio"] > 0.1 and not out[2]["r_symbol"], out[2]
+    # one '...' + one '…' = 2 symbols over 33 words; '..' is not a symbol
+    assert out[3]["symbol_ratio"] == round(2 / 33, 6), out[3]
+    # the frame refuses a toks-only projection instead of crashing at plan time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="text"):
+        text_gopher_rules_frame(docs.selectExpr("doc_id", "split(text, ' ') as toks"))
+
+
 def test_video_neardup_matches_brute_force():
     """The DuckDB twin (and hence, via oracle parity, the Spark builder)
     against an all-pairs numpy reference: for every video pair, count the
