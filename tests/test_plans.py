@@ -447,3 +447,19 @@ def test_gopher_rules_zero_exchange(spark):
     plan = explain_str(text_gopher_rules(spark, SF))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_audio_neardup_single_fingerprint_pass(spark):
+    """mm_audio_neardup's window-fingerprint index is materialized once: the
+    band self-join, Hamming verify, containment count, and per-clip rollup
+    all read that checkpoint leaf — zero MapInPandas stages downstream
+    (the same single-pass property as the image and video dedup paths,
+    which share its containment kernel)."""
+    from crawler_spark.operators.multimodal import mm_audio_neardup
+    from crawler_spark.plans import assert_no_cartesian
+
+    df = mm_audio_neardup(spark, SF)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # the checkpoint leaf

@@ -13,12 +13,14 @@ from pyspark.sql import functions as F
 
 from crawler_spark.operators.multimodal import (
     AUDIO_FEATURES_SQL,
+    AUDIO_NEARDUP_SQL,
     BINARY_STATS_SQL,
     PAIR_CURATION_SQL,
     PHASH_GROUPS_SQL,
     QUALITY_SQL,
     VIDEO_NEARDUP_SQL,
     mm_audio_features,
+    mm_audio_neardup,
     mm_binary_stats,
     mm_pair_curation,
     mm_phash_groups,
@@ -122,6 +124,10 @@ def test_ungated_builders_match_oracle(spark):
         # Gopher named-rule gate: per-rule booleans + conjunction,
         # all stateless per-row expressions on the shared tokenize
         ("text_gopher_rules", text_gopher_rules, GOPHER_RULES_SQL),
+        # window-fingerprint audio copy detection: trim/pad-tolerant
+        # containment over the sign-fingerprint index (the audio leg of
+        # the image/video dedup matrix, same containment kernel)
+        ("mm_audio_neardup", mm_audio_neardup, AUDIO_NEARDUP_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
@@ -385,4 +391,91 @@ def test_video_neardup_matches_brute_force():
         assert int(r["n_near"]) == len(nb[k]), (k, r["n_near"], len(nb[k]))
         assert r["rep_id"] == f"vid{min(k, mn)}", (k, r["rep_id"])
         assert bool(r["is_dup"]) == (mn < k), k
+    assert len(sql) == n
+
+
+def test_audio_neardup_matches_brute_force():
+    """The audio twin against an all-pairs numpy reference: for every clip
+    pair, count the fingerprint windows of the lower-id side with a
+    band-sharing Hamming-<=4 match anywhere in the other, threshold at
+    AUD_MATCH_MIN, roll up the min-id neighborhood rep. Also pins the dup
+    structure the corpus was DESIGNED to carry: every same-class pair is an
+    edge, no cross-class pair is, and some window matches have Hamming > 0
+    (the DC-offset remaster path — the tolerance filter is load-bearing,
+    not decorative). Spark-free."""
+    import collections
+
+    import duckdb
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import (
+        _AUD_DUP_OFFSETS,
+        AUD_MATCH_MIN,
+        AUD_WIN,
+        AUDIO_NEARDUP_SQL,
+        N_AUD_WINS,
+        N_PHASH_BANDS,
+        PHASH_BAND_BITS,
+        PHASH_HAM_MAX,
+        _audio_dup_samples,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    sql = con.execute(AUDIO_NEARDUP_SQL).df().sort_values("clip_id")
+
+    n = max(con.execute("SELECT count(*) FROM documents").fetchone()[0] // 4, 1)
+    n_classes = max(n // _AUD_DUP_OFFSETS, 1)
+    pcm = _audio_dup_samples(np.arange(n, dtype=np.int64), n_classes)
+    bits = (pcm.astype(np.int64) > 0).reshape(n * N_AUD_WINS, AUD_WIN)
+    packed = np.packbits(bits.astype(np.uint8), axis=1)
+    u = packed.view(">u8")[:, 0].astype(np.uint64).reshape(n, N_AUD_WINS)
+    mask = (1 << PHASH_BAND_BITS) - 1
+
+    def hit(x: int, y: int) -> bool:
+        if bin(x ^ y).count("1") > PHASH_HAM_MAX:
+            return False
+        return any(
+            ((x >> (PHASH_BAND_BITS * i)) & mask) == ((y >> (PHASH_BAND_BITS * i)) & mask)
+            for i in range(N_PHASH_BANDS)
+        )
+
+    nb = collections.defaultdict(list)
+    nz_ham = 0
+    for a in range(n):
+        for b in range(a + 1, n):
+            m = 0
+            for wa in range(N_AUD_WINS):
+                hits = [hit(int(u[a, wa]), int(u[b, wb])) for wb in range(N_AUD_WINS)]
+                if any(hits):
+                    m += 1
+                    nz_ham += sum(
+                        1
+                        for wb in range(N_AUD_WINS)
+                        if hits[wb] and u[a, wa] != u[b, wb]
+                    )
+            if m >= AUD_MATCH_MIN:
+                assert a % n_classes == b % n_classes, (a, b, "cross-class edge")
+                nb[a].append(b)
+                nb[b].append(a)
+    # every same-class pair IS an edge (the corpus's designed dup classes)
+    by_class = collections.defaultdict(list)
+    for k in range(n):
+        by_class[k % n_classes].append(k)
+    for ks in by_class.values():
+        for i, a in enumerate(ks):
+            for b in ks[i + 1 :]:
+                assert b in nb[a], (a, b, "missed same-class pair")
+    assert nz_ham > 0, "DC-offset remaster path never exercised Hamming > 0"
+
+    for _, r in sql.iterrows():
+        k = int(r["clip_id"][3:])
+        mn = min(nb[k]) if nb[k] else k
+        assert int(r["n_near"]) == len(nb[k]), (k, r["n_near"], len(nb[k]))
+        assert r["rep_id"] == f"aud{min(k, mn)}", (k, r["rep_id"])
+        assert bool(r["is_dup"]) == (mn < k), k
+        assert int(r["n_wins"]) == N_AUD_WINS, k
     assert len(sql) == n
