@@ -159,6 +159,183 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-source verdict thresholds, chosen at the measured per-source
+# distribution medians so keep AND drop BOTH occur at every sf (sf0.001:
+# keep_rate 0.00-0.12 median 0.04, dup_rate 0.00-0.08; sf0.1: keep_rate
+# 0.052-0.104, dup_rate 0.028-0.060 median 0.052). Both rates are exact
+# int64/int64 divisions, so the threshold comparisons are bit-identical
+# across engines.
+SOURCE_KEEP_MIN = 0.04  # quality-keep fraction a source must reach
+SOURCE_DUP_MAX = 0.05   # near-dup member fraction a source may carry
+
+
+def source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-SOURCE (per-domain) corpus audit: roll every
+    per-document signal the pipeline already computes up to the `source`
+    column and emit one verdict row per source — the table a curation team
+    reads to decide which domains keep feeding the corpus (and the shape
+    of RefinedWeb/FineWeb's domain blocklists: rates of quality failure
+    and near-duplication BY origin, not per document).
+
+    Columns: doc volume, near-dup member count/rate (non-representatives
+    from the LSH->verified->connected-components groups — exact dups are
+    a subset), quality-keep count/rate (text_metrics' gate), mean tokens,
+    the modal PREDICTED language (the pipeline's own langid signal, a
+    conditional count per language inside the same aggregate — no second
+    shuffle), and the keep_source verdict.
+
+    Scale shape: one tokenize scan (the shared checkpoint), the
+    already-audited dedup-groups dataflow over the edge subgraph, one
+    doc_id equi-join, then ONE exchange keyed by source whose map-side
+    partial agg collapses every partition to |sources| rows before the
+    shuffle — at 100 TB the rollup moves kilobytes."""
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", F.expr(SPARK_TOKENS).alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    m = text_metrics_frame(base, carry=("source",)).select(
+        "source", "doc_id", "n_tokens", "keep", "pred_lang"
+    )
+    sh = shingle_rows_from_toks(base).localCheckpoint(eager=True)
+    g = dedup_groups_from_shingles(sh, base.select("doc_id")).select(
+        "doc_id", "is_rep"
+    )
+    j = m.join(g, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((~F.col("is_rep")).cast("long")).alias("n_neardup"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum("n_tokens").alias("tok_total"),
+        F.sum((F.col("pred_lang") == "en").cast("long")).alias("n_en"),
+        F.sum((F.col("pred_lang") == "fr").cast("long")).alias("n_fr"),
+        F.sum((F.col("pred_lang") == "de").cast("long")).alias("n_de"),
+    )
+    dup_rate = F.col("n_neardup") / F.col("n_docs")
+    keep_rate = F.col("n_keep") / F.col("n_docs")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_neardup",
+        F.round(dup_rate, 6).alias("dup_rate"),
+        "n_keep",
+        F.round(keep_rate, 6).alias("keep_rate"),
+        F.round(F.col("tok_total") / F.col("n_docs"), 4).alias("mean_tokens"),
+        F.when(
+            (F.col("n_en") >= F.col("n_fr")) & (F.col("n_en") >= F.col("n_de")),
+            "en",
+        )
+        .when(F.col("n_fr") >= F.col("n_de"), "fr")
+        .otherwise("de")
+        .alias("top_pred_lang"),
+        ((keep_rate >= SOURCE_KEEP_MIN) & (dup_rate <= SOURCE_DUP_MAX)).alias(
+            "keep_source"
+        ),
+    )
+
+
+SOURCE_ROLLUP_SQL = f"""
+WITH m AS ({METRICS_SQL}),
+g AS (SELECT doc_id, is_rep FROM ({GROUPS_SQL}) gg),
+d AS (SELECT doc_id, source FROM documents),
+a AS (
+  SELECT d.source, count(*) AS n_docs,
+         sum(CASE WHEN NOT g.is_rep THEN 1 ELSE 0 END)::bigint AS n_neardup,
+         sum(CASE WHEN m.keep THEN 1 ELSE 0 END)::bigint AS n_keep,
+         sum(m.n_tokens)::bigint AS tok_total,
+         sum(CASE WHEN m.pred_lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+         sum(CASE WHEN m.pred_lang = 'fr' THEN 1 ELSE 0 END) AS n_fr,
+         sum(CASE WHEN m.pred_lang = 'de' THEN 1 ELSE 0 END) AS n_de
+  FROM d JOIN m USING (doc_id) JOIN g USING (doc_id)
+  GROUP BY d.source
+)
+SELECT source, n_docs::bigint AS n_docs, n_neardup,
+       round(n_neardup / n_docs, 6) AS dup_rate,
+       n_keep, round(n_keep / n_docs, 6) AS keep_rate,
+       round(tok_total / n_docs, 4) AS mean_tokens,
+       CASE WHEN n_en >= n_fr AND n_en >= n_de THEN 'en'
+            WHEN n_fr >= n_de THEN 'fr' ELSE 'de' END AS top_pred_lang,
+       (n_keep / n_docs >= {SOURCE_KEEP_MIN}
+        AND n_neardup / n_docs <= {SOURCE_DUP_MAX}) AS keep_source
+FROM a
+"""
+
+
+def dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup representative: for each duplicate cluster,
+    keep the member with the HIGHEST quality_score (ties -> lowest doc_id)
+    instead of dedup_groups' arbitrary min-id — what production pipelines
+    actually do when a cluster mixes a clean original with mangled copies
+    (SemDeDup keeps the most-central member; FineWeb keeps by quality).
+
+    Scale shape: the argmax runs ONLY over multi-member groups (the edge
+    subgraph — singletons are their own representative by construction and
+    never enter the exchange), one groupBy(group_id) max-struct whose
+    map-side partial agg collapses each partition to |groups| rows. The
+    (quality, -doc_id) struct max is an exact total order: quality_score
+    is the same rounded float64 in both engines and the negated doc_id
+    breaks ties toward the lowest id."""
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.expr(SPARK_TOKENS).alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    m = text_metrics_frame(base).select("doc_id", "quality_score")
+    sh = shingle_rows_from_toks(base).localCheckpoint(eager=True)
+    g = dedup_groups_from_shingles(sh, base.select("doc_id")).select(
+        "doc_id", "group_id", "group_size"
+    )
+    j = g.join(m, "doc_id")
+    best = (
+        j.filter(F.col("group_size") > 1)
+        .groupBy("group_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score").alias("q"),
+                    (-F.col("doc_id")).alias("nd"),
+                )
+            ).alias("b")
+        )
+        .select("group_id", (-F.col("b.nd")).alias("rep_doc_id"))
+    )
+    return j.join(best, "group_id", "left").select(
+        "doc_id",
+        "group_id",
+        "group_size",
+        F.coalesce("rep_doc_id", F.col("doc_id")).alias("rep_doc_id"),
+        (F.col("doc_id") == F.coalesce("rep_doc_id", F.col("doc_id"))).alias(
+            "is_rep"
+        ),
+        "quality_score",
+    )
+
+
+BEST_REP_SQL = f"""
+WITH m AS ({METRICS_SQL}),
+g AS (SELECT doc_id, group_id, group_size FROM ({GROUPS_SQL}) gg),
+j AS (
+  SELECT g.doc_id, g.group_id, g.group_size, m.quality_score
+  FROM g JOIN m USING (doc_id)
+),
+r AS (
+  SELECT group_id, doc_id AS rep_doc_id FROM (
+    SELECT group_id, doc_id,
+           row_number() OVER (
+             PARTITION BY group_id
+             ORDER BY quality_score DESC, doc_id
+           ) AS rn
+    FROM j
+  ) WHERE rn = 1
+)
+SELECT j.doc_id, j.group_id, j.group_size::bigint AS group_size,
+       r.rep_doc_id,
+       (j.doc_id = r.rep_doc_id) AS is_rep,
+       j.quality_score
+FROM j JOIN r USING (group_id)
+"""
+
+
 PIPELINE_SQL = f"""
 WITH m AS ({METRICS_SQL}),
 gr AS (SELECT doc_id, keep AS gopher_keep FROM ({GOPHER_RULES_SQL}) qq),

@@ -45,13 +45,15 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_metrics_frame(load(spark, sf_dir, "documents"))
 
 
-def text_metrics_frame(docs: DataFrame) -> DataFrame:
+def text_metrics_frame(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The metric expressions over any (doc_id, text) frame — every column
     is a stateless per-row expression, so this works unchanged on a
     STREAMING input (`streaming.stream_quality_gate` is exactly this on a
     readStream — the ingest-time quality gate). A frame that already
     carries a `toks` column (the pipeline's shared tokenize checkpoint)
-    is reused as-is — the tokenizer regex runs zero additional times."""
+    is reused as-is — the tokenizer regex runs zero additional times.
+    `carry` names input columns to pass through unchanged (e.g. `source`
+    for the per-domain rollup) so callers never re-join to recover them."""
     if "toks" not in docs.columns:
         docs = docs.withColumn("toks", F.expr(SPARK_TOKENS))
     toks = F.col("toks")
@@ -85,6 +87,7 @@ def text_metrics_frame(docs: DataFrame) -> DataFrame:
         .otherwise("de")
     )
     return docs.select(
+        *carry,
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.expr(f"size({ws})").cast("long").alias("n_ws_tokens"),

@@ -463,3 +463,21 @@ def test_audio_neardup_single_fingerprint_pass(spark):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "MapInPandas" not in plan
     assert "ExistingRDD" in plan or "LogicalRDD" in plan  # the checkpoint leaf
+
+
+def test_source_rollup_plan_shape(spark):
+    """source_rollup reads `documents` ONCE into the checkpointed
+    (doc_id, source, text, toks) frame; metrics and the near-dup groups
+    both derive from that leaf, so the returned plan has ZERO parquet
+    scans and no tokenizer regex (the tokenize ran inside the checkpoint),
+    and no cartesian anywhere in the composition."""
+    from crawler_spark.operators.common import SPARK_TOKENS
+    from crawler_spark.operators.pipeline import source_rollup
+    from crawler_spark.plans import assert_no_cartesian
+
+    df = source_rollup(spark, SF)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "documents" not in plan.lower(), plan
+    assert SPARK_TOKENS.split("'")[1] not in plan
+    assert plan.lower().count("parquet") == 0, plan

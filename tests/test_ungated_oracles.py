@@ -28,7 +28,14 @@ from crawler_spark.operators.multimodal import (
     mm_video_neardup,
 )
 from crawler_spark.operators.dedup import INCREMENTAL_SQL, dedup_incremental
-from crawler_spark.operators.pipeline import PIPELINE_SQL, pipeline_clean_corpus
+from crawler_spark.operators.pipeline import (
+    BEST_REP_SQL,
+    PIPELINE_SQL,
+    SOURCE_ROLLUP_SQL,
+    dedup_best_rep,
+    pipeline_clean_corpus,
+    source_rollup,
+)
 from crawler_spark.operators.relational import (
     ASOF_SQL,
     RANGE_SQL,
@@ -85,6 +92,12 @@ def test_ungated_builders_match_oracle(spark):
         ("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),
         ("mm_audio_features", mm_audio_features, AUDIO_FEATURES_SQL),
         ("pipeline_clean_corpus", pipeline_clean_corpus, PIPELINE_SQL),
+        # FineWeb-style per-source audit: near-dup and quality-keep rates
+        # rolled up to the domain level, one exchange keyed by source
+        ("source_rollup", source_rollup, SOURCE_ROLLUP_SQL),
+        # quality-aware cluster representative: keep the best-quality
+        # member per near-dup group (argmax over multi-groups only)
+        ("dedup_best_rep", dedup_best_rep, BEST_REP_SQL),
         ("decontaminate", decontaminate, DECONTAM_SQL),
         ("sample_mixture", sample_mixture, MIXTURE_SQL),
         ("pack_sequences", pack_sequences, PACK_SQL),
@@ -291,6 +304,29 @@ def test_dsir_prefers_target_like_docs(spark):
     picked = [r["doc_id"] for r in text_dsir_frame(docs, quota=6).collect()]
     # every selected doc speaks A: the 4 target docs + the 2 target-like ones
     assert sorted(picked) == [0, 7, 10, 20, 23, 30], picked
+
+
+def test_best_rep_policy_differs_from_min_id(spark):
+    """dedup_best_rep must be a real POLICY change, not min-id in disguise:
+    on the synthetic corpus at least one multi-member cluster elects a
+    representative that is NOT its minimum doc_id (the best-quality member
+    outranks it), every multi-group's rep has the group's max quality with
+    ties broken toward the lowest id, and singletons are their own rep."""
+    from crawler_spark.operators.pipeline import dedup_best_rep
+
+    df = dedup_best_rep(spark, SF).toPandas()
+    multi = df[df["group_size"] > 1]
+    assert len(multi), "no multi-member clusters at this sf"
+    assert (multi["rep_doc_id"] != multi["group_id"]).any(), (
+        "best-quality rep never differs from the min-id rep — policy inert"
+    )
+    for gid, grp in multi.groupby("group_id"):
+        best_q = grp["quality_score"].max()
+        expect = int(grp[grp["quality_score"] == best_q]["doc_id"].min())
+        assert (grp["rep_doc_id"] == expect).all(), (gid, expect)
+    singles = df[df["group_size"] == 1]
+    assert (singles["rep_doc_id"] == singles["doc_id"]).all()
+    assert singles["is_rep"].all()
 
 
 def test_gopher_symbol_rule_on_punctuated_text(spark):
