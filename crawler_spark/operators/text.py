@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from .common import (
     DUCK_TOKENS,
     SPARK_TOKENS,
+    duck_h32,
     duck_polyhash,
     load,
     spark_polyhash,
@@ -948,6 +949,136 @@ GROUP BY t.doc_id
 
 
 LINE_DEDUP_SQL = _line_dedup_sql()
+
+
+# -- cross-document SUBSTRING dedup (Lee et al. 2022 exact-substring removal) -
+# The alignment-FREE generalization of text_line_dedup: "Deduplicating
+# Training Data Makes Language Models Better" removes every duplicated
+# substring of >= k tokens wherever it starts, so a boilerplate span that
+# straddles a line boundary — invisible to the fixed-window pseudo-line
+# segmenter — is still caught. Spec: a k-token gram occurrence (doc, pos)
+# is DUP when the same gram occurred earlier (lower doc_id, or same doc at
+# a lower position — the globally-first occurrence keeps, the line-dedup
+# policy); a token is removed when ANY dup gram window covers it, which
+# merges overlapping duplicated windows into maximal spans for free.
+# SUBSTR_K = 8 matches DECONTAM_K (production pipelines use 8-13-token
+# grams; Lee et al.'s 50 is longer than most synthetic docs) and was
+# measured to discriminate: 24/500 docs touched at sf0.001, 244/5000 at
+# sf0.1, ~5% of tokens removed, full and partial removals both present.
+#
+# Scale shape: gram occurrences are keyed by a 32-bit gram hash; the
+# first-occurrence table is corpus-VOCABULARY sized (one row per distinct
+# gram — like text_dup_grams' frequency side, not broadcastable at
+# 100 TB), so nothing in the dataflow forces a broadcast: at bench scale
+# Catalyst broadcasts it because the checkpointed stats prove it fits,
+# and at scale the same size stats flip the join to shuffle-on-h with
+# both sides already hash-partitioned by the firsts aggregation. That
+# first-occurrence pick is a min() AGGREGATE with map-side partials, not
+# a window, for the same hot-boilerplate-gram reason as
+# text_line_dedup's keeper. The
+# covered-position explode is a bounded x k fan-out, collapsed per doc by
+# collect_set (per-row state bounded by tokens-per-doc, not corpus size);
+# the occurrence key packs (doc_id, pos) into one int64 under the
+# documented positions-per-doc < 2^20 bound. Hash collisions remove a
+# non-duplicated span with p ~ 2^-32 per gram pair — identical in both
+# engines (the twin keys on the same h32), the dup_grams/decontaminate
+# convention.
+
+SUBSTR_K = 8
+_SUBSTR_POS_CAP = 1 << 20  # tokens per document bound for the packed key
+
+
+def text_substring_dedup(spark: SparkSession, sf_dir: str,
+                         k: int = SUBSTR_K) -> DataFrame:
+    return text_substring_dedup_frame(load(spark, sf_dir, "documents"), k)
+
+
+def text_substring_dedup_frame(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Back half over a docs frame (pipeline shared-scan convention: a
+    pre-tokenized materialized `toks` column is consumed as-is)."""
+    from .common import spark_h32
+
+    if "toks" in docs.columns:
+        toks = docs.select("doc_id", "toks")
+    else:
+        toks = docs.select(
+            "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+        ).localCheckpoint(eager=True)
+    g = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(_spark_kgrams(k))).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(spark_h32("gram")).alias("h"),
+        (F.col("doc_id") * _SUBSTR_POS_CAP + F.col("pos")).alias("okey"),
+    )
+    firsts = g.groupBy("h").agg(F.min("okey").alias("first_key"))
+    dup = (
+        g.join(firsts, "h")
+        .filter(F.col("okey") != F.col("first_key"))
+        .select("doc_id", "pos")
+    )
+    cov = (
+        dup.select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("cp")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("cp").alias("cov"))
+    )
+    n_rem = F.coalesce(F.size("cov"), F.lit(0))
+    return toks.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        n_rem.cast("long").alias("n_removed"),
+        F.round(n_rem / F.greatest(F.size("toks"), F.lit(1)), 6).alias(
+            "removed_ratio"
+        ),
+        F.expr(
+            "case when size(toks) = 0 then '' else "
+            "concat_ws(' ', transform(filter(sequence(0, size(toks) - 1), "
+            "i -> cov is null or not array_contains(cov, i)), i -> toks[i])) end"
+        ).alias("text_clean"),
+    )
+
+
+def _substring_dedup_sql(k: int = SUBSTR_K) -> str:
+    parts = " || ' ' || ".join(
+        f"toks[i + {j}]" if j else "toks[i]" for j in range(k)
+    )
+    return f"""
+WITH toksd AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(toks) - {k} + 1, 0))) AS pos,
+         unnest(list_transform(range(1, greatest(len(toks) - {k} + 1, 0) + 1),
+                i -> {duck_h32(parts)})) AS h
+  FROM toksd
+), f AS (SELECT h, min(doc_id * {_SUBSTR_POS_CAP} + pos) AS first_key FROM g GROUP BY h),
+dup AS (
+  SELECT g.doc_id, g.pos FROM g JOIN f USING (h)
+  WHERE g.doc_id * {_SUBSTR_POS_CAP} + g.pos <> f.first_key
+),
+covd AS (
+  SELECT doc_id, list(DISTINCT cp) AS cov FROM (
+    SELECT DISTINCT doc_id, pos + j.range AS cp FROM dup, range(0, {k}) j
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id::bigint AS doc_id,
+       len(t.toks)::bigint AS n_tokens,
+       coalesce(len(c.cov), 0)::bigint AS n_removed,
+       round(coalesce(len(c.cov), 0) / greatest(len(t.toks), 1), 6) AS removed_ratio,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t.toks) + 1),
+                       i -> c.cov IS NULL OR NOT list_contains(c.cov, i - 1)),
+           i -> t.toks[i]), ' '), '') AS text_clean
+FROM toksd t LEFT JOIN covd c ON c.doc_id = t.doc_id
+"""
+
+
+SUBSTR_DEDUP_SQL = _substring_dedup_sql()
 
 
 # -- DSIR importance resampling (hashed n-gram data selection) ---------------

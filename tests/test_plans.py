@@ -481,3 +481,29 @@ def test_source_rollup_plan_shape(spark):
     assert "documents" not in plan.lower(), plan
     assert SPARK_TOKENS.split("'")[1] not in plan
     assert plan.lower().count("parquet") == 0, plan
+
+
+def test_substring_dedup_plan_shape(spark):
+    """text_substring_dedup's first-occurrence pick must be an AGGREGATE
+    (min over the packed occurrence key, partial-aggregable map-side so a
+    hot boilerplate gram collapses to one row per input partition — the
+    partial+final HashAggregate pair around the gram-hash exchange), NEVER
+    a row_number window; the covered-position rollup exchanges on doc_id;
+    the whole op reads one checkpointed tokenize (zero parquet scans
+    downstream) and has no cartesian or nested-loop join anywhere. (The
+    firsts side MAY broadcast here — at sf0.001 the checkpointed stats
+    prove it fits, and the same stats flip the join to shuffle-on-h at
+    scale; nothing in the op forces either.)"""
+    from crawler_spark.operators.text import text_substring_dedup
+    from crawler_spark.plans import assert_no_cartesian, explain_str, scan_read_schema
+
+    df = text_substring_dedup(spark, SF)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "Window" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "hashpartitioning(h" in plan, plan     # firsts agg keyed by gram hash
+    assert "hashpartitioning(doc_id" in plan, plan  # covered-position rollup
+    # partial + final pair for the firsts min() (map-side combine exists)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert scan_read_schema(df) == [], "expected no parquet scan downstream"

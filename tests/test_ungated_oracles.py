@@ -68,9 +68,11 @@ from crawler_spark.operators.text import (
     decontaminate,
     pack_sequences,
     sample_mixture,
+    SUBSTR_DEDUP_SQL,
     SURPRISAL_SQL,
     sample_stratified,
     text_fingerprint,
+    text_substring_dedup,
     text_dsir,
     text_dup_grams,
     text_gopher_rules,
@@ -117,6 +119,9 @@ def test_ungated_builders_match_oracle(spark):
         # pseudo-line survives, every other copy is dropped and the
         # cleaned text is reassembled in position order
         ("text_line_dedup", text_line_dedup, LINE_DEDUP_SQL),
+        # Lee et al. exact-substring removal: alignment-free duplicated
+        # k-gram spans scrubbed, globally-first occurrence keeps
+        ("text_substring_dedup", text_substring_dedup, SUBSTR_DEDUP_SQL),
         ("x_asof_join", x_asof_join, ASOF_SQL),
         ("x_range_join", x_range_join, RANGE_SQL),
         ("x_rollup_hier", x_rollup_hier, ROLLUP_SQL),
@@ -304,6 +309,33 @@ def test_dsir_prefers_target_like_docs(spark):
     picked = [r["doc_id"] for r in text_dsir_frame(docs, quota=6).collect()]
     # every selected doc speaks A: the 4 target docs + the 2 target-like ones
     assert sorted(picked) == [0, 7, 10, 20, 23, 30], picked
+
+
+def test_substring_dedup_alignment_free(spark):
+    """Pin the Lee-et-al property that distinguishes text_substring_dedup
+    from text_line_dedup: a duplicated 8-token span that STRADDLES the
+    fixed pseudo-line boundary is still caught. Doc 1 carries the span at
+    tokens [6, 14) (crossing the chunk-8 boundary at 8); doc 2 repeats it
+    at [2, 10). The first occurrence (doc 1) keeps every token; doc 2
+    loses exactly the 8 covered tokens and the rebuilt text stitches the
+    survivors around the hole; doc 3 (no duplicated gram) is untouched."""
+    from crawler_spark.operators.text import text_substring_dedup_frame
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    d1 = "one two three four five six " + span + " tail1 tail2"
+    d2 = "pre1 pre2 " + span + " post1 post2 post3"
+    d3 = "totally unrelated words that never repeat anywhere at all here"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text_substring_dedup_frame(docs).collect()
+    }
+    assert out[1]["n_removed"] == 0 and out[1]["text_clean"] == d1, out[1]
+    assert out[2]["n_removed"] == 8, out[2]
+    assert out[2]["text_clean"] == "pre1 pre2 post1 post2 post3", out[2]
+    assert out[3]["n_removed"] == 0 and out[3]["text_clean"] == d3, out[3]
 
 
 def test_best_rep_policy_differs_from_min_id(spark):
