@@ -338,6 +338,70 @@ def test_substring_dedup_alignment_free(spark):
     assert out[3]["n_removed"] == 0 and out[3]["text_clean"] == d3, out[3]
 
 
+def test_substring_dedup_randomized_vs_python(spark):
+    """Randomized cross-check of the Spark builder against an independent
+    pure-Python implementation of the spec (first occurrence by
+    (doc_id, pos) keeps; a token is removed when ANY duplicated k-gram
+    window covers it) on worlds with PLANTED duplicate spans — copied
+    slices between docs, intra-doc repeats, and straddling offsets the
+    synthetic corpus may not exercise. The reference keys grams by string
+    where the builder keys by h32; the fixed seed produced no collision
+    (verified: both agree), so the test is deterministic."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    k = 8
+    docs = {}
+    for d in range(40):
+        docs[d] = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+    # plant cross-doc copies (random span of an earlier doc pasted at a
+    # random offset) and a few intra-doc repeats
+    for d in range(5, 40, 3):
+        src = rng.randrange(d)
+        if len(docs[src]) >= k:
+            start = rng.randrange(len(docs[src]) - k + 1)
+            span = docs[src][start : start + k + rng.randint(0, 4)]
+            at = rng.randint(0, len(docs[d]))
+            docs[d] = docs[d][:at] + span + docs[d][at:]
+    for d in (7, 19):
+        if len(docs[d]) >= k:
+            docs[d] = docs[d] + docs[d][:k]
+
+    first: dict[str, tuple[int, int]] = {}
+    dup_occ = []
+    for d in sorted(docs):
+        toks = docs[d]
+        for p in range(max(len(toks) - k + 1, 0)):
+            g = " ".join(toks[p : p + k])
+            if first.setdefault(g, (d, p)) != (d, p):
+                dup_occ.append((d, p))
+    cov: dict[int, set[int]] = {}
+    for d, p in dup_occ:
+        cov.setdefault(d, set()).update(range(p, p + k))
+    expect = {
+        d: (
+            len(toks),
+            len(cov.get(d, set())),
+            " ".join(t for i, t in enumerate(toks) if i not in cov.get(d, set())),
+        )
+        for d, toks in docs.items()
+    }
+
+    from crawler_spark.operators.text import text_substring_dedup_frame
+
+    sdf = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in text_substring_dedup_frame(sdf, k).collect()
+    }
+    assert got == expect
+    assert any(v[1] for v in expect.values()), "no duplication planted?"
+    assert any(0 < v[1] < v[0] for v in expect.values()), "no partial removal"
+
+
 def test_best_rep_policy_differs_from_min_id(spark):
     """dedup_best_rep must be a real POLICY change, not min-id in disguise:
     on the synthetic corpus at least one multi-member cluster elects a
