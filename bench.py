@@ -50,10 +50,12 @@ def _ungated_headline() -> dict:
     outside the 50-entry gated catalog, so they are referenced directly)."""
     from crawler_spark.operators.dedup import dedup_incremental
     from crawler_spark.operators.multimodal import (
+        mm_audio_neardup,
         mm_pair_curation,
         mm_phash_groups,
         mm_video_neardup,
     )
+    from crawler_spark.operators.pipeline import dedup_best_rep, source_rollup
     from crawler_spark.operators.similarity import dedup_semantic
     from crawler_spark.operators.relational import (
         x_asof_join,
@@ -66,6 +68,7 @@ def _ungated_headline() -> dict:
         text_gopher_rules,
         text_kmv_distinct,
         text_line_dedup,
+        text_substring_dedup,
         text_surprisal,
     )
 
@@ -77,10 +80,14 @@ def _ungated_headline() -> dict:
         "text_surprisal": text_surprisal,
         "text_dup_grams": text_dup_grams,
         "text_line_dedup": text_line_dedup,
+        "text_substring_dedup": text_substring_dedup,
         "text_kmv_distinct": text_kmv_distinct,
+        "source_rollup": source_rollup,
+        "dedup_best_rep": dedup_best_rep,
         "mm_pair_curation": mm_pair_curation,
         "mm_phash_groups": mm_phash_groups,
         "mm_video_neardup": mm_video_neardup,
+        "mm_audio_neardup": mm_audio_neardup,
         "x_asof_join": x_asof_join,
         "x_range_join": x_range_join,
         "x_rollup_hier": x_rollup_hier,

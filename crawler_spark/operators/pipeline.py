@@ -2,7 +2,8 @@
 built purely from this repo's own operators — quality gate (text_metrics'
 `keep`), repetition filter, unigram-surprisal LM gate, duplicate-span
 gate (text_line_dedup's span_dup_ratio — the corpus-level analogue of
-Gopher's duplicate-line-fraction rule),
+Gopher's duplicate-line-fraction rule), alignment-free duplicated-
+substring gate (text_substring_dedup's removed_ratio — Lee et al. 2022),
 benchmark decontamination (+ eval-split exclusion), exact dedup
 (hash-groupBy representative), near-dup clustering (LSH -> verified
 edges -> connected components, dedup_groups), and embedding coverage —
@@ -37,6 +38,7 @@ from .text import (
     LINE_DEDUP_SQL,
     METRICS_SQL,
     REPETITION_SQL,
+    SUBSTR_DEDUP_SQL,
     SURPRISAL_SQL,
     decontaminate_frame,
     gram_hashes,
@@ -44,6 +46,7 @@ from .text import (
     text_line_dedup_frame,
     text_metrics_frame,
     text_repetition_frame,
+    text_substring_dedup_frame,
     text_surprisal_frame,
 )
 
@@ -67,10 +70,20 @@ SURPRISAL_MAX = 5.2
 # sf0.001, 333/5000 at sf0.1 exceed it).
 SPAN_DUP_MAX = 0.3
 
+# Alignment-free duplicated-substring gate (text_substring_dedup's
+# removed_ratio — the Lee et al. exact-substring signal): drop documents
+# more than 30% covered by >=8-token spans that occurred earlier in the
+# corpus. Complements the line gate: a duplicated run straddling the
+# pseudo-line boundary contributes here but is invisible there. Same
+# threshold as SPAN_DUP_MAX by design (both are "fraction of the document
+# that is someone else's text").
+SUBSTR_DUP_MAX = 0.3
+
 
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """train_keep = good quality AND passes the Gopher named rules AND not
-    repetitive AND fluent under the unigram LM AND not in (or overlapping)
+    repetitive AND fluent under the unigram LM AND not mostly duplicated
+    spans (line-aligned AND alignment-free) AND not in (or overlapping)
     the eval split AND near-dup representative AND exact-dup
     representative AND has an embedding.
 
@@ -118,6 +131,10 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_dropped") / (F.col("n_kept") + F.col("n_dropped")), 6),
         ).alias("span_dup_ratio"),
     )
+    # token-less docs have removed_ratio 0 but fail the quality gate anyway
+    sd = text_substring_dedup_frame(base).select(
+        "doc_id", F.col("removed_ratio").alias("substr_dup_ratio")
+    )
     sh = shingle_rows_from_toks(base).localCheckpoint(eager=True)
     g = dedup_groups_from_shingles(sh, base.select("doc_id"))
     ex = dedup_exact_frame(base).select(
@@ -132,6 +149,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(srp, "doc_id", "left")
         .join(cont, "doc_id", "left")
         .join(ld, "doc_id", "left")
+        .join(sd, "doc_id", "left")
         .join(g, "doc_id")
         .join(ex, "doc_id", "left")
         .join(emb, "doc_id", "left")
@@ -142,6 +160,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         "bits_per_token",
         "span_dup_ratio",
+        "substr_dup_ratio",
         "group_id",
         "group_size",
         (
@@ -150,6 +169,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.coalesce("repetitive", F.lit(True))
             & F.coalesce(F.col("bits_per_token") <= SURPRISAL_MAX, F.lit(False))
             & F.coalesce(F.col("span_dup_ratio") <= SPAN_DUP_MAX, F.lit(False))
+            & F.coalesce(F.col("substr_dup_ratio") <= SUBSTR_DUP_MAX, F.lit(False))
             & F.expr(f"doc_id % {DECONTAM_EVAL_MOD} <> 0")
             & ~F.coalesce("contaminated", F.lit(False))
             & F.col("is_rep")
@@ -349,6 +369,7 @@ ld AS (
          END AS span_dup_ratio
   FROM ({LINE_DEDUP_SQL}) ll
 ),
+sd AS (SELECT doc_id, removed_ratio AS substr_dup_ratio FROM ({SUBSTR_DEDUP_SQL}) sdd),
 g AS (SELECT * FROM ({GROUPS_SQL}) gg),
 ex AS (
   SELECT min(doc_id) AS doc_id, true AS exact_rep
@@ -356,12 +377,13 @@ ex AS (
 ),
 e AS (SELECT vec_id AS doc_id, true AS has_embedding FROM embeddings)
 SELECT m.doc_id, m.n_tokens, m.quality_score, srp.bits_per_token,
-       ld.span_dup_ratio, g.group_id, g.group_size,
+       ld.span_dup_ratio, sd.substr_dup_ratio, g.group_id, g.group_size,
        (m.keep
         AND coalesce(gr.gopher_keep, false)
         AND NOT coalesce(rep.repetitive, true)
         AND coalesce(srp.bits_per_token <= {SURPRISAL_MAX}, false)
         AND coalesce(ld.span_dup_ratio <= {SPAN_DUP_MAX}, false)
+        AND coalesce(sd.substr_dup_ratio <= {SUBSTR_DUP_MAX}, false)
         AND m.doc_id % {DECONTAM_EVAL_MOD} <> 0
         AND NOT coalesce(cont.contaminated, false)
         AND g.is_rep
@@ -373,6 +395,7 @@ LEFT JOIN rep ON rep.doc_id = m.doc_id
 LEFT JOIN srp ON srp.doc_id = m.doc_id
 LEFT JOIN cont ON cont.doc_id = m.doc_id
 LEFT JOIN ld ON ld.doc_id = m.doc_id
+LEFT JOIN sd ON sd.doc_id = m.doc_id
 JOIN g ON g.doc_id = m.doc_id
 LEFT JOIN ex ON ex.doc_id = m.doc_id
 LEFT JOIN e ON e.doc_id = m.doc_id
