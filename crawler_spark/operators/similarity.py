@@ -976,6 +976,376 @@ WHERE rank <= {TOP_K}
 """
 
 
+# -- PQ: product quantization, ADC scan + full-precision rerank --------------
+#
+# The billion-scale ANN compression lever (FAISS's PQ stage): split the
+# 64-dim vector into PQ_M = 8 subspaces of 8 dims, Lloyd-train PQ_K = 16
+# codewords per subspace, and store each vector as 8 code ids — 8 bytes of
+# index against 256 bytes of float32 (4 bits/code in a packed production
+# layout; int codes here keep the oracle readable). The scan is
+# asymmetric-distance (ADC): per query, a (PQ_M x PQ_K) lookup table of
+# query-subvector x codeword dots is built ONCE, and every candidate costs
+# PQ_M table adds — no float vector is touched until the exact rerank of
+# the per-query shortlist. Composes with the IVF coarse stage conceptually
+# (FAISS IVFPQ); here the scan is exhaustive so recall loss is isolated to
+# the quantizer itself.
+#
+# Cross-engine exactness: codeword components are integer-scaled Lloyd
+# means (the IVF trick — order-independent sums, exact rationals in
+# float64); subspace assignment maximizes dot(sub, cw) - 0.5*dot(cw, cw)
+# (exact L2 argmin, constants dropped) with both dots sequential folds
+# identical across engines, ties to the lower code id; and the ADC score
+# is a sum of INTEGER-quantized LUT entries (floor(lut * 2^20 + 0.5) —
+# both engines floor identical doubles), so the per-candidate sum is an
+# exact int64 in ANY summation order. The approximate cosine divides by
+# sqrt of the integer-quantized reconstruction norm — again identical
+# doubles — and ties break on neighbor_id.
+
+PQ_M = 8                      # subspaces
+PQ_SUBDIM = 64 // PQ_M        # dims per subspace
+PQ_K = 16                     # codewords per subspace
+PQ_ITERS = 2                  # Lloyd rounds (matches IVF_ITERS' depth)
+# PQ-specific rerank budget: the 32x-compressed codes rank coarsely, and
+# the ADC scan is cheap precisely so the exact rerank can afford a deeper
+# shortlist (production PQ reranks hundreds per query; SQ8's 3k suffices
+# because int8 barely loses rank order). 20k = 100 candidates here.
+PQ_SHORTLIST_MULT = 20
+_PQ_LUT_SCALE = 1 << 20
+
+
+def _pq_subvecs(base: DataFrame) -> DataFrame:
+    """(vec_id, m, sub array<float-ish>) — one row per subspace."""
+    return base.select(
+        "vec_id",
+        F.expr(
+            f"inline(transform(sequence(0, {PQ_M - 1}), "
+            f"m -> struct(m as m, slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) as sub)))"
+        ),
+    )
+
+
+def _pq_codeword_means(base: DataFrame, assign: DataFrame | None) -> DataFrame:
+    """(m, c_id, cw array<double>, cn2, cn2i): per-(subspace, code) Lloyd
+    means in integer space (bit-identical across engines/partitionings);
+    cn2 = dot(cw, cw) (sequential fold), cn2i its 2^20 integer quantization
+    (what makes the reconstruction norm an order-independent int64 sum).
+    assign=None is the seed round: c_id = pmod(vec_id, PQ_K) per-row."""
+    exploded = base.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id",
+        (F.col("pos") / PQ_SUBDIM).cast("int").alias("m"),
+        F.pmod("pos", F.lit(PQ_SUBDIM)).alias("d"),
+        "x",
+    )
+    if assign is None:
+        keyed = exploded.select(
+            "m", "d", "x", F.pmod("vec_id", F.lit(PQ_K)).alias("c_id")
+        )
+    else:
+        keyed = exploded.join(assign, ["vec_id", "m"]).select("m", "d", "x", "c_id")
+    sums = keyed.groupBy("m", "c_id", "d").agg(
+        F.sum(
+            F.expr(f"cast(floor(cast(x as double) * {_CSCALE} + 0.5d) as bigint)")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    cents = sums.groupBy("m", "c_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("d", (F.col("s") / (F.col("n") * float(_CSCALE))).alias("v"))
+                )
+            ),
+            lambda t: t["v"],
+        ).alias("cw")
+    )
+    return cents.select(
+        "m",
+        "c_id",
+        "cw",
+        F.expr(_DOT.format(a="cw", b="cw")).alias("cn2"),
+    ).withColumn(
+        "cn2i",
+        F.expr(f"cast(floor(cn2 * {_PQ_LUT_SCALE} + 0.5d) as bigint)"),
+    )
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, c_id): nearest codeword per subspace — exact L2 argmin
+    via max of dot(sub, cw) - cn2/2 (||sub||^2 is constant per (vec, m)),
+    an AGGREGATE max-struct with ties to the lower code id."""
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "c_id",
+        (F.expr(_DOT.format(a="sub", b="cw")) - F.col("cn2") / 2).alias("sc"),
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(F.max(F.struct(F.col("sc"), (-F.col("c_id")).alias("nc"))).alias("b"))
+        .select("vec_id", "m", (-F.col("b.nc")).cast("int").alias("c_id"))
+    )
+
+
+def _pq_index(base: DataFrame, n_iter: int = PQ_ITERS) -> tuple[DataFrame, DataFrame]:
+    """(codes, codebook), codes = (vec_id, code_arr array<int> ordered by m,
+    pqn = sqrt(integer-quantized reconstruction norm^2)) materialized once.
+    At 100 TB the code array is the index: PQ_M small ints per vector next
+    to the table, scanned without ever touching the float column."""
+    subs = _pq_subvecs(base).localCheckpoint(eager=True)
+    cb = _pq_codeword_means(base, None)
+    for _ in range(1, n_iter):
+        cb = _pq_codeword_means(base, _pq_assign(subs, cb))
+    cb = cb.localCheckpoint(eager=True)
+    assign = _pq_assign(subs, cb)
+    codes = (
+        assign.join(F.broadcast(cb.select("m", "c_id", "cn2i")), ["m", "c_id"])
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", F.col("c_id").alias("c")))),
+                lambda t: t["c"],
+            ).alias("code_arr"),
+            F.sqrt(F.sum("cn2i") / float(_PQ_LUT_SCALE)).alias("pqn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return codes, cb
+
+
+def _pq_stage1(codes: DataFrame, q_ids, q_luti, q_norms) -> DataFrame:
+    """ADC scan with the SQ8 per-batch per-query top-m cut: each Arrow batch
+    gathers PQ_M int64 LUT entries per (query, candidate) — no float vector
+    reads — and emits only its local top-(SQ8_SHORTLIST_MULT*TOP_K) under
+    the exact (qcos desc, neighbor_id asc) order, so the global window
+    merges n_batches x Q x 3k rows instead of Q x N (the ann_sq8 lesson)."""
+    import numpy as np
+
+    m_cut = PQ_SHORTLIST_MULT * TOP_K
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            C = np.stack(pdf["code_arr"].to_numpy()).astype(np.int64)  # (n, M)
+            S = np.zeros((len(q_ids), n), dtype=np.int64)
+            for m in range(PQ_M):
+                S += q_luti[:, m, C[:, m]]  # exact int64 adds, any order
+            qcos = S.astype(np.float64) / (
+                float(_PQ_LUT_SCALE)
+                * q_norms[:, None]
+                * pdf["pqn"].to_numpy(dtype=np.float64)[None, :]
+            )
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            qcos[q_ids[:, None] == c_ids[None, :]] = -np.inf
+            k = min(m_cut, n)
+            order = np.lexsort(
+                (np.broadcast_to(c_ids, qcos.shape), -qcos), axis=-1
+            )[:, :k]
+            qc = np.take_along_axis(qcos, order, axis=1).ravel()
+            real = np.isfinite(qc)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, k)[real],
+                    "neighbor_id": c_ids[order.ravel()][real],
+                    "qcos": qc[real],
+                }
+            )
+
+    return codes.select("vec_id", "code_arr", "pqn").mapInPandas(
+        _score, schema="query_id long, neighbor_id long, qcos double"
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str, n_iter: int = PQ_ITERS) -> DataFrame:
+    """Product-quantized ANN: train the per-subspace codebooks, encode the
+    corpus to PQ_M code ids + a quantized reconstruction norm, ADC-scan the
+    codes with per-query integer LUTs, exact-cosine rerank the shortlist.
+    The scan stage reads ONLY (vec_id, code_arr, pqn); the float vectors
+    are touched for N_QUERIES LUT builds and the 3k-per-query rerank."""
+    import numpy as np
+
+    base = _indexed_embeddings(spark, sf_dir)
+    codes, cb = _pq_index(base, n_iter)
+    cb_rows = cb.select("m", "c_id", "cw").collect()  # PQ_M*PQ_K tiny rows
+    cw = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.float64)
+    for r in cb_rows:
+        cw[r["m"], r["c_id"]] = r["cw"]
+    qrows = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding", "norm")
+        .collect()
+    )
+    if not qrows:
+        return codes.select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(1).alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+        ).limit(0)
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norms = np.array([r["norm"] for r in qrows], dtype=np.float64)
+    # LUT: dot(q_m, cw) as the same LEFT-TO-RIGHT per-dim fold as _DOT /
+    # list_dot_product (the _score_pairs rounding contract), then floor to
+    # the integer grid both engines share
+    qs = q_mat.reshape(len(q_ids), PQ_M, PQ_SUBDIM)
+    lut = np.zeros((len(q_ids), PQ_M, PQ_K), dtype=np.float64)
+    for d in range(PQ_SUBDIM):
+        lut += qs[:, :, None, d] * cw[None, :, :, d]
+    q_luti = np.floor(lut * _PQ_LUT_SCALE + 0.5).astype(np.int64)
+    stage1 = _pq_stage1(codes, q_ids, q_luti, q_norms)
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    shortlist = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= PQ_SHORTLIST_MULT * TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    q = _side(base, "query_id", "qe")
+    c = _side(base, "neighbor_id", "ce")
+    scored = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="qe", b="ce")) / (F.col("_n_qe") * F.col("_n_ce")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def _pq_cb_ctes(n_iter: int) -> str:
+    """CTE chain training the per-subspace codebooks for `n_iter` Lloyd
+    rounds — the SQL twin of _pq_index's training loop."""
+    sub = f"e.embedding[(s.m * {PQ_SUBDIM} + 1):((s.m + 1) * {PQ_SUBDIM})]"
+    parts = [
+        f"ms AS (SELECT range AS m FROM range(0, {PQ_M}))",
+        f"passign0 AS (SELECT vec_id, m, vec_id % {PQ_K} AS c_id FROM embeddings, ms)",
+        f"""eexp AS (
+  SELECT vec_id,
+         (generate_subscripts(embedding, 1) - 1) // {PQ_SUBDIM} AS m,
+         (generate_subscripts(embedding, 1) - 1) % {PQ_SUBDIM} AS d,
+         unnest(embedding) AS x
+  FROM embeddings
+)""",
+    ]
+    for i in range(n_iter):
+        parts.append(f"""pexp{i} AS (
+  SELECT a.m, a.c_id, ee.d, ee.x
+  FROM eexp ee JOIN passign{i} a ON a.vec_id = ee.vec_id AND a.m = ee.m
+),
+psums{i} AS (
+  SELECT m, c_id, d,
+         sum(floor(x::DOUBLE * {_CSCALE} + 0.5)::bigint)::bigint AS s,
+         count(*)::bigint AS n
+  FROM pexp{i} GROUP BY m, c_id, d
+),
+pcb{i} AS (
+  SELECT m, c_id, list(s / (n * {float(_CSCALE)!r}) ORDER BY d) AS cw
+  FROM psums{i} GROUP BY m, c_id
+)""")
+        if i + 1 < n_iter:
+            parts.append(f"""pscore{i} AS (
+  SELECT e.vec_id, s.m, s.c_id,
+         {_duck_dot(sub, 's.cw')} - {_duck_dot('s.cw', 's.cw')} / 2 AS sc
+  FROM embeddings e CROSS JOIN pcb{i} s
+),
+passign{i + 1} AS (
+  SELECT vec_id, m, c_id FROM (
+    SELECT vec_id, m, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY sc DESC, c_id ASC) AS r
+    FROM pscore{i}) t
+  WHERE r = 1
+)""")
+    parts.append(
+        f"""pcb AS (
+  SELECT m, c_id, cw,
+         {_duck_dot('cw', 'cw')} AS cn2,
+         floor({_duck_dot('cw', 'cw')} * {_PQ_LUT_SCALE} + 0.5)::bigint AS cn2i
+  FROM pcb{n_iter - 1}
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def pq_sql(n_iter: int = PQ_ITERS) -> str:
+    sub = f"e.embedding[(s.m * {PQ_SUBDIM} + 1):((s.m + 1) * {PQ_SUBDIM})]"
+    qsub = f"eq.embedding[(s.m * {PQ_SUBDIM} + 1):((s.m + 1) * {PQ_SUBDIM})]"
+    return f"""
+WITH {_pq_cb_ctes(n_iter)},
+fscore AS (
+  SELECT e.vec_id, s.m, s.c_id,
+         {_duck_dot(sub, 's.cw')} - s.cn2 / 2 AS sc
+  FROM embeddings e CROSS JOIN pcb s
+),
+fassign AS (
+  SELECT vec_id, m, c_id FROM (
+    SELECT vec_id, m, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY sc DESC, c_id ASC) AS r
+    FROM fscore) t
+  WHERE r = 1
+),
+pqn AS (
+  SELECT a.vec_id, sqrt(sum(b.cn2i)::DOUBLE / {_PQ_LUT_SCALE}) AS pqn
+  FROM fassign a JOIN pcb b ON b.m = a.m AND b.c_id = a.c_id
+  GROUP BY a.vec_id
+),
+qn AS (
+  SELECT vec_id, sqrt({_duck_dot('embedding', 'embedding')}) AS qnorm
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+luti AS (
+  SELECT eq.vec_id AS query_id, s.m, s.c_id,
+         floor({_duck_dot(qsub, 's.cw')} * {_PQ_LUT_SCALE} + 0.5)::bigint AS li
+  FROM embeddings eq CROSS JOIN pcb s
+  WHERE eq.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.li)::bigint AS si
+  FROM fassign a JOIN luti l ON l.m = a.m AND l.c_id = a.c_id
+  WHERE a.vec_id <> l.query_id
+  GROUP BY l.query_id, a.vec_id
+),
+stage1 AS (
+  SELECT adc.query_id, adc.neighbor_id,
+         adc.si::DOUBLE / ({_PQ_LUT_SCALE} * q.qnorm * p.pqn) AS qcos
+  FROM adc
+  JOIN qn q ON q.vec_id = adc.query_id
+  JOIN pqn p ON p.vec_id = adc.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS r1
+    FROM stage1) t
+  WHERE r1 <= {PQ_SHORTLIST_MULT * TOP_K}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_duck_dot('a.embedding', 'b.embedding')}
+           / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+              * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cos
+  FROM short s
+  JOIN embeddings a ON a.vec_id = s.query_id
+  JOIN embeddings b ON b.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+"""
+
+
+ANN_PQ_SQL = pq_sql(PQ_ITERS)
+
+
 # -- ANN recall audit (not a gated query: a measurement) ---------------------
 def ann_recall(spark: SparkSession, sf_dir: str, sim_floor: float = 0.5) -> dict:
     """Recall@k of the two approximate paths vs the exact brute-force top-k
@@ -1019,6 +1389,7 @@ def ann_recall(spark: SparkSession, sf_dir: str, sim_floor: float = 0.5) -> dict
         ("bucket_rerank", ann_bucket_rerank),
         ("multiprobe", ann_multiprobe_topk),
         ("sq8", ann_sq8_topk),
+        ("pq", ann_pq_topk),
     ):
         approx = fn(spark, sf_dir).filter(F.col("query_id") < N_QUERIES)
         approx = approx.localCheckpoint(eager=True)

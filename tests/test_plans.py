@@ -507,3 +507,56 @@ def test_substring_dedup_plan_shape(spark):
     # partial + final pair for the firsts min() (map-side combine exists)
     assert plan.count("HashAggregate") >= 2, plan
     assert scan_read_schema(df) == [], "expected no parquet scan downstream"
+
+
+def test_pq_stage1_bounded_per_batch(spark):
+    """The ADC scan must emit at most (PQ_SHORTLIST_MULT*TOP_K) candidates
+    per query PER ARROW BATCH — not all QxN pairs (the ann_sq8 stage1
+    lesson applied from birth). Losslessness of the cut is already proven
+    end-to-end by the DuckDB twin, whose stage1 window ranks the FULL QxN
+    ADC scores: oracle parity would break if the per-batch cut dropped a
+    global-shortlist member."""
+    import math
+
+    import numpy as np
+
+    from crawler_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_M,
+        PQ_K,
+        PQ_SUBDIM,
+        PQ_SHORTLIST_MULT,
+        TOP_K,
+        _indexed_embeddings,
+        _pq_index,
+        _pq_stage1,
+        _PQ_LUT_SCALE,
+    )
+
+    base = _indexed_embeddings(spark, SF)
+    codes, cb = _pq_index(base)
+    cb_rows = cb.select("m", "c_id", "cw").collect()
+    cw = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.float64)
+    for r in cb_rows:
+        cw[r["m"], r["c_id"]] = r["cw"]
+    qrows = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding", "norm")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norms = np.array([r["norm"] for r in qrows], dtype=np.float64)
+    qs = q_mat.reshape(len(q_ids), PQ_M, PQ_SUBDIM)
+    lut = np.zeros((len(q_ids), PQ_M, PQ_K), dtype=np.float64)
+    for d in range(PQ_SUBDIM):
+        lut += qs[:, :, None, d] * cw[None, :, :, d]
+    q_luti = np.floor(lut * _PQ_LUT_SCALE + 0.5).astype(np.int64)
+
+    stage1 = _pq_stage1(codes, q_ids, q_luti, q_norms)
+    arrow_batch = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))
+    per_part = codes.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    n_batches = sum(math.ceil(r["count"] / arrow_batch) for r in per_part)
+    m = PQ_SHORTLIST_MULT * TOP_K
+    n_rows = stage1.count()
+    assert n_rows <= n_batches * len(q_ids) * m, (n_rows, n_batches, len(q_ids), m)

@@ -46,9 +46,11 @@ from crawler_spark.operators.relational import (
 )
 from crawler_spark.operators.similarity import (
     ANN_MULTIPROBE_SQL,
+    ANN_PQ_SQL,
     SEMDEDUP_SQL,
     ann_ivf_topk,
     ann_multiprobe_topk,
+    ann_pq_topk,
     dedup_semantic,
     ivf_sql,
 )
@@ -111,6 +113,10 @@ def test_ungated_builders_match_oracle(spark):
         # SemDeDup: within-cluster epsilon-similar pairs over the same
         # trained codebook; lower-id cluster-mate wins, no transitive rescue
         ("dedup_semantic", dedup_semantic, SEMDEDUP_SQL),
+        # product quantization: per-subspace Lloyd codebooks, integer ADC
+        # scan, exact rerank — the oracle's stage1 window ranks the FULL
+        # QxN score set, so parity also proves the per-batch cut lossless
+        ("ann_pq_topk", ann_pq_topk, ANN_PQ_SQL),
         ("text_repetition", text_repetition, REPETITION_SQL),
         ("sample_stratified", sample_stratified, STRATIFIED_SQL),
         ("text_surprisal", text_surprisal, SURPRISAL_SQL),
