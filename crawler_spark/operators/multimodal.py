@@ -947,11 +947,17 @@ AUD_MATCH_MIN = N_AUD_WINS - (_AUD_DUP_OFFSETS - 1)
 
 def _audio_dup_samples(ks: np.ndarray, n_classes: int) -> np.ndarray:
     """(n, N_AUDIO_SAMPLES) int16 closed-form PCM with duplicate structure
-    (class master trimmed at o windows, DC offset dc), vectorized."""
+    (class master trimmed at o windows, DC offset dc), vectorized. The
+    chirp is evaluated on x mod 4096 BEFORE squaring — mathematically
+    identical (37x^2+131x mod 4096 depends only on x mod 4096) and bounds
+    the square at 4095^2*37 ~ 6.2e8, so the arithmetic can never overflow
+    int64 at ANY corpus size (numpy would wrap silently where the DuckDB
+    twin raises Out of Range — the engines must fail together or not at
+    all)."""
     k = ks.astype(np.int64)
     c, o, dc = k % n_classes, k // n_classes, k % 3
     t = np.arange(N_AUDIO_SAMPLES, dtype=np.int64)[None, :]
-    x = c[:, None] * 7919 + o[:, None] * AUD_WIN + t
+    x = (c[:, None] * 7919 + o[:, None] * AUD_WIN + t) % 4096
     return ((x * x * 37 + x * 131) % 4096 - 2048 + dc[:, None]).astype("<i2")
 
 
@@ -1013,7 +1019,13 @@ def _audio_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(k, win_no, ahash) materialized once — both band-join sides and the
     per-clip rollup read this checkpoint, never the generated corpus."""
     n = max(table_rows(sf_dir, "documents") // 4, 1)
-    n_classes = max(n // _AUD_DUP_OFFSETS, 1)
+    # CEILING division: k // n_classes then never exceeds
+    # _AUD_DUP_OFFSETS - 1, preserving AUD_MATCH_MIN's >= 16-|dO| aligned
+    # windows for EVERY same-class pair at any corpus size (floor division
+    # would hand the last clips a 5th trim offset whenever 5 does not
+    # divide n, silently breaking the designed every-pair-is-an-edge
+    # invariant)
+    n_classes = max((n + _AUD_DUP_OFFSETS - 1) // _AUD_DUP_OFFSETS, 1)
     corpus = spark.range(0, n, 1, 8).mapInPandas(
         _gen_audio_dup_corpus(n_classes), schema=AUDIO_SCHEMA
     )
@@ -1032,14 +1044,15 @@ AUDIO_NEARDUP_SQL = f"""
 WITH nn AS (SELECT greatest(count(*) // 4, 1) AS n FROM documents),
 ks AS (
   SELECT k,
-         k % greatest(n // {_AUD_DUP_OFFSETS}, 1) AS c,
-         k // greatest(n // {_AUD_DUP_OFFSETS}, 1) AS o,
+         k % greatest((n + {_AUD_DUP_OFFSETS - 1}) // {_AUD_DUP_OFFSETS}, 1) AS c,
+         k // greatest((n + {_AUD_DUP_OFFSETS - 1}) // {_AUD_DUP_OFFSETS}, 1) AS o,
          k % 3 AS dc
   FROM (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents), nn
   WHERE k < n
 ),
 sx AS (
-  SELECT k, dc, t.range AS t, (c*7919 + o*{AUD_WIN} + t.range)::bigint AS x
+  SELECT k, dc, t.range AS t,
+         ((c*7919 + o*{AUD_WIN} + t.range) % 4096)::bigint AS x
   FROM ks, range(0, {N_AUDIO_SAMPLES}) t
 ),
 s AS (SELECT k, t, (x*x*37 + x*131) % 4096 - 2048 + dc AS v FROM sx),

@@ -1159,42 +1159,51 @@ def _pq_stage1(codes: DataFrame, q_ids, q_luti, q_norms) -> DataFrame:
     )
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str, n_iter: int = PQ_ITERS) -> DataFrame:
-    """Product-quantized ANN: train the per-subspace codebooks, encode the
-    corpus to PQ_M code ids + a quantized reconstruction norm, ADC-scan the
-    codes with per-query integer LUTs, exact-cosine rerank the shortlist.
-    The scan stage reads ONLY (vec_id, code_arr, pqn); the float vectors
-    are touched for N_QUERIES LUT builds and the 3k-per-query rerank."""
+def _pq_query_luts(base: DataFrame, cb: DataFrame):
+    """(q_ids, q_luti, q_norms) for the N_QUERIES query vectors: the
+    per-query (PQ_M x PQ_K) integer LUT of query-subvector x codeword dots.
+    ONE definition shared by ann_pq_topk and the stage1 plan test so the
+    rounding-contract-critical pieces — the LEFT-TO-RIGHT per-dim fold
+    (same order as _DOT / list_dot_product, the _score_pairs contract) and
+    the floor(lut * 2^20 + 0.5) integer grid — cannot drift between the
+    production path and what the test measures. Empty q_ids = degenerate
+    corpus with no query vectors."""
     import numpy as np
 
-    base = _indexed_embeddings(spark, sf_dir)
-    codes, cb = _pq_index(base, n_iter)
-    cb_rows = cb.select("m", "c_id", "cw").collect()  # PQ_M*PQ_K tiny rows
     cw = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.float64)
-    for r in cb_rows:
+    for r in cb.select("m", "c_id", "cw").collect():  # PQ_M*PQ_K tiny rows
         cw[r["m"], r["c_id"]] = r["cw"]
     qrows = (
         base.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding", "norm")
         .collect()
     )
-    if not qrows:
-        return codes.select(
-            F.col("vec_id").alias("query_id"),
-            F.lit(1).alias("rank"),
-            F.col("vec_id").alias("neighbor_id"),
-        ).limit(0)
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     q_norms = np.array([r["norm"] for r in qrows], dtype=np.float64)
-    # LUT: dot(q_m, cw) as the same LEFT-TO-RIGHT per-dim fold as _DOT /
-    # list_dot_product (the _score_pairs rounding contract), then floor to
-    # the integer grid both engines share
     qs = q_mat.reshape(len(q_ids), PQ_M, PQ_SUBDIM)
     lut = np.zeros((len(q_ids), PQ_M, PQ_K), dtype=np.float64)
     for d in range(PQ_SUBDIM):
         lut += qs[:, :, None, d] * cw[None, :, :, d]
     q_luti = np.floor(lut * _PQ_LUT_SCALE + 0.5).astype(np.int64)
+    return q_ids, q_luti, q_norms
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str, n_iter: int = PQ_ITERS) -> DataFrame:
+    """Product-quantized ANN: train the per-subspace codebooks, encode the
+    corpus to PQ_M code ids + a quantized reconstruction norm, ADC-scan the
+    codes with per-query integer LUTs, exact-cosine rerank the shortlist.
+    The scan stage reads ONLY (vec_id, code_arr, pqn); the float vectors
+    are touched for N_QUERIES LUT builds and the 100-per-query rerank."""
+    base = _indexed_embeddings(spark, sf_dir)
+    codes, cb = _pq_index(base, n_iter)
+    q_ids, q_luti, q_norms = _pq_query_luts(base, cb)
+    if not len(q_ids):
+        return codes.select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(1).alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+        ).limit(0)
     stage1 = _pq_stage1(codes, q_ids, q_luti, q_norms)
     w1 = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
     shortlist = (

@@ -978,8 +978,10 @@ LINE_DEDUP_SQL = _line_dedup_sql()
 # text_line_dedup's keeper. The
 # covered-position explode is a bounded x k fan-out, collapsed per doc by
 # collect_set (per-row state bounded by tokens-per-doc, not corpus size);
-# the occurrence key packs (doc_id, pos) into one int64 under the
-# documented positions-per-doc < 2^20 bound. Hash collisions remove a
+# the occurrence key packs (doc_id, pos) into one int64 under an
+# ENFORCED positions-per-doc < 2^20 bound (both engines raise_error/
+# error() past it — loud failure, never silent key collision). Hash
+# collisions remove a
 # non-duplicated span with p ~ 2^-32 per gram pair — identical in both
 # engines (the twin keys on the same h32), the dup_grams/decontaminate
 # convention.
@@ -1004,14 +1006,32 @@ def text_substring_dedup_frame(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         toks = docs.select(
             "doc_id", F.expr(SPARK_TOKENS).alias("toks")
         ).localCheckpoint(eager=True)
-    g = toks.select(
-        "doc_id",
-        F.posexplode(F.expr(_spark_kgrams(k))).alias("pos", "gram"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.expr(spark_h32("gram")).alias("h"),
-        (F.col("doc_id") * _SUBSTR_POS_CAP + F.col("pos")).alias("okey"),
+    # the packed-key guard lives INSIDE okey so a monster document (>= 2^20
+    # token positions) fails LOUDLY instead of silently electing a later
+    # doc's occurrence as the global first (the key ranges would overlap);
+    # both engines raise, so the bound can never corrupt and pass parity.
+    # The gram frame is materialized ONCE: the firsts aggregate and the
+    # probe side of the join otherwise each re-run the concat_ws+md5 per
+    # gram (the expensive expression), and their differing subplans defeat
+    # ReuseExchange.
+    g = (
+        toks.select(
+            "doc_id",
+            F.posexplode(F.expr(_spark_kgrams(k))).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(spark_h32("gram")).alias("h"),
+            F.expr(
+                f"case when pos < {_SUBSTR_POS_CAP} "
+                f"then doc_id * {_SUBSTR_POS_CAP} + pos "
+                f"else cast(raise_error('text_substring_dedup: document has "
+                f">= {_SUBSTR_POS_CAP} token positions - packed occurrence "
+                f"key would collide') as bigint) end"
+            ).alias("okey"),
+        )
+        .localCheckpoint(eager=True)
     )
     firsts = g.groupBy("h").agg(F.min("okey").alias("first_key"))
     dup = (
@@ -1049,19 +1069,26 @@ def _substring_dedup_sql(k: int = SUBSTR_K) -> str:
     return f"""
 WITH toksd AS (
   SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
-), g AS (
+), g0 AS (
   SELECT doc_id,
          unnest(range(0, greatest(len(toks) - {k} + 1, 0))) AS pos,
          unnest(list_transform(range(1, greatest(len(toks) - {k} + 1, 0) + 1),
                 i -> {duck_h32(parts)})) AS h
   FROM toksd
-), f AS (SELECT h, min(doc_id * {_SUBSTR_POS_CAP} + pos) AS first_key FROM g GROUP BY h),
+), g AS (
+  SELECT doc_id, pos, h,
+         CASE WHEN pos < {_SUBSTR_POS_CAP}
+              THEN doc_id * {_SUBSTR_POS_CAP} + pos
+              ELSE error('text_substring_dedup: packed occurrence key would collide')
+         END AS okey
+  FROM g0
+), f AS (SELECT h, min(okey) AS first_key FROM g GROUP BY h),
 dup AS (
   SELECT g.doc_id, g.pos FROM g JOIN f USING (h)
-  WHERE g.doc_id * {_SUBSTR_POS_CAP} + g.pos <> f.first_key
+  WHERE g.okey <> f.first_key
 ),
 covd AS (
-  SELECT doc_id, list(DISTINCT cp) AS cov FROM (
+  SELECT doc_id, list(cp) AS cov FROM (
     SELECT DISTINCT doc_id, pos + j.range AS cp FROM dup, range(0, {k}) j
   ) GROUP BY doc_id
 )

@@ -518,40 +518,20 @@ def test_pq_stage1_bounded_per_batch(spark):
     global-shortlist member."""
     import math
 
-    import numpy as np
-
     from crawler_spark.operators.similarity import (
-        N_QUERIES,
-        PQ_M,
-        PQ_K,
-        PQ_SUBDIM,
         PQ_SHORTLIST_MULT,
         TOP_K,
         _indexed_embeddings,
         _pq_index,
+        _pq_query_luts,
         _pq_stage1,
-        _PQ_LUT_SCALE,
     )
 
     base = _indexed_embeddings(spark, SF)
     codes, cb = _pq_index(base)
-    cb_rows = cb.select("m", "c_id", "cw").collect()
-    cw = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.float64)
-    for r in cb_rows:
-        cw[r["m"], r["c_id"]] = r["cw"]
-    qrows = (
-        base.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding", "norm")
-        .collect()
-    )
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    q_norms = np.array([r["norm"] for r in qrows], dtype=np.float64)
-    qs = q_mat.reshape(len(q_ids), PQ_M, PQ_SUBDIM)
-    lut = np.zeros((len(q_ids), PQ_M, PQ_K), dtype=np.float64)
-    for d in range(PQ_SUBDIM):
-        lut += qs[:, :, None, d] * cw[None, :, :, d]
-    q_luti = np.floor(lut * _PQ_LUT_SCALE + 0.5).astype(np.int64)
+    # the SHARED LUT builder (production path) — the test measures exactly
+    # the stage1 ann_pq_topk runs
+    q_ids, q_luti, q_norms = _pq_query_luts(base, cb)
 
     stage1 = _pq_stage1(codes, q_ids, q_luti, q_norms)
     arrow_batch = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))

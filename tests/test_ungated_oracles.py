@@ -566,7 +566,7 @@ def test_audio_neardup_matches_brute_force():
     sql = con.execute(AUDIO_NEARDUP_SQL).df().sort_values("clip_id")
 
     n = max(con.execute("SELECT count(*) FROM documents").fetchone()[0] // 4, 1)
-    n_classes = max(n // _AUD_DUP_OFFSETS, 1)
+    n_classes = max((n + _AUD_DUP_OFFSETS - 1) // _AUD_DUP_OFFSETS, 1)
     pcm = _audio_dup_samples(np.arange(n, dtype=np.int64), n_classes)
     bits = (pcm.astype(np.int64) > 0).reshape(n * N_AUD_WINS, AUD_WIN)
     packed = np.packbits(bits.astype(np.uint8), axis=1)
