@@ -56,7 +56,7 @@ def _ungated_headline() -> dict:
         mm_video_neardup,
     )
     from crawler_spark.operators.pipeline import dedup_best_rep, source_rollup
-    from crawler_spark.operators.similarity import ann_pq_topk, dedup_semantic
+    from crawler_spark.operators.similarity import ann_ivfpq_topk, ann_pq_topk, dedup_semantic
     from crawler_spark.operators.relational import (
         x_asof_join,
         x_range_join,
@@ -76,6 +76,7 @@ def _ungated_headline() -> dict:
         "dedup_incremental": dedup_incremental,
         "dedup_semantic": dedup_semantic,
         "ann_pq_topk": ann_pq_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "text_dsir": text_dsir,
         "text_gopher_rules": text_gopher_rules,
         "text_surprisal": text_surprisal,

@@ -1229,6 +1229,105 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, n_iter: int = PQ_ITERS) -> Dat
     )
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
+                   n_iter: int = IVF_ITERS) -> DataFrame:
+    """IVF + PQ composed — the full FAISS IVFPQ architecture from the two
+    already-verified stages: the IVF coarse quantizer restricts candidates
+    to the N_PROBE nearest lists per query (nprobe/nlist of the corpus,
+    never all of it), the PQ codes ADC-score ONLY those candidates, and
+    the exact rerank touches the shortlist. At 100 TB this is the
+    standard billion-vector serving shape: the scan cost is
+    (nprobe/nlist) x 8 LUT adds per vector over an 8-byte-per-vector
+    index.
+
+    Unlike the exhaustive ann_pq_topk (whose GEMM-style kernel scans every
+    code), the candidate set here is per-query, so the ADC is the JVM-side
+    shape: posexplode the 8 codes, equi-join the broadcast (query, m,
+    code) integer LUT [N_QUERIES x PQ_M x PQ_K rows], and sum — an exact
+    order-independent int64, zero Python in the scoring path. Ties break
+    on neighbor_id; determinism matches the DuckDB twin clause for
+    clause."""
+    base = _indexed_embeddings(spark, sf_dir)
+    # IVF coarse stage (ann_ivf_topk's members/probes, verbatim)
+    aff = _centroid_affinity(base, "vec_id", n_iter).localCheckpoint(eager=True)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+    members = (
+        aff.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("c_id").alias("list_id"))
+    )
+    probes = (
+        aff.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("c_id").alias("list_id"))
+    )
+    # PQ codes + per-query integer LUTs
+    codes, cb = _pq_index(base)
+    q_ids, q_luti, q_norms = _pq_query_luts(base, cb)
+    if not len(q_ids):
+        return codes.select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(1).alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+        ).limit(0)
+    lut_rows = [
+        (int(q_ids[qi]), m, c, int(q_luti[qi, m, c]), float(q_norms[qi]))
+        for qi in range(len(q_ids))
+        for m in range(PQ_M)
+        for c in range(PQ_K)
+    ]
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, m int, c_id int, li long, qnorm double"
+    )
+    cands = (
+        probes.join(members, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(codes, codes["vec_id"] == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "code_arr", "pqn")
+    )
+    adc = (
+        cands.select(
+            "query_id", "neighbor_id", "pqn",
+            F.posexplode("code_arr").alias("m", "c_id"),
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "c_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("li").alias("si"),
+            F.first("pqn").alias("pqn"),
+            F.first("qnorm").alias("qnorm"),
+        )
+        .withColumn(
+            "qcos",
+            F.col("si")
+            / (float(_PQ_LUT_SCALE) * F.col("qnorm") * F.col("pqn")),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= PQ_SHORTLIST_MULT * TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    q = _side(base, "query_id", "qe")
+    c = _side(base, "neighbor_id", "ce")
+    scored = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="qe", b="ce")) / (F.col("_n_qe") * F.col("_n_ce")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def _pq_cb_ctes(n_iter: int) -> str:
     """CTE chain training the per-subspace codebooks for `n_iter` Lloyd
     rounds — the SQL twin of _pq_index's training loop."""
@@ -1353,6 +1452,105 @@ WHERE rank <= {TOP_K}
 
 
 ANN_PQ_SQL = pq_sql(PQ_ITERS)
+
+
+def ivfpq_sql(n_iter: int = IVF_ITERS) -> str:
+    """IVFPQ twin: the IVF codebook CTEs and the PQ codebook CTEs compose
+    in one WITH (disjoint names), candidates come from the probed lists,
+    and the ADC sums integer LUT entries over ONLY those candidates."""
+    qsub = f"eq.embedding[(s.m * {PQ_SUBDIM} + 1):((s.m + 1) * {PQ_SUBDIM})]"
+    sub = f"e.embedding[(s.m * {PQ_SUBDIM} + 1):((s.m + 1) * {PQ_SUBDIM})]"
+    return f"""
+WITH {_ivf_cents_ctes(n_iter)},
+{_pq_cb_ctes(PQ_ITERS)},
+aff AS (
+  SELECT e.vec_id, c.c_id,
+         {_duck_dot('e.embedding', 'c.ce')}
+           / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
+              * sqrt({_duck_dot('c.ce', 'c.ce')})) AS c_cos
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id ASC) AS r
+  FROM aff
+),
+members AS (SELECT vec_id AS neighbor_id, c_id AS list_id FROM ranked WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, c_id AS list_id FROM ranked
+  WHERE r <= {N_PROBE} AND vec_id < {N_QUERIES}
+),
+fscore AS (
+  SELECT e.vec_id, s.m, s.c_id,
+         {_duck_dot(sub, 's.cw')} - s.cn2 / 2 AS sc
+  FROM embeddings e CROSS JOIN pcb s
+),
+fassign AS (
+  SELECT vec_id, m, c_id FROM (
+    SELECT vec_id, m, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY sc DESC, c_id ASC) AS r
+    FROM fscore) t
+  WHERE r = 1
+),
+pqn AS (
+  SELECT a.vec_id, sqrt(sum(b.cn2i)::DOUBLE / {_PQ_LUT_SCALE}) AS pqn
+  FROM fassign a JOIN pcb b ON b.m = a.m AND b.c_id = a.c_id
+  GROUP BY a.vec_id
+),
+qn AS (
+  SELECT vec_id, sqrt({_duck_dot('embedding', 'embedding')}) AS qnorm
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+luti AS (
+  SELECT eq.vec_id AS query_id, s.m, s.c_id,
+         floor({_duck_dot(qsub, 's.cw')} * {_PQ_LUT_SCALE} + 0.5)::bigint AS li
+  FROM embeddings eq CROSS JOIN pcb s
+  WHERE eq.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, m.neighbor_id
+  FROM probes p JOIN members m
+    ON m.list_id = p.list_id AND m.neighbor_id <> p.query_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, sum(l.li)::bigint AS si
+  FROM cand c
+  JOIN fassign a ON a.vec_id = c.neighbor_id
+  JOIN luti l ON l.query_id = c.query_id AND l.m = a.m AND l.c_id = a.c_id
+  GROUP BY c.query_id, c.neighbor_id
+),
+stage1 AS (
+  SELECT adc.query_id, adc.neighbor_id,
+         adc.si::DOUBLE / ({_PQ_LUT_SCALE} * q.qnorm * p.pqn) AS qcos
+  FROM adc
+  JOIN qn q ON q.vec_id = adc.query_id
+  JOIN pqn p ON p.vec_id = adc.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS r1
+    FROM stage1) t
+  WHERE r1 <= {PQ_SHORTLIST_MULT * TOP_K}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_duck_dot('a.embedding', 'b.embedding')}
+           / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+              * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cos
+  FROM short s
+  JOIN embeddings a ON a.vec_id = s.query_id
+  JOIN embeddings b ON b.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+"""
+
+
+ANN_IVFPQ_SQL = ivfpq_sql(IVF_ITERS)
 
 
 # -- ANN recall audit (not a gated query: a measurement) ---------------------

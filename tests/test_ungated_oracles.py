@@ -45,10 +45,12 @@ from crawler_spark.operators.relational import (
     x_rollup_hier,
 )
 from crawler_spark.operators.similarity import (
+    ANN_IVFPQ_SQL,
     ANN_MULTIPROBE_SQL,
     ANN_PQ_SQL,
     SEMDEDUP_SQL,
     ann_ivf_topk,
+    ann_ivfpq_topk,
     ann_multiprobe_topk,
     ann_pq_topk,
     dedup_semantic,
@@ -117,6 +119,9 @@ def test_ungated_builders_match_oracle(spark):
         # scan, exact rerank — the oracle's stage1 window ranks the FULL
         # QxN score set, so parity also proves the per-batch cut lossless
         ("ann_pq_topk", ann_pq_topk, ANN_PQ_SQL),
+        # the composed FAISS IVFPQ architecture: probed lists restrict the
+        # candidates, the integer ADC scores only those, exact rerank
+        ("ann_ivfpq_topk", ann_ivfpq_topk, ANN_IVFPQ_SQL),
         ("text_repetition", text_repetition, REPETITION_SQL),
         ("sample_stratified", sample_stratified, STRATIFIED_SQL),
         ("text_surprisal", text_surprisal, SURPRISAL_SQL),
