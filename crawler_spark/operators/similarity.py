@@ -1597,6 +1597,7 @@ def ann_recall(spark: SparkSession, sf_dir: str, sim_floor: float = 0.5) -> dict
         ("multiprobe", ann_multiprobe_topk),
         ("sq8", ann_sq8_topk),
         ("pq", ann_pq_topk),
+        ("ivfpq", ann_ivfpq_topk),
     ):
         approx = fn(spark, sf_dir).filter(F.col("query_id") < N_QUERIES)
         approx = approx.localCheckpoint(eager=True)

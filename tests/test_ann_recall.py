@@ -14,12 +14,15 @@ All numbers are DETERMINISTIC (fixed corpus, integer/bit-exact kernels), so
 the floors sit just below the measured values — any drop is a real change:
 
   regime recall   sf0.01@0.35: ivf 0.64, bucket 0.28, multiprobe 0.48, sq8 1.0,
-                  pq 0.96
+                  pq 0.96, ivfpq 0.64
                   sf0.1 @0.40: ivf 0.5789, bucket 0.1053, multiprobe 0.2632,
-                  sq8 1.0, pq 0.8947
+                  sq8 1.0, pq 0.8947, ivfpq 0.5789
   overall @5      ivf 0.60/0.50, bucket 0.18/0.16, multiprobe 0.46/0.33,
-                  sq8 1.0/1.0, pq 0.86/0.60 (sf0.01/sf0.1, IVF at
-                  N_PROBE=4 x IVF_ITERS=2, PQ at 8x16 codes reranking 20k)
+                  sq8 1.0/1.0, pq 0.86/0.60, ivfpq 0.60/0.40 (sf0.01/sf0.1,
+                  IVF at N_PROBE=4 x IVF_ITERS=2, PQ at 8x16 codes reranking
+                  20k; ivfpq's regime recall EQUALS ivf's — the PQ ranking
+                  loses nothing inside the probed lists in the regime, the
+                  loss is all in the coarse stage)
 
 The band paths are honestly weak in these regimes — sign-LSH carries little
 signal at cos ~0.4 in 64 dims; the floors exist to catch regressions, not
@@ -44,12 +47,14 @@ def test_recall_floors_sf001(spark):
     assert r["recall_multiprobe_cos>=0.35"] >= 0.45, r
     assert r["recall_sq8_cos>=0.35"] == 1.0, r
     assert r["recall_pq_cos>=0.35"] >= 0.92, r  # measured 0.96
-    # overall recall@5 floors (measured 0.60 / 0.18 / 0.46 / 1.0 / 0.86)
+    assert r["recall_ivfpq_cos>=0.35"] >= 0.60, r  # measured 0.64 (= ivf)
+    # overall recall@5 floors (measured 0.60 / 0.18 / 0.46 / 1.0 / 0.86 / 0.60)
     assert r["recall_ivf"] >= 0.55, r
     assert r["recall_bucket_rerank"] >= 0.15, r
     assert r["recall_multiprobe"] >= 0.40, r
     assert r["recall_sq8"] == 1.0, r
     assert r["recall_pq"] >= 0.80, r
+    assert r["recall_ivfpq"] >= 0.55, r
 
 
 def test_recall_floors_sf01(spark):
@@ -61,9 +66,11 @@ def test_recall_floors_sf01(spark):
     assert r["recall_multiprobe_cos>=0.4"] >= 0.25, r
     assert r["recall_sq8_cos>=0.4"] == 1.0, r
     assert r["recall_pq_cos>=0.4"] >= 0.84, r  # measured 0.8947
-    # overall recall@5 floors (measured 0.50 / 0.16 / 0.33 / 1.0 / 0.60)
+    assert r["recall_ivfpq_cos>=0.4"] >= 0.55, r  # measured 0.5789 (= ivf)
+    # overall recall@5 floors (measured 0.50 / 0.16 / 0.33 / 1.0 / 0.60 / 0.40)
     assert r["recall_ivf"] >= 0.45, r
     assert r["recall_bucket_rerank"] >= 0.15, r
     assert r["recall_multiprobe"] >= 0.30, r
     assert r["recall_sq8"] == 1.0, r
     assert r["recall_pq"] >= 0.55, r
+    assert r["recall_ivfpq"] >= 0.35, r
