@@ -534,6 +534,50 @@ def _centroid_affinity(base: DataFrame, id_col: str, n_iter: int = 1) -> DataFra
     return _affinity_to(base, _trained_centroids(base, n_iter), id_col)
 
 
+def _ivf_members_probes(aff: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(members, probes) off one materialized affinity: every vector's
+    nearest-centroid list, and each query's N_PROBE nearest lists — ONE
+    definition shared by ann_ivf_topk and the composed ann_ivfpq_topk so
+    the coarse stage cannot drift between them."""
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+    members = (
+        aff.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("c_id").alias("list_id"))
+    )
+    probes = (
+        aff.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("c_id").alias("list_id"))
+    )
+    return members, probes
+
+
+def _exact_rerank(base: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact-cosine top-K over (query_id, neighbor_id) candidate pairs —
+    THE one rerank tail shared by the ivf/sq8/pq/ivfpq serving paths
+    (broadcast query side, (cos desc, neighbor_id asc) window, rank <=
+    TOP_K), so a tiebreak or expression change cannot diverge them."""
+    q = _side(base, "query_id", "qe")
+    c = _side(base, "neighbor_id", "ce")
+    scored = (
+        pairs.select("query_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="qe", b="ce")) / (F.col("_n_qe") * F.col("_n_ce")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_iter: int = IVF_ITERS) -> DataFrame:
     """IVF ANN: assign every vector to its nearest centroid list, probe the
     N_PROBE nearest lists per query, exact-cosine rerank the union of those
@@ -547,37 +591,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_iter: int = IVF_ITERS) -> D
     materialized index as the affinity — one `embeddings` scan end-to-end."""
     base = _indexed_embeddings(spark, sf_dir)
     aff = _centroid_affinity(base, "vec_id", n_iter).localCheckpoint(eager=True)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
-    members = (
-        aff.withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select(F.col("vec_id").alias("neighbor_id"), F.col("c_id").alias("list_id"))
-    )
-    probes = (
-        aff.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("c_id").alias("list_id"))
-    )
+    members, probes = _ivf_members_probes(aff)
     cands = probes.join(members, "list_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    q = _side(base, "query_id", "qe")
-    n = _side(base, "neighbor_id", "ne")
-    scored = (
-        cands.join(F.broadcast(q), "query_id")
-        .join(n, "neighbor_id")
-        .withColumn(
-            "cos",
-            F.expr(_DOT.format(a="qe", b="ne")) / (F.col("_n_qe") * F.col("_n_ne")),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id")
-    )
+    return _exact_rerank(base, cands)
 
 
 def _ivf_cents_ctes(n_iter: int) -> str:
@@ -622,10 +640,11 @@ assign{i + 1} AS (
     return ",\n".join(parts)
 
 
-def ivf_sql(n_iter: int = 1) -> str:
-    return f"""
-WITH {_ivf_cents_ctes(n_iter)},
-aff AS (
+def _ivf_probe_ctes() -> str:
+    """aff/ranked/members/probes over the trained `cents` — the coarse
+    probe block shared verbatim by ivf_sql and ivfpq_sql (one definition,
+    like the Spark-side _ivf_members_probes)."""
+    return f"""aff AS (
   SELECT e.vec_id, c.c_id,
          {_duck_dot('e.embedding', 'c.ce')}
            / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
@@ -641,7 +660,13 @@ members AS (SELECT vec_id AS neighbor_id, c_id AS list_id FROM ranked WHERE r = 
 probes AS (
   SELECT vec_id AS query_id, c_id AS list_id FROM ranked
   WHERE r <= {N_PROBE} AND vec_id < {N_QUERIES}
-),
+)"""
+
+
+def ivf_sql(n_iter: int = 1) -> str:
+    return f"""
+WITH {_ivf_cents_ctes(n_iter)},
+{_ivf_probe_ctes()},
 scored AS (
   SELECT p.query_id, m.neighbor_id,
          {_duck_dot('eq.embedding', 'en.embedding')}
@@ -902,22 +927,7 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r1") <= SQ8_SHORTLIST_MULT * TOP_K)
         .select("query_id", "neighbor_id")
     )
-    q = _side(base, "query_id", "qe")
-    c = _side(base, "neighbor_id", "ce")
-    scored = (
-        shortlist.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .withColumn(
-            "cos",
-            F.expr(_DOT.format(a="qe", b="ce")) / (F.col("_n_qe") * F.col("_n_ce")),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id")
-    )
+    return _exact_rerank(base, shortlist)
 
 
 def _duck_idot(a: str, b: str) -> str:
@@ -1211,22 +1221,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, n_iter: int = PQ_ITERS) -> Dat
         .filter(F.col("r1") <= PQ_SHORTLIST_MULT * TOP_K)
         .select("query_id", "neighbor_id")
     )
-    q = _side(base, "query_id", "qe")
-    c = _side(base, "neighbor_id", "ce")
-    scored = (
-        shortlist.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .withColumn(
-            "cos",
-            F.expr(_DOT.format(a="qe", b="ce")) / (F.col("_n_qe") * F.col("_n_ce")),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id")
-    )
+    return _exact_rerank(base, shortlist)
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
@@ -1248,20 +1243,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
     on neighbor_id; determinism matches the DuckDB twin clause for
     clause."""
     base = _indexed_embeddings(spark, sf_dir)
-    # IVF coarse stage (ann_ivf_topk's members/probes, verbatim)
+    # IVF coarse stage — the SHARED _ivf_members_probes, so the coarse
+    # assignment cannot drift from ann_ivf_topk's
     aff = _centroid_affinity(base, "vec_id", n_iter).localCheckpoint(eager=True)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
-    members = (
-        aff.withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select(F.col("vec_id").alias("neighbor_id"), F.col("c_id").alias("list_id"))
-    )
-    probes = (
-        aff.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("c_id").alias("list_id"))
-    )
+    members, probes = _ivf_members_probes(aff)
     # PQ codes + per-query integer LUTs
     codes, cb = _pq_index(base)
     q_ids, q_luti, q_norms = _pq_query_luts(base, cb)
@@ -1310,22 +1295,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
         .filter(F.col("r1") <= PQ_SHORTLIST_MULT * TOP_K)
         .select("query_id", "neighbor_id")
     )
-    q = _side(base, "query_id", "qe")
-    c = _side(base, "neighbor_id", "ce")
-    scored = (
-        shortlist.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .withColumn(
-            "cos",
-            F.expr(_DOT.format(a="qe", b="ce")) / (F.col("_n_qe") * F.col("_n_ce")),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id")
-    )
+    return _exact_rerank(base, shortlist)
 
 
 def _pq_cb_ctes(n_iter: int) -> str:
@@ -1382,12 +1352,12 @@ passign{i + 1} AS (
     return ",\n".join(parts)
 
 
-def pq_sql(n_iter: int = PQ_ITERS) -> str:
+def _pq_serve_ctes() -> str:
+    """fassign/pqn/qn/luti — the PQ serving blocks (encode + norms + query
+    LUTs) shared verbatim by pq_sql and ivfpq_sql."""
     sub = f"e.embedding[(s.m * {PQ_SUBDIM} + 1):((s.m + 1) * {PQ_SUBDIM})]"
     qsub = f"eq.embedding[(s.m * {PQ_SUBDIM} + 1):((s.m + 1) * {PQ_SUBDIM})]"
-    return f"""
-WITH {_pq_cb_ctes(n_iter)},
-fscore AS (
+    return f"""fscore AS (
   SELECT e.vec_id, s.m, s.c_id,
          {_duck_dot(sub, 's.cw')} - s.cn2 / 2 AS sc
   FROM embeddings e CROSS JOIN pcb s
@@ -1413,14 +1383,14 @@ luti AS (
          floor({_duck_dot(qsub, 's.cw')} * {_PQ_LUT_SCALE} + 0.5)::bigint AS li
   FROM embeddings eq CROSS JOIN pcb s
   WHERE eq.vec_id < {N_QUERIES}
-),
-adc AS (
-  SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.li)::bigint AS si
-  FROM fassign a JOIN luti l ON l.m = a.m AND l.c_id = a.c_id
-  WHERE a.vec_id <> l.query_id
-  GROUP BY l.query_id, a.vec_id
-),
-stage1 AS (
+)"""
+
+
+def _pq_rerank_tail() -> str:
+    """stage1 -> shortlist cut -> exact rerank -> final top-K, shared
+    verbatim by pq_sql and ivfpq_sql (the twin of _exact_rerank +
+    shortlist window on the Spark side)."""
+    return f"""stage1 AS (
   SELECT adc.query_id, adc.neighbor_id,
          adc.si::DOUBLE / ({_PQ_LUT_SCALE} * q.qnorm * p.pqn) AS qcos
   FROM adc
@@ -1451,62 +1421,34 @@ WHERE rank <= {TOP_K}
 """
 
 
+def pq_sql(n_iter: int = PQ_ITERS) -> str:
+    return f"""
+WITH {_pq_cb_ctes(n_iter)},
+{_pq_serve_ctes()},
+adc AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.li)::bigint AS si
+  FROM fassign a JOIN luti l ON l.m = a.m AND l.c_id = a.c_id
+  WHERE a.vec_id <> l.query_id
+  GROUP BY l.query_id, a.vec_id
+),
+{_pq_rerank_tail()}"""
+
+
 ANN_PQ_SQL = pq_sql(PQ_ITERS)
 
 
 def ivfpq_sql(n_iter: int = IVF_ITERS) -> str:
-    """IVFPQ twin: the IVF codebook CTEs and the PQ codebook CTEs compose
-    in one WITH (disjoint names), candidates come from the probed lists,
-    and the ADC sums integer LUT entries over ONLY those candidates."""
-    qsub = f"eq.embedding[(s.m * {PQ_SUBDIM} + 1):((s.m + 1) * {PQ_SUBDIM})]"
-    sub = f"e.embedding[(s.m * {PQ_SUBDIM} + 1):((s.m + 1) * {PQ_SUBDIM})]"
+    """IVFPQ twin: composed from the SAME shared blocks as its parents —
+    _ivf_cents_ctes + _ivf_probe_ctes (the coarse stage, verbatim
+    ivf_sql's), _pq_cb_ctes + _pq_serve_ctes + _pq_rerank_tail (the PQ
+    stage, verbatim pq_sql's; disjoint CTE names) — with only the `cand`
+    restriction and the candidate-limited `adc` of its own, so a fix to
+    either parent's math flows here by construction."""
     return f"""
 WITH {_ivf_cents_ctes(n_iter)},
 {_pq_cb_ctes(PQ_ITERS)},
-aff AS (
-  SELECT e.vec_id, c.c_id,
-         {_duck_dot('e.embedding', 'c.ce')}
-           / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
-              * sqrt({_duck_dot('c.ce', 'c.ce')})) AS c_cos
-  FROM embeddings e CROSS JOIN cents c
-),
-ranked AS (
-  SELECT vec_id, c_id,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id ASC) AS r
-  FROM aff
-),
-members AS (SELECT vec_id AS neighbor_id, c_id AS list_id FROM ranked WHERE r = 1),
-probes AS (
-  SELECT vec_id AS query_id, c_id AS list_id FROM ranked
-  WHERE r <= {N_PROBE} AND vec_id < {N_QUERIES}
-),
-fscore AS (
-  SELECT e.vec_id, s.m, s.c_id,
-         {_duck_dot(sub, 's.cw')} - s.cn2 / 2 AS sc
-  FROM embeddings e CROSS JOIN pcb s
-),
-fassign AS (
-  SELECT vec_id, m, c_id FROM (
-    SELECT vec_id, m, c_id,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY sc DESC, c_id ASC) AS r
-    FROM fscore) t
-  WHERE r = 1
-),
-pqn AS (
-  SELECT a.vec_id, sqrt(sum(b.cn2i)::DOUBLE / {_PQ_LUT_SCALE}) AS pqn
-  FROM fassign a JOIN pcb b ON b.m = a.m AND b.c_id = a.c_id
-  GROUP BY a.vec_id
-),
-qn AS (
-  SELECT vec_id, sqrt({_duck_dot('embedding', 'embedding')}) AS qnorm
-  FROM embeddings WHERE vec_id < {N_QUERIES}
-),
-luti AS (
-  SELECT eq.vec_id AS query_id, s.m, s.c_id,
-         floor({_duck_dot(qsub, 's.cw')} * {_PQ_LUT_SCALE} + 0.5)::bigint AS li
-  FROM embeddings eq CROSS JOIN pcb s
-  WHERE eq.vec_id < {N_QUERIES}
-),
+{_ivf_probe_ctes()},
+{_pq_serve_ctes()},
 cand AS (
   SELECT p.query_id, m.neighbor_id
   FROM probes p JOIN members m
@@ -1519,35 +1461,7 @@ adc AS (
   JOIN luti l ON l.query_id = c.query_id AND l.m = a.m AND l.c_id = a.c_id
   GROUP BY c.query_id, c.neighbor_id
 ),
-stage1 AS (
-  SELECT adc.query_id, adc.neighbor_id,
-         adc.si::DOUBLE / ({_PQ_LUT_SCALE} * q.qnorm * p.pqn) AS qcos
-  FROM adc
-  JOIN qn q ON q.vec_id = adc.query_id
-  JOIN pqn p ON p.vec_id = adc.neighbor_id
-),
-short AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS r1
-    FROM stage1) t
-  WHERE r1 <= {PQ_SHORTLIST_MULT * TOP_K}
-),
-scored AS (
-  SELECT s.query_id, s.neighbor_id,
-         {_duck_dot('a.embedding', 'b.embedding')}
-           / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
-              * sqrt({_duck_dot('b.embedding', 'b.embedding')})) AS cos
-  FROM short s
-  JOIN embeddings a ON a.vec_id = s.query_id
-  JOIN embeddings b ON b.vec_id = s.neighbor_id
-)
-SELECT query_id, rank, neighbor_id FROM (
-  SELECT query_id, neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored) t
-WHERE rank <= {TOP_K}
-"""
+{_pq_rerank_tail()}"""
 
 
 ANN_IVFPQ_SQL = ivfpq_sql(IVF_ITERS)
