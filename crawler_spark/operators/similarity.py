@@ -1125,9 +1125,9 @@ def _pq_index(base: DataFrame, n_iter: int = PQ_ITERS) -> tuple[DataFrame, DataF
 def _pq_stage1(codes: DataFrame, q_ids, q_luti, q_norms) -> DataFrame:
     """ADC scan with the SQ8 per-batch per-query top-m cut: each Arrow batch
     gathers PQ_M int64 LUT entries per (query, candidate) — no float vector
-    reads — and emits only its local top-(SQ8_SHORTLIST_MULT*TOP_K) under
+    reads — and emits only its local top-(PQ_SHORTLIST_MULT*TOP_K) under
     the exact (qcos desc, neighbor_id asc) order, so the global window
-    merges n_batches x Q x 3k rows instead of Q x N (the ann_sq8 lesson)."""
+    merges n_batches x Q x 100 rows instead of Q x N (the ann_sq8 lesson)."""
     import numpy as np
 
     m_cut = PQ_SHORTLIST_MULT * TOP_K

@@ -978,9 +978,10 @@ LINE_DEDUP_SQL = _line_dedup_sql()
 # text_line_dedup's keeper. The
 # covered-position explode is a bounded x k fan-out, collapsed per doc by
 # collect_set (per-row state bounded by tokens-per-doc, not corpus size);
-# the occurrence key packs (doc_id, pos) into one int64 under an
-# ENFORCED positions-per-doc < 2^20 bound (both engines raise_error/
-# error() past it — loud failure, never silent key collision). Hash
+# the occurrence key packs (doc_id, pos) into one int64 under ENFORCED
+# positions-per-doc < 2^20 AND doc_id < 2^43 bounds (their product is the
+# int64 budget; both engines raise_error/error() past either — loud
+# failure, never silent key collision or opaque overflow). Hash
 # collisions remove a
 # non-duplicated span with p ~ 2^-32 per gram pair — identical in both
 # engines (the twin keys on the same h32), the dup_grams/decontaminate
@@ -988,6 +989,7 @@ LINE_DEDUP_SQL = _line_dedup_sql()
 
 SUBSTR_K = 8
 _SUBSTR_POS_CAP = 1 << 20  # tokens per document bound for the packed key
+_SUBSTR_DOC_CAP = 1 << 43  # doc_id bound: doc_id * POS_CAP + pos < 2^63
 
 
 def text_substring_dedup(spark: SparkSession, sf_dir: str,
@@ -1007,9 +1009,11 @@ def text_substring_dedup_frame(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             "doc_id", F.expr(SPARK_TOKENS).alias("toks")
         ).localCheckpoint(eager=True)
     # the packed-key guard lives INSIDE okey so a monster document (>= 2^20
-    # token positions) fails LOUDLY instead of silently electing a later
-    # doc's occurrence as the global first (the key ranges would overlap);
-    # both engines raise, so the bound can never corrupt and pass parity.
+    # token positions) or an out-of-range doc_id (>= 2^43 — the multiply
+    # would overflow int64) fails LOUDLY instead of silently electing a
+    # later doc's occurrence as the global first (the key ranges would
+    # overlap) or dying with an opaque ANSI-overflow message; both engines
+    # raise, so the bounds can never corrupt and pass parity.
     # The gram frame is materialized ONCE: the firsts aggregate and the
     # probe side of the join otherwise each re-run the concat_ws+md5 per
     # gram (the expensive expression), and their differing subplans defeat
@@ -1025,10 +1029,12 @@ def text_substring_dedup_frame(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             F.expr(spark_h32("gram")).alias("h"),
             F.expr(
                 f"case when pos < {_SUBSTR_POS_CAP} "
+                f"and doc_id >= 0 and doc_id < {_SUBSTR_DOC_CAP} "
                 f"then doc_id * {_SUBSTR_POS_CAP} + pos "
-                f"else cast(raise_error('text_substring_dedup: document has "
-                f">= {_SUBSTR_POS_CAP} token positions - packed occurrence "
-                f"key would collide') as bigint) end"
+                f"else cast(raise_error('text_substring_dedup: packed "
+                f"occurrence key out of range - document has >= "
+                f"{_SUBSTR_POS_CAP} token positions or doc_id outside "
+                f"[0, {_SUBSTR_DOC_CAP})') as bigint) end"
             ).alias("okey"),
         )
         .localCheckpoint(eager=True)
@@ -1078,8 +1084,9 @@ WITH toksd AS (
 ), g AS (
   SELECT doc_id, pos, h,
          CASE WHEN pos < {_SUBSTR_POS_CAP}
+                   AND doc_id >= 0 AND doc_id < {_SUBSTR_DOC_CAP}
               THEN doc_id * {_SUBSTR_POS_CAP} + pos
-              ELSE error('text_substring_dedup: packed occurrence key would collide')
+              ELSE error('text_substring_dedup: packed occurrence key out of range')
          END AS okey
   FROM g0
 ), f AS (SELECT h, min(okey) AS first_key FROM g GROUP BY h),

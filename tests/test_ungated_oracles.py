@@ -622,3 +622,82 @@ def test_audio_neardup_matches_brute_force():
         assert bool(r["is_dup"]) == (mn < k), k
         assert int(r["n_wins"]) == N_AUD_WINS, k
     assert len(sql) == n
+
+
+def test_substring_dedup_doc_id_bound_raises(spark):
+    """The packed occurrence key guards BOTH factors: a doc_id >= 2^43
+    (whose doc_id * 2^20 would overflow int64) must hit the designed
+    raise_error diagnostic, not an opaque ANSI arithmetic overflow."""
+    import pytest
+
+    from crawler_spark.operators.text import text_substring_dedup_frame
+
+    docs = spark.createDataFrame(
+        [(1 << 43, "a b c d e f g h i j k l")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="out of range"):
+        text_substring_dedup_frame(docs).collect()
+
+
+def test_audio_flip_bound_at_bench_scale():
+    """The audio dup corpus DESIGN bound, checked at sf0.1's clip count
+    (1250 clips, 250 classes) instead of only the 125-clip sf0.001 corpus:
+    for EVERY same-class pair and every time-aligned window overlap, the
+    DC-offset remaster flips at most 2 sign bits (<= PHASH_HAM_MAX) and
+    leaves at least one of the 4 16-bit bands intact — so every aligned
+    window is a band-join hit and every true trim pair clears
+    AUD_MATCH_MIN at the larger corpus too. Pure numpy (the corpus is a
+    closed form); an all-pairs Spark run at 1250 clips is not needed to
+    verify the designed dup structure."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_spark.operators.multimodal import (
+        _AUD_DUP_OFFSETS,
+        AUD_MATCH_MIN,
+        AUD_WIN,
+        N_AUD_WINS,
+        N_PHASH_BANDS,
+        PHASH_BAND_BITS,
+        PHASH_HAM_MAX,
+        _audio_dup_samples,
+    )
+
+    n_docs = pq.read_metadata("/root/testdata/sf0.1/documents.parquet").num_rows
+    n = max(n_docs // 4, 1)
+    n_classes = max((n + _AUD_DUP_OFFSETS - 1) // _AUD_DUP_OFFSETS, 1)
+    assert n == n_classes * _AUD_DUP_OFFSETS, (n, n_classes)  # clean reshape
+
+    pcm = _audio_dup_samples(np.arange(n, dtype=np.int64), n_classes)
+    bits = (pcm.astype(np.int64) > 0).reshape(n * N_AUD_WINS, AUD_WIN)
+    packed = np.packbits(bits.astype(np.uint8), axis=1)
+    u = packed.view(">u8")[:, 0].astype(np.uint64).reshape(n, N_AUD_WINS)
+    # clip k = offset (k // n_classes) x class (k % n_classes)
+    U = u.reshape(_AUD_DUP_OFFSETS, n_classes, N_AUD_WINS)
+
+    def popcnt(x: np.ndarray) -> np.ndarray:
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+    band_mask = np.uint64((1 << PHASH_BAND_BITS) - 1)
+    max_ham = 0
+    for d in range(1, _AUD_DUP_OFFSETS):
+        for oa in range(_AUD_DUP_OFFSETS - d):
+            # clip (oa, c) window w aligns with clip (oa+d, c) window w-d
+            x = U[oa, :, d:] ^ U[oa + d, :, : N_AUD_WINS - d]
+            ham = popcnt(x)
+            max_ham = max(max_ham, int(ham.max()))
+            assert int(ham.max()) <= PHASH_HAM_MAX, (d, oa, int(ham.max()))
+            intact = np.zeros(x.shape, dtype=bool)
+            for i in range(N_PHASH_BANDS):
+                intact |= ((x >> np.uint64(PHASH_BAND_BITS * i)) & band_mask) == 0
+            assert intact.all(), (d, oa, "aligned window with no intact band")
+            # the overlap alone clears the edge threshold
+            assert N_AUD_WINS - d >= AUD_MATCH_MIN, (d,)
+    # the designed flip bound: DC remaster flips at most 2 bits per window
+    assert max_ham <= 2, max_ham
+    assert max_ham > 0, "DC-offset path inert at this scale?"
