@@ -454,16 +454,54 @@ WHERE {_duck_dot('a.embedding', 'b.embedding')}
 # broadcast; the probe join touches only nprobe lists per query — candidate
 # count is nprobe/nlist of the corpus instead of all of it. More Lloyd
 # iterations = repeat the same two groupBys; the dataflow is unchanged.
+#
+# N_CENTROIDS/N_PROBE are the STATIC-ORACLE defaults (the gated driver runs
+# a fixed SQL string, so the gated form pins one width the way ann_ivf_topk
+# pins IVF_ITERS Lloyd rounds); every builder and SQL generator below takes
+# n_centroids/n_probe so the production sizing — nlist_for(corpus_size) —
+# runs the identical plan at any width, and the non-default widths are
+# oracle-verified in tests/test_ungated_oracles.py.
 N_CENTROIDS = 16
-# 4 of 16 lists probed (25% of the corpus per query): with the 2-round
-# Lloyd codebook this measures recall@5 ~0.5-0.6 overall (1.0 in the
-# cos>=0.5 near-dup regime) — floors asserted in tests/test_ann_recall.py
+# 4 of 16 lists probed: with the 2-round Lloyd codebook this measures
+# recall@5 ~0.5-0.6 overall at the test corpora — floors asserted in
+# tests/test_ann_recall.py (which also pins the SIZED-width recall).
 N_PROBE = 4
 IVF_ITERS = 2  # gated default Lloyd rounds (ivf_sql(n) generates any depth)
 _CSCALE = 1 << 20
 
 
-def _centroid_means(base: DataFrame, assign: DataFrame | None) -> DataFrame:
+def nlist_for(corpus_size: int) -> int:
+    """IVF list count sized to the corpus — the coarse-quantizer analog of
+    `ann_planes_for` (and `dedup.lsh_params_for`): nlist ~ 4*sqrt(N), the
+    published FAISS guidance, floored at N_CENTROIDS so the static-oracle
+    default regime is unchanged at the test corpora. Why sqrt: the expected
+    list population N/nlist then grows only as sqrt(N)/4, so with a fixed
+    nprobe the per-query scan cost is nprobe*sqrt(N)/4 — SUBLINEAR — where
+    any constant nlist degenerates to a constant fraction of the corpus
+    (nprobe/nlist of everything). The same parameter bounds SemDeDup's
+    within-cluster pair step: pairs ~ nlist * (N/nlist)^2 = N^1.5/4 instead
+    of N^2/nlist, and `dedup_semantic`'s cluster_cap sub-bucketing bounds
+    stragglers past that expectation. At 10^9 vectors: nlist ~ 126k lists
+    of ~8k vectors, the standard billion-scale IVF shape."""
+    import math
+
+    return max(N_CENTROIDS, 4 * math.isqrt(max(corpus_size, 0)))
+
+
+# The nprobe that pairs with an nlist_for-sized codebook (FAISS practice:
+# a fixed few-dozen probes, so the scanned fraction nprobe/nlist shrinks
+# as the corpus grows — 32/126k ~ 0.03% at 10^9 vectors). Measured at
+# sf0.1 (nlist_for(2000)=176): IVF recall@5 0.73 overall / 0.7368 in the
+# cos>=0.4 regime and IVFPQ 0.60/0.7368, BOTH above the fixed-width
+# default's 0.50/0.5789 and 0.40/0.5789 while scanning 18% of the corpus
+# instead of 25% — the sizing lever raises recall and cuts scan cost at
+# once (floors pinned in tests/test_ann_recall.py).
+SIZED_NPROBE = 32
+
+
+def _centroid_means(
+    base: DataFrame, assign: DataFrame | None, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
     """(c_id, ce array<double>, _n_ce): per-dimension means of each
     assignment's members, accumulated in INTEGER space (order-independent,
     so bit-identical across engines and partitionings). assign=None is the
@@ -472,7 +510,7 @@ def _centroid_means(base: DataFrame, assign: DataFrame | None) -> DataFrame:
     re-assignments (later Lloyd rounds) pay the vec_id equi-join."""
     if assign is None:
         exploded = base.select(
-            F.pmod("vec_id", F.lit(N_CENTROIDS)).alias("c_id"),
+            F.pmod("vec_id", F.lit(n_centroids)).alias("c_id"),
             F.posexplode("embedding").alias("pos", "x"),
         )
     else:
@@ -508,16 +546,19 @@ def _affinity_to(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _trained_centroids(base: DataFrame, n_iter: int = 1) -> DataFrame:
+def _trained_centroids(
+    base: DataFrame, n_iter: int = 1, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
     """The Lloyd codebook: seed partition pmod(vec_id, k), then `n_iter`
     rounds of means; rounds after the first REASSIGN each vector to its
     nearest current centroid (cosine, ties by c_id — deterministic) before
     recomputing means. Every round is the same two groupBys over the
     materialized index + one broadcast affinity join — more iterations
     repeat the dataflow, they do not change it. The gated `ann_ivf_topk`
-    trains IVF_ITERS rounds (its oracle is ivf_sql(IVF_ITERS), generated
-    from the same parameters); a deeper path is verified ungated."""
-    cents = _centroid_means(base, None)
+    trains IVF_ITERS rounds over N_CENTROIDS lists (its oracle is
+    ivf_sql(IVF_ITERS), generated from the same parameters); deeper and
+    WIDER (nlist_for-sized) paths are verified ungated."""
+    cents = _centroid_means(base, None, n_centroids)
     for _ in range(1, n_iter):
         aff = _affinity_to(base, cents, "vec_id")
         w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
@@ -526,17 +567,21 @@ def _trained_centroids(base: DataFrame, n_iter: int = 1) -> DataFrame:
             .filter(F.col("r") == 1)
             .select("vec_id", "c_id")
         )
-        cents = _centroid_means(base, assign)
+        cents = _centroid_means(base, assign, n_centroids)
     return cents
 
 
-def _centroid_affinity(base: DataFrame, id_col: str, n_iter: int = 1) -> DataFrame:
-    return _affinity_to(base, _trained_centroids(base, n_iter), id_col)
+def _centroid_affinity(
+    base: DataFrame, id_col: str, n_iter: int = 1, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
+    return _affinity_to(base, _trained_centroids(base, n_iter, n_centroids), id_col)
 
 
-def _ivf_members_probes(aff: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _ivf_members_probes(
+    aff: DataFrame, n_probe: int = N_PROBE
+) -> tuple[DataFrame, DataFrame]:
     """(members, probes) off one materialized affinity: every vector's
-    nearest-centroid list, and each query's N_PROBE nearest lists — ONE
+    nearest-centroid list, and each query's n_probe nearest lists — ONE
     definition shared by ann_ivf_topk and the composed ann_ivfpq_topk so
     the coarse stage cannot drift between them."""
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
@@ -548,7 +593,7 @@ def _ivf_members_probes(aff: DataFrame) -> tuple[DataFrame, DataFrame]:
     probes = (
         aff.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") <= N_PROBE)
+        .filter(F.col("r") <= n_probe)
         .select(F.col("vec_id").alias("query_id"), F.col("c_id").alias("list_id"))
     )
     return members, probes
@@ -578,32 +623,44 @@ def _exact_rerank(base: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_iter: int = IVF_ITERS) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = IVF_ITERS,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
     """IVF ANN: assign every vector to its nearest centroid list, probe the
-    N_PROBE nearest lists per query, exact-cosine rerank the union of those
+    n_probe nearest lists per query, exact-cosine rerank the union of those
     lists. Ties broken by c_id / neighbor_id for cross-engine determinism.
-    `n_iter` Lloyd rounds train the codebook (default IVF_ITERS = the gated
-    form; `ivf_sql(n_iter)` generates the matching oracle for any depth).
+    `n_iter` Lloyd rounds train the codebook over `n_centroids` lists
+    (defaults = the gated form; `ivf_sql(n_iter, n_centroids, n_probe)`
+    generates the matching oracle for any configuration — production sizes
+    the width with `nlist_for(corpus_size)`, which keeps the per-query scan
+    sublinear; the sized width is oracle-verified ungated and its recall is
+    pinned in tests/test_ann_recall.py).
 
     Plan hygiene: the affinity table feeds BOTH `members` and `probes`, so it
     is materialized once (lazy checkpoint would do, but eager keeps the job
     accounting simple at test scale); the rerank sides read the same
     materialized index as the affinity — one `embeddings` scan end-to-end."""
     base = _indexed_embeddings(spark, sf_dir)
-    aff = _centroid_affinity(base, "vec_id", n_iter).localCheckpoint(eager=True)
-    members, probes = _ivf_members_probes(aff)
+    aff = _centroid_affinity(base, "vec_id", n_iter, n_centroids).localCheckpoint(
+        eager=True
+    )
+    members, probes = _ivf_members_probes(aff, n_probe)
     cands = probes.join(members, "list_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     return _exact_rerank(base, cands)
 
 
-def _ivf_cents_ctes(n_iter: int) -> str:
+def _ivf_cents_ctes(n_iter: int, n_centroids: int = N_CENTROIDS) -> str:
     """CTE chain training the codebook for `n_iter` Lloyd rounds — the SQL
     twin of `_trained_centroids`: seed assign0 = vec_id % k, per-round
     integer-scaled means, cosine re-assignment between rounds."""
     parts = [
-        f"assign0 AS (SELECT vec_id, vec_id % {N_CENTROIDS} AS c_id FROM embeddings)"
+        f"assign0 AS (SELECT vec_id, vec_id % {n_centroids} AS c_id FROM embeddings)"
     ]
     for i in range(n_iter):
         parts.append(f"""exploded{i} AS (
@@ -640,7 +697,7 @@ assign{i + 1} AS (
     return ",\n".join(parts)
 
 
-def _ivf_probe_ctes() -> str:
+def _ivf_probe_ctes(n_probe: int = N_PROBE) -> str:
     """aff/ranked/members/probes over the trained `cents` — the coarse
     probe block shared verbatim by ivf_sql and ivfpq_sql (one definition,
     like the Spark-side _ivf_members_probes)."""
@@ -659,14 +716,16 @@ ranked AS (
 members AS (SELECT vec_id AS neighbor_id, c_id AS list_id FROM ranked WHERE r = 1),
 probes AS (
   SELECT vec_id AS query_id, c_id AS list_id FROM ranked
-  WHERE r <= {N_PROBE} AND vec_id < {N_QUERIES}
+  WHERE r <= {n_probe} AND vec_id < {N_QUERIES}
 )"""
 
 
-def ivf_sql(n_iter: int = 1) -> str:
+def ivf_sql(
+    n_iter: int = 1, n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE
+) -> str:
     return f"""
-WITH {_ivf_cents_ctes(n_iter)},
-{_ivf_probe_ctes()},
+WITH {_ivf_cents_ctes(n_iter, n_centroids)},
+{_ivf_probe_ctes(n_probe)},
 scored AS (
   SELECT p.query_id, m.neighbor_id,
          {_duck_dot('eq.embedding', 'en.embedding')}
@@ -703,20 +762,58 @@ ANN_IVF_SQL = ivf_sql(IVF_ITERS)
 # ann_recall caveat), so the default keeps the measured 12%/32% dup tail
 # at sf0.01/sf0.1 without degenerating.
 SEMDEDUP_TAU = 0.35
+# Per-cluster pair bound: a cluster with more than CLUSTER_CAP members is
+# deterministically split into ceil(size / CLUSTER_CAP) sub-buckets by
+# pmod(vec_id, n_sub) and pairs are compared WITHIN a sub-bucket only — so
+# no cluster is ever quadratic past ~CLUSTER_CAP^2/2 pairs per sub-bucket,
+# whatever the codebook width or skew. This is the same accept-the-miss
+# trade SemDeDup itself makes at the cluster boundary (a pair split across
+# clusters is never compared); sizing nlist via nlist_for keeps the
+# EXPECTED cluster at sqrt(N)/4 members so the cap only fires on skewed
+# clusters. 256 ~ 2x the expected population at 10^6 vectors.
+SEMDEDUP_CLUSTER_CAP = 256
+
+
+def _semdedup_pairs(assign: DataFrame, cluster_cap: int) -> DataFrame:
+    """(vec_a, vec_b) candidate pairs within a cluster sub-bucket: cluster
+    sizes are one tiny groupBy (nlist rows, broadcast back), n_sub =
+    ceil(size / cap), sub = pmod(vec_id, n_sub), self-join on (c_id, sub).
+    Factored out so the pair-bound test counts exactly what the operator
+    compares."""
+    counts = assign.groupBy("c_id").agg(F.count("*").alias("_cn"))
+    sub = assign.join(F.broadcast(counts), "c_id").select(
+        "vec_id",
+        "c_id",
+        F.pmod(
+            "vec_id",
+            F.expr(f"cast((_cn + {cluster_cap - 1}) div {cluster_cap} as bigint)"),
+        ).alias("_sub"),
+    )
+    return (
+        sub.select(F.col("vec_id").alias("vec_a"), "c_id", "_sub")
+        .join(sub.select(F.col("vec_id").alias("vec_b"), "c_id", "_sub"), ["c_id", "_sub"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str,
-                   n_iter: int = IVF_ITERS, tau: float = SEMDEDUP_TAU) -> DataFrame:
+                   n_iter: int = IVF_ITERS, tau: float = SEMDEDUP_TAU,
+                   n_centroids: int = N_CENTROIDS,
+                   cluster_cap: int = SEMDEDUP_CLUSTER_CAP) -> DataFrame:
     """Per-vector semantic-dup verdict: (vec_id, c_id, dup_of, is_dup).
 
     Dataflow: ONE embeddings scan (the materialized index), the IVF
     codebook's broadcast affinity + assignment, a within-cluster self-join
-    keyed by c_id (bounded per cluster), the vectorized `_score_pairs`
-    cosine kernel (bit-identical to the oracle's sequential fold), and one
-    min-aggregate for dup_of. The threshold compare needs no rounding:
-    both engines compute the identical doubles."""
+    keyed by (c_id, sub-bucket) — bounded per cluster by `cluster_cap`,
+    see _semdedup_pairs — the vectorized `_score_pairs` cosine kernel
+    (bit-identical to the oracle's sequential fold), and one min-aggregate
+    for dup_of. The threshold compare needs no rounding: both engines
+    compute the identical doubles. Production sizes the codebook with
+    `nlist_for(corpus_size)` (the paper's 'k is chosen so clusters stay
+    small'); `semdedup_sql` generates the oracle for any configuration."""
     base = _indexed_embeddings(spark, sf_dir)
-    aff = _centroid_affinity(base, "vec_id", n_iter)
+    aff = _centroid_affinity(base, "vec_id", n_iter, n_centroids)
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
     # Lloyd training runs once: the assignment feeds both pair sides and
     # the final verdict join
@@ -726,12 +823,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str,
         .select("vec_id", "c_id")
         .localCheckpoint(eager=True)
     )
-    pairs = (
-        assign.select(F.col("vec_id").alias("vec_a"), "c_id")
-        .join(assign.select(F.col("vec_id").alias("vec_b"), "c_id"), "c_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-    )
+    pairs = _semdedup_pairs(assign, cluster_cap)
     scored = _score_pairs(pairs, _side(base, "vec_a", "ea"), _side(base, "vec_b", "eb"))
     dup = (
         scored.filter(F.col("cos") >= tau)
@@ -747,9 +839,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str,
     )
 
 
-def semdedup_sql(n_iter: int = IVF_ITERS, tau: float = SEMDEDUP_TAU) -> str:
+def semdedup_sql(n_iter: int = IVF_ITERS, tau: float = SEMDEDUP_TAU,
+                 n_centroids: int = N_CENTROIDS,
+                 cluster_cap: int = SEMDEDUP_CLUSTER_CAP) -> str:
     return f"""
-WITH {_ivf_cents_ctes(n_iter)},
+WITH {_ivf_cents_ctes(n_iter, n_centroids)},
 aff AS (
   SELECT e.vec_id, c.c_id,
          {_duck_dot('e.embedding', 'c.ce')}
@@ -764,9 +858,16 @@ assign AS (
     FROM aff) t
   WHERE r = 1
 ),
+cnts AS (SELECT c_id, count(*)::bigint AS cn FROM assign GROUP BY c_id),
+suba AS (
+  SELECT a.vec_id, a.c_id,
+         a.vec_id % ((t.cn + {cluster_cap - 1}) // {cluster_cap}) AS sub
+  FROM assign a JOIN cnts t USING (c_id)
+),
 prs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  FROM suba a JOIN suba b
+    ON a.c_id = b.c_id AND a.sub = b.sub AND a.vec_id < b.vec_id
 ),
 sc AS (
   SELECT vec_a, vec_b,
@@ -1225,15 +1326,20 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, n_iter: int = PQ_ITERS) -> Dat
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
-                   n_iter: int = IVF_ITERS) -> DataFrame:
+                   n_iter: int = IVF_ITERS,
+                   n_centroids: int = N_CENTROIDS,
+                   n_probe: int = N_PROBE) -> DataFrame:
     """IVF + PQ composed — the full FAISS IVFPQ architecture from the two
     already-verified stages: the IVF coarse quantizer restricts candidates
-    to the N_PROBE nearest lists per query (nprobe/nlist of the corpus,
+    to the n_probe nearest lists per query (nprobe/nlist of the corpus,
     never all of it), the PQ codes ADC-score ONLY those candidates, and
     the exact rerank touches the shortlist. At 100 TB this is the
-    standard billion-vector serving shape: the scan cost is
-    (nprobe/nlist) x 8 LUT adds per vector over an 8-byte-per-vector
-    index.
+    standard billion-vector serving shape: with nlist sized by
+    `nlist_for` the scan cost is nprobe x (N/nlist) x 8 LUT adds per
+    query — sublinear in N — over an 8-byte-per-vector index
+    (`ivfpq_sql(n_iter, n_centroids, n_probe)` generates the oracle for
+    any configuration; the sized width's recall is pinned in
+    tests/test_ann_recall.py).
 
     Unlike the exhaustive ann_pq_topk (whose GEMM-style kernel scans every
     code), the candidate set here is per-query, so the ADC is the JVM-side
@@ -1245,8 +1351,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
     base = _indexed_embeddings(spark, sf_dir)
     # IVF coarse stage — the SHARED _ivf_members_probes, so the coarse
     # assignment cannot drift from ann_ivf_topk's
-    aff = _centroid_affinity(base, "vec_id", n_iter).localCheckpoint(eager=True)
-    members, probes = _ivf_members_probes(aff)
+    aff = _centroid_affinity(base, "vec_id", n_iter, n_centroids).localCheckpoint(
+        eager=True
+    )
+    members, probes = _ivf_members_probes(aff, n_probe)
     # PQ codes + per-query integer LUTs
     codes, cb = _pq_index(base)
     q_ids, q_luti, q_norms = _pq_query_luts(base, cb)
@@ -1437,7 +1545,8 @@ adc AS (
 ANN_PQ_SQL = pq_sql(PQ_ITERS)
 
 
-def ivfpq_sql(n_iter: int = IVF_ITERS) -> str:
+def ivfpq_sql(n_iter: int = IVF_ITERS, n_centroids: int = N_CENTROIDS,
+              n_probe: int = N_PROBE) -> str:
     """IVFPQ twin: composed from the SAME shared blocks as its parents —
     _ivf_cents_ctes + _ivf_probe_ctes (the coarse stage, verbatim
     ivf_sql's), _pq_cb_ctes + _pq_serve_ctes + _pq_rerank_tail (the PQ
@@ -1445,9 +1554,9 @@ def ivfpq_sql(n_iter: int = IVF_ITERS) -> str:
     restriction and the candidate-limited `adc` of its own, so a fix to
     either parent's math flows here by construction."""
     return f"""
-WITH {_ivf_cents_ctes(n_iter)},
+WITH {_ivf_cents_ctes(n_iter, n_centroids)},
 {_pq_cb_ctes(PQ_ITERS)},
-{_ivf_probe_ctes()},
+{_ivf_probe_ctes(n_probe)},
 {_pq_serve_ctes()},
 cand AS (
   SELECT p.query_id, m.neighbor_id
@@ -1468,7 +1577,13 @@ ANN_IVFPQ_SQL = ivfpq_sql(IVF_ITERS)
 
 
 # -- ANN recall audit (not a gated query: a measurement) ---------------------
-def ann_recall(spark: SparkSession, sf_dir: str, sim_floor: float = 0.5) -> dict:
+def ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    sim_floor: float = 0.5,
+    extra: dict | None = None,
+    only: list[str] | None = None,
+) -> dict:
     """Recall@k of the two approximate paths vs the exact brute-force top-k
     over the same N_QUERIES query vectors (the quality number an ANN index
     is tuned by; the oracle gates prove both engines compute the SAME
@@ -1505,14 +1620,21 @@ def ann_recall(spark: SparkSession, sf_dir: str, sim_floor: float = 0.5) -> dict
     exact_hi = exact.filter(F.col("cos") >= sim_floor).localCheckpoint(eager=True)
     total, total_hi = exact.count(), exact_hi.count()
     out = {"n_exact": total, f"n_exact_cos>={sim_floor}": total_hi}
-    for name, fn in (
-        ("ivf", ann_ivf_topk),
-        ("bucket_rerank", ann_bucket_rerank),
-        ("multiprobe", ann_multiprobe_topk),
-        ("sq8", ann_sq8_topk),
-        ("pq", ann_pq_topk),
-        ("ivfpq", ann_ivfpq_topk),
-    ):
+    paths = {
+        "ivf": ann_ivf_topk,
+        "bucket_rerank": ann_bucket_rerank,
+        "multiprobe": ann_multiprobe_topk,
+        "sq8": ann_sq8_topk,
+        "pq": ann_pq_topk,
+        "ivfpq": ann_ivfpq_topk,
+    }
+    # `extra` adds named non-default configurations (e.g. the
+    # nlist_for-sized IVF width); `only` restricts the measured set so a
+    # targeted floor doesn't pay for every path.
+    paths.update(extra or {})
+    for name, fn in paths.items():
+        if only is not None and name not in only:
+            continue
         approx = fn(spark, sf_dir).filter(F.col("query_id") < N_QUERIES)
         approx = approx.localCheckpoint(eager=True)
         hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
@@ -1525,6 +1647,8 @@ def ann_recall(spark: SparkSession, sf_dir: str, sim_floor: float = 0.5) -> dict
     # multi-probe (exact cosine rerank cannot demote a true top-k neighbor
     # below rank k, so candidate recall ~ end recall; candidates are what
     # the rerank pays for)
+    if only is not None and "band" not in only:
+        return out
     base = _indexed_embeddings(spark, sf_dir)
     exact_pairs = exact.select(
         F.least("query_id", "neighbor_id").alias("vec_a"),
