@@ -80,12 +80,24 @@ SPAN_DUP_MAX = 0.3
 SUBSTR_DUP_MAX = 0.3
 
 
-def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_clean_corpus(
+    spark: SparkSession, sf_dir: str, rep_policy: str = "quality"
+) -> DataFrame:
     """train_keep = good quality AND passes the Gopher named rules AND not
     repetitive AND fluent under the unigram LM AND not mostly duplicated
     spans (line-aligned AND alignment-free) AND not in (or overlapping)
     the eval split AND near-dup representative AND exact-dup
     representative AND has an embedding.
+
+    The near-dup representative follows `rep_policy`: "quality" (default —
+    dedup_best_rep's production policy: each multi-member cluster keeps
+    its highest-quality_score member, ties to the lowest doc_id, the
+    FineWeb/SemDeDup shape) or "min_id" (dedup_groups' arbitrary
+    min-id keeper, retained so the policy A/B in
+    test_best_rep_changes_pipeline_output stays runnable). The argmax runs
+    ONLY over multi-member groups — singletons never enter the exchange —
+    and reuses the quality_score already computed on the shared tokenize
+    checkpoint, so the policy costs one |multi-groups|-row aggregate.
 
     Exact dedup is NOT redundant with the near-dup groups: a document too
     short to shingle (< 3 tokens) never gets a near-dup edge, so
@@ -137,6 +149,29 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = shingle_rows_from_toks(base).localCheckpoint(eager=True)
     g = dedup_groups_from_shingles(sh, base.select("doc_id"))
+    if rep_policy == "quality":
+        best = (
+            g.filter(F.col("group_size") > 1)
+            .join(m.select("doc_id", "quality_score"), "doc_id")
+            .groupBy("group_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("quality_score").alias("q"),
+                        (-F.col("doc_id")).alias("nd"),
+                    )
+                ).alias("b")
+            )
+            .select("group_id", (-F.col("b.nd")).alias("best_doc_id"))
+        )
+        g = g.join(best, "group_id", "left").select(
+            "doc_id",
+            "group_id",
+            "group_size",
+            F.coalesce(F.col("doc_id") == F.col("best_doc_id"), F.lit(True)).alias(
+                "is_rep"
+            ),
+        )
     ex = dedup_exact_frame(base).select(
         F.col("rep_doc_id").alias("doc_id"), F.lit(True).alias("exact_rep")
     )
@@ -163,6 +198,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "substr_dup_ratio",
         "group_id",
         "group_size",
+        # the manifest carries the rep verdict itself (not just its effect
+        # on train_keep): on corpora where every later near-dup copy is
+        # also a full-span duplicate the two rep policies produce the same
+        # train_keep set, and this column is where the policy choice is
+        # visible and auditable
+        "is_rep",
         (
             F.col("keep")
             & F.coalesce("gopher_keep", F.lit(False))
@@ -371,6 +412,17 @@ ld AS (
 ),
 sd AS (SELECT doc_id, removed_ratio AS substr_dup_ratio FROM ({SUBSTR_DEDUP_SQL}) sdd),
 g AS (SELECT * FROM ({GROUPS_SQL}) gg),
+r AS (
+  SELECT group_id, doc_id AS rep_doc_id FROM (
+    SELECT g.group_id, g.doc_id,
+           row_number() OVER (
+             PARTITION BY g.group_id
+             ORDER BY m0.quality_score DESC, g.doc_id
+           ) AS rn
+    FROM g JOIN m m0 ON m0.doc_id = g.doc_id
+    WHERE g.group_size > 1
+  ) WHERE rn = 1
+),
 ex AS (
   SELECT min(doc_id) AS doc_id, true AS exact_rep
   FROM documents GROUP BY md5(text)
@@ -378,6 +430,7 @@ ex AS (
 e AS (SELECT vec_id AS doc_id, true AS has_embedding FROM embeddings)
 SELECT m.doc_id, m.n_tokens, m.quality_score, srp.bits_per_token,
        ld.span_dup_ratio, sd.substr_dup_ratio, g.group_id, g.group_size,
+       coalesce(g.doc_id = r.rep_doc_id, true) AS is_rep,
        (m.keep
         AND coalesce(gr.gopher_keep, false)
         AND NOT coalesce(rep.repetitive, true)
@@ -386,7 +439,7 @@ SELECT m.doc_id, m.n_tokens, m.quality_score, srp.bits_per_token,
         AND coalesce(sd.substr_dup_ratio <= {SUBSTR_DUP_MAX}, false)
         AND m.doc_id % {DECONTAM_EVAL_MOD} <> 0
         AND NOT coalesce(cont.contaminated, false)
-        AND g.is_rep
+        AND coalesce(g.doc_id = r.rep_doc_id, true)
         AND coalesce(ex.exact_rep, false)
         AND coalesce(e.has_embedding, false)) AS train_keep
 FROM m
@@ -397,6 +450,7 @@ LEFT JOIN cont ON cont.doc_id = m.doc_id
 LEFT JOIN ld ON ld.doc_id = m.doc_id
 LEFT JOIN sd ON sd.doc_id = m.doc_id
 JOIN g ON g.doc_id = m.doc_id
+LEFT JOIN r ON r.group_id = g.group_id
 LEFT JOIN ex ON ex.doc_id = m.doc_id
 LEFT JOIN e ON e.doc_id = m.doc_id
 """

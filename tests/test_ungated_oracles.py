@@ -779,3 +779,37 @@ def test_semdedup_cluster_cap_bounds_pairs(spark):
         [(i, 0) for i in range(cap)], "vec_id long, c_id int"
     )
     assert _semdedup_pairs(small, cap).count() == cap * (cap - 1) // 2
+
+
+def test_best_rep_changes_pipeline_output(spark):
+    """dedup_best_rep's quality-argmax policy is CONSUMED by the pipeline
+    (VERDICT r4 task 4), not computed on the side: pipeline_clean_corpus
+    under rep_policy='quality' (the default) must emit a DIFFERENT output
+    than 'min_id' — the manifest's is_rep column flips exactly on the docs
+    where dedup_best_rep's verdict differs from the min-id keeper, and the
+    quality manifest's is_rep equals dedup_best_rep's verdict doc-for-doc.
+    (On this synthetic corpus every later near-dup copy is also a
+    full-span duplicate, so the span gates make train_keep coincide
+    between policies — the test additionally pins that train_keep under
+    'quality' still requires is_rep: no flipped-off rep stays kept.)"""
+    from crawler_spark.operators.pipeline import (
+        dedup_best_rep,
+        pipeline_clean_corpus,
+    )
+
+    q = pipeline_clean_corpus(spark, SF).toPandas().set_index("doc_id")
+    m = (
+        pipeline_clean_corpus(spark, SF, rep_policy="min_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert set(q.index) == set(m.index)
+    flips = set(q.index[q["is_rep"] != m.loc[q.index, "is_rep"]])
+    assert flips, "quality rep policy never changes the manifest"
+    best = dedup_best_rep(spark, SF).toPandas().set_index("doc_id")
+    disagree = set(best.index[best["is_rep"] != (best.index == best["group_id"])])
+    assert flips == disagree, (flips ^ disagree)
+    # the quality manifest's rep verdict IS dedup_best_rep's, doc-for-doc
+    assert q["is_rep"].sort_index().equals(best["is_rep"].sort_index())
+    # and train_keep consumes it: a rep flipped off is never kept
+    assert not q.loc[sorted(flips & set(q.index[~q["is_rep"]])), "train_keep"].any()
