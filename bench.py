@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_groups", "ann_cosine_topk",
     "ann_bucket_rerank", "ann_sq8_topk", "text_metrics", "mm_decode_features",
     "mm_phash_neardup", "kf_matches", "x9_annotate_remap",
+    # gated in round 5 (catalog rotation) — keys unchanged vs BENCH_r04
+    "ann_pq_topk", "ann_ivfpq_topk", "text_substring_dedup", "text_dsir",
 ]
 
 
@@ -56,33 +58,27 @@ def _ungated_headline() -> dict:
         mm_video_neardup,
     )
     from crawler_spark.operators.pipeline import dedup_best_rep, source_rollup
-    from crawler_spark.operators.similarity import ann_ivfpq_topk, ann_pq_topk, dedup_semantic
+    from crawler_spark.operators.similarity import dedup_semantic
     from crawler_spark.operators.relational import (
         x_asof_join,
         x_range_join,
         x_rollup_hier,
     )
     from crawler_spark.operators.text import (
-        text_dsir,
         text_dup_grams,
         text_gopher_rules,
         text_kmv_distinct,
         text_line_dedup,
-        text_substring_dedup,
         text_surprisal,
     )
 
     return {
         "dedup_incremental": dedup_incremental,
         "dedup_semantic": dedup_semantic,
-        "ann_pq_topk": ann_pq_topk,
-        "ann_ivfpq_topk": ann_ivfpq_topk,
-        "text_dsir": text_dsir,
         "text_gopher_rules": text_gopher_rules,
         "text_surprisal": text_surprisal,
         "text_dup_grams": text_dup_grams,
         "text_line_dedup": text_line_dedup,
-        "text_substring_dedup": text_substring_dedup,
         "text_kmv_distinct": text_kmv_distinct,
         "source_rollup": source_rollup,
         "dedup_best_rep": dedup_best_rep,

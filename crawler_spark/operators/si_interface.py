@@ -272,9 +272,11 @@ FROM c GROUP BY doc_id
 QUERIES = {
     "si_files": (si_files, SI_FILES_SQL),
     "si_matches": (si_matches, SI_MATCHES_SQL),
-    "si_remarks": (si_remarks, SI_REMARKS_SQL),
+    # si_remarks / si_info: RETIRED from the gated catalog in round 5 (two
+    # of the six near-duplicate si_* parse shapes; si_matches/si_ir_mix/
+    # si_pattern keep the distinct shapes gated) to free slots for the
+    # round-4 flagships; twin-verified in tests/test_ungated_oracles.py.
     "si_ir_mix": (si_ir_mix, SI_IR_MIX_SQL),
     "si_pattern": (si_pattern, SI_PATTERN_SQL),
-    "si_info": (si_info, SI_INFO_SQL),
     "x9_annotate_remap": (x9_annotate_remap, X9_SQL),
 }

@@ -1673,5 +1673,11 @@ QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_bucket_rerank": (ann_bucket_rerank, ANN_BUCKET_RERANK_SQL),
     "ann_sq8_topk": (ann_sq8_topk, ANN_SQ8_SQL),
+    # gated in round 5 (rotated in for retired f5/g1/si_remarks/si_info):
+    # the PQ compression lever and the composed IVFPQ serving architecture
+    # are the highest-value ANN shapes — the driver's rows+schema+hash
+    # check at sf0.01 is the strongest gate in the harness
+    "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, ANN_IVFPQ_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_COSINE_SQL),
 }

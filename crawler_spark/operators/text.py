@@ -1350,4 +1350,9 @@ FROM m
 
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
+    # gated in round 5 (rotated in for retired f5/g1/si_remarks/si_info):
+    # Lee-et-al. substring dedup and DSIR selection are the round-4
+    # training-data flagships — the driver's hash gate now covers them
+    "text_substring_dedup": (text_substring_dedup, SUBSTR_DEDUP_SQL),
+    "text_dsir": (text_dsir, DSIR_SQL),
 }

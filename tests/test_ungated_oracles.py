@@ -38,27 +38,32 @@ from crawler_spark.operators.pipeline import (
 )
 from crawler_spark.operators.relational import (
     ASOF_SQL,
+    F5_SQL,
+    G1_SQL,
     RANGE_SQL,
     ROLLUP_SQL,
+    f5_priority_range,
+    g1_min_probe,
     x_asof_join,
     x_range_join,
     x_rollup_hier,
 )
+from crawler_spark.operators.si_interface import (
+    SI_INFO_SQL,
+    SI_REMARKS_SQL,
+    si_info,
+    si_remarks,
+)
 from crawler_spark.operators.similarity import (
-    ANN_IVFPQ_SQL,
     ANN_MULTIPROBE_SQL,
-    ANN_PQ_SQL,
     SEMDEDUP_SQL,
     ann_ivf_topk,
-    ann_ivfpq_topk,
     ann_multiprobe_topk,
-    ann_pq_topk,
     dedup_semantic,
     ivf_sql,
 )
 from crawler_spark.operators.text import (
     DECONTAM_SQL,
-    DSIR_SQL,
     DUP_GRAMS_SQL,
     FINGERPRINT_SQL,
     GOPHER_RULES_SQL,
@@ -72,12 +77,9 @@ from crawler_spark.operators.text import (
     decontaminate,
     pack_sequences,
     sample_mixture,
-    SUBSTR_DEDUP_SQL,
     SURPRISAL_SQL,
     sample_stratified,
     text_fingerprint,
-    text_substring_dedup,
-    text_dsir,
     text_dup_grams,
     text_gopher_rules,
     text_kmv_distinct,
@@ -115,13 +117,13 @@ def test_ungated_builders_match_oracle(spark):
         # SemDeDup: within-cluster epsilon-similar pairs over the same
         # trained codebook; lower-id cluster-mate wins, no transitive rescue
         ("dedup_semantic", dedup_semantic, SEMDEDUP_SQL),
-        # product quantization: per-subspace Lloyd codebooks, integer ADC
-        # scan, exact rerank — the oracle's stage1 window ranks the FULL
-        # QxN score set, so parity also proves the per-batch cut lossless
-        ("ann_pq_topk", ann_pq_topk, ANN_PQ_SQL),
-        # the composed FAISS IVFPQ architecture: probed lists restrict the
-        # candidates, the integer ADC scores only those, exact rerank
-        ("ann_ivfpq_topk", ann_ivfpq_topk, ANN_IVFPQ_SQL),
+        # round-5 catalog rotation: the four retired slots keep full twin
+        # verification here (the round-3 procedure) while their freed gated
+        # slots cover ann_pq/ann_ivfpq/text_substring_dedup/text_dsir
+        ("f5_priority_range", f5_priority_range, F5_SQL),
+        ("g1_min_probe", g1_min_probe, G1_SQL),
+        ("si_remarks", si_remarks, SI_REMARKS_SQL),
+        ("si_info", si_info, SI_INFO_SQL),
         ("text_repetition", text_repetition, REPETITION_SQL),
         ("sample_stratified", sample_stratified, STRATIFIED_SQL),
         ("text_surprisal", text_surprisal, SURPRISAL_SQL),
@@ -130,9 +132,6 @@ def test_ungated_builders_match_oracle(spark):
         # pseudo-line survives, every other copy is dropped and the
         # cleaned text is reassembled in position order
         ("text_line_dedup", text_line_dedup, LINE_DEDUP_SQL),
-        # Lee et al. exact-substring removal: alignment-free duplicated
-        # k-gram spans scrubbed, globally-first occurrence keeps
-        ("text_substring_dedup", text_substring_dedup, SUBSTR_DEDUP_SQL),
         ("x_asof_join", x_asof_join, ASOF_SQL),
         ("x_range_join", x_range_join, RANGE_SQL),
         ("x_rollup_hier", x_rollup_hier, ROLLUP_SQL),
@@ -144,9 +143,6 @@ def test_ungated_builders_match_oracle(spark):
         # admission-time near-dup gate: batch (doc_id % 4 == 0) against the
         # indexed rest — O(batch), no corpus rescan
         ("dedup_incremental", dedup_incremental, INCREMENTAL_SQL),
-        # DSIR selection: integer-bit importance weights over hashed
-        # token buckets, top-quarter kept, ties broken by doc_id
-        ("text_dsir", text_dsir, DSIR_SQL),
         # frame-phash video copy detection: temporal-shift-tolerant
         # containment over the sampled-frame phash index
         ("mm_video_neardup", mm_video_neardup, VIDEO_NEARDUP_SQL),
