@@ -809,3 +809,18 @@ def test_best_rep_changes_pipeline_output(spark):
     assert q["is_rep"].sort_index().equals(best["is_rep"].sort_index())
     # and train_keep consumes it: a rep flipped off is never kept
     assert not q.loc[sorted(flips & set(q.index[~q["is_rep"]])), "train_keep"].any()
+
+
+def test_round4_ops_twin_at_bench_scale(spark):
+    """Every round-4 op gets a green twin at the BENCH scale factor
+    (VERDICT r4 task 6): dedup_best_rep and mm_audio_neardup previously
+    stopped at sf0.01 (COVERAGE.md); this pins them at sf0.1 — 5000 docs /
+    1250 clips, the scale bench.py times."""
+    sf = "/root/testdata/sf0.1"
+    con = duck_connect(sf)
+    for name, fn, sql in (
+        ("dedup_best_rep", dedup_best_rep, BEST_REP_SQL),
+        ("mm_audio_neardup", mm_audio_neardup, AUDIO_NEARDUP_SQL),
+    ):
+        ok, msg = compare_one(spark, con, name, fn, sql, sf)
+        assert ok, (name, msg)
