@@ -627,7 +627,7 @@ def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
     n_iter: int = IVF_ITERS,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = N_CENTROIDS,
     n_probe: int = N_PROBE,
 ) -> DataFrame:
     """IVF ANN: assign every vector to its nearest centroid list, probe the
@@ -643,8 +643,14 @@ def ann_ivf_topk(
     Plan hygiene: the affinity table feeds BOTH `members` and `probes`, so it
     is materialized once (lazy checkpoint would do, but eager keeps the job
     accounting simple at test scale); the rerank sides read the same
-    materialized index as the affinity — one `embeddings` scan end-to-end."""
+    materialized index as the affinity — one `embeddings` scan end-to-end.
+
+    n_centroids=None sizes the width automatically: nlist_for(count of the
+    materialized index — one cheap job on the checkpoint leaf). The
+    explicit-int path stays the static-oracle contract."""
     base = _indexed_embeddings(spark, sf_dir)
+    if n_centroids is None:
+        n_centroids = nlist_for(base.count())
     aff = _centroid_affinity(base, "vec_id", n_iter, n_centroids).localCheckpoint(
         eager=True
     )
@@ -799,7 +805,7 @@ def _semdedup_pairs(assign: DataFrame, cluster_cap: int) -> DataFrame:
 
 def dedup_semantic(spark: SparkSession, sf_dir: str,
                    n_iter: int = IVF_ITERS, tau: float = SEMDEDUP_TAU,
-                   n_centroids: int = N_CENTROIDS,
+                   n_centroids: int | None = N_CENTROIDS,
                    cluster_cap: int = SEMDEDUP_CLUSTER_CAP) -> DataFrame:
     """Per-vector semantic-dup verdict: (vec_id, c_id, dup_of, is_dup).
 
@@ -811,8 +817,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str,
     for dup_of. The threshold compare needs no rounding: both engines
     compute the identical doubles. Production sizes the codebook with
     `nlist_for(corpus_size)` (the paper's 'k is chosen so clusters stay
-    small'); `semdedup_sql` generates the oracle for any configuration."""
+    small'); `semdedup_sql` generates the oracle for any configuration.
+    n_centroids=None auto-sizes via nlist_for (the ann_ivf_topk
+    convention); even at the fixed default width the cluster_cap keeps the
+    pair step LINEAR in N (<= N*cap/2 pairs), never quadratic."""
     base = _indexed_embeddings(spark, sf_dir)
+    if n_centroids is None:
+        n_centroids = nlist_for(base.count())
     aff = _centroid_affinity(base, "vec_id", n_iter, n_centroids)
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
     # Lloyd training runs once: the assignment feeds both pair sides and
@@ -1327,7 +1338,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, n_iter: int = PQ_ITERS) -> Dat
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
                    n_iter: int = IVF_ITERS,
-                   n_centroids: int = N_CENTROIDS,
+                   n_centroids: int | None = N_CENTROIDS,
                    n_probe: int = N_PROBE) -> DataFrame:
     """IVF + PQ composed — the full FAISS IVFPQ architecture from the two
     already-verified stages: the IVF coarse quantizer restricts candidates
@@ -1349,6 +1360,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
     on neighbor_id; determinism matches the DuckDB twin clause for
     clause."""
     base = _indexed_embeddings(spark, sf_dir)
+    if n_centroids is None:  # auto-size, the ann_ivf_topk convention
+        n_centroids = nlist_for(base.count())
     # IVF coarse stage — the SHARED _ivf_members_probes, so the coarse
     # assignment cannot drift from ann_ivf_topk's
     aff = _centroid_affinity(base, "vec_id", n_iter, n_centroids).localCheckpoint(

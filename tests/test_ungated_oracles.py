@@ -824,3 +824,30 @@ def test_round4_ops_twin_at_bench_scale(spark):
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
+
+
+def test_ivf_auto_width_parity(spark):
+    """n_centroids=None auto-sizes the codebook via nlist_for(corpus
+    count) — the production convenience: parity against the oracle
+    generated at the same width (nlist_for(500) = 88 at sf0.01), so the
+    auto path provably runs the identical plan the explicit width does."""
+    from crawler_spark.operators.similarity import (
+        IVF_ITERS,
+        ann_ivf_topk,
+        ivf_sql,
+        nlist_for,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    con = duck_connect(sf)
+    nl = nlist_for(500)
+    assert nl == 88, nl
+    ok, msg = compare_one(
+        spark,
+        con,
+        "ann_ivf_topk_auto",
+        lambda s, d: ann_ivf_topk(s, d, n_centroids=None),
+        ivf_sql(IVF_ITERS, nl),
+        sf,
+    )
+    assert ok, msg
