@@ -547,7 +547,10 @@ def _affinity_to(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
 
 
 def _trained_centroids(
-    base: DataFrame, n_iter: int = 1, n_centroids: int = N_CENTROIDS
+    base: DataFrame,
+    n_iter: int = 1,
+    n_centroids: int = N_CENTROIDS,
+    train_mod: int = 1,
 ) -> DataFrame:
     """The Lloyd codebook: seed partition pmod(vec_id, k), then `n_iter`
     rounds of means; rounds after the first REASSIGN each vector to its
@@ -557,24 +560,45 @@ def _trained_centroids(
     repeat the dataflow, they do not change it. The gated `ann_ivf_topk`
     trains IVF_ITERS rounds over N_CENTROIDS lists (its oracle is
     ivf_sql(IVF_ITERS), generated from the same parameters); deeper and
-    WIDER (nlist_for-sized) paths are verified ungated."""
-    cents = _centroid_means(base, None, n_centroids)
+    WIDER (nlist_for-sized) paths are verified ungated.
+
+    train_mod > 1 trains on the deterministic 1/train_mod subsample
+    (vec_id % train_mod == 0) — the FAISS convention (train on
+    ~256·nlist sampled vectors, then assign everything once): each Lloyd
+    round then costs (N/train_mod)·nlist affinity dots instead of
+    N·nlist, turning the n_iter training rounds from the dominant
+    assignment-sized cost into a constant-sized one; only the single
+    final assignment in `_centroid_affinity` touches the full corpus.
+    The pmod sample is expressible in both engines, so the sampled
+    codebook stays oracle-checkable."""
+    tbase = (
+        base
+        if train_mod <= 1
+        else base.filter(F.pmod("vec_id", F.lit(train_mod)) == 0)
+    )
+    cents = _centroid_means(tbase, None, n_centroids)
     for _ in range(1, n_iter):
-        aff = _affinity_to(base, cents, "vec_id")
+        aff = _affinity_to(tbase, cents, "vec_id")
         w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
         assign = (
             aff.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") == 1)
             .select("vec_id", "c_id")
         )
-        cents = _centroid_means(base, assign, n_centroids)
+        cents = _centroid_means(tbase, assign, n_centroids)
     return cents
 
 
 def _centroid_affinity(
-    base: DataFrame, id_col: str, n_iter: int = 1, n_centroids: int = N_CENTROIDS
+    base: DataFrame,
+    id_col: str,
+    n_iter: int = 1,
+    n_centroids: int = N_CENTROIDS,
+    train_mod: int = 1,
 ) -> DataFrame:
-    return _affinity_to(base, _trained_centroids(base, n_iter, n_centroids), id_col)
+    return _affinity_to(
+        base, _trained_centroids(base, n_iter, n_centroids, train_mod), id_col
+    )
 
 
 def _ivf_members_probes(
@@ -629,6 +653,7 @@ def ann_ivf_topk(
     n_iter: int = IVF_ITERS,
     n_centroids: int | None = N_CENTROIDS,
     n_probe: int = N_PROBE,
+    train_mod: int = 1,
 ) -> DataFrame:
     """IVF ANN: assign every vector to its nearest centroid list, probe the
     n_probe nearest lists per query, exact-cosine rerank the union of those
@@ -651,9 +676,9 @@ def ann_ivf_topk(
     base = _indexed_embeddings(spark, sf_dir)
     if n_centroids is None:
         n_centroids = nlist_for(base.count())
-    aff = _centroid_affinity(base, "vec_id", n_iter, n_centroids).localCheckpoint(
-        eager=True
-    )
+    aff = _centroid_affinity(
+        base, "vec_id", n_iter, n_centroids, train_mod
+    ).localCheckpoint(eager=True)
     members, probes = _ivf_members_probes(aff, n_probe)
     cands = probes.join(members, "list_id").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -661,12 +686,18 @@ def ann_ivf_topk(
     return _exact_rerank(base, cands)
 
 
-def _ivf_cents_ctes(n_iter: int, n_centroids: int = N_CENTROIDS) -> str:
+def _ivf_cents_ctes(
+    n_iter: int, n_centroids: int = N_CENTROIDS, train_mod: int = 1
+) -> str:
     """CTE chain training the codebook for `n_iter` Lloyd rounds — the SQL
     twin of `_trained_centroids`: seed assign0 = vec_id % k, per-round
-    integer-scaled means, cosine re-assignment between rounds."""
+    integer-scaled means, cosine re-assignment between rounds; train_mod
+    restricts every training CTE to the vec_id % train_mod == 0 sample
+    exactly like the Spark side."""
+    tw = f" WHERE vec_id % {train_mod} = 0" if train_mod > 1 else ""
     parts = [
-        f"assign0 AS (SELECT vec_id, vec_id % {n_centroids} AS c_id FROM embeddings)"
+        f"assign0 AS (SELECT vec_id, vec_id % {n_centroids} AS c_id"
+        f" FROM embeddings{tw})"
     ]
     for i in range(n_iter):
         parts.append(f"""exploded{i} AS (
@@ -690,7 +721,7 @@ cents{i} AS (
          {_duck_dot('e.embedding', 'c.ce')}
            / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
               * sqrt({_duck_dot('c.ce', 'c.ce')})) AS c_cos
-  FROM embeddings e CROSS JOIN cents{i} c
+  FROM embeddings e CROSS JOIN cents{i} c{tw.replace('WHERE vec_id', 'WHERE e.vec_id')}
 ),
 assign{i + 1} AS (
   SELECT vec_id, c_id FROM (
@@ -727,10 +758,13 @@ probes AS (
 
 
 def ivf_sql(
-    n_iter: int = 1, n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE
+    n_iter: int = 1,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    train_mod: int = 1,
 ) -> str:
     return f"""
-WITH {_ivf_cents_ctes(n_iter, n_centroids)},
+WITH {_ivf_cents_ctes(n_iter, n_centroids, train_mod)},
 {_ivf_probe_ctes(n_probe)},
 scored AS (
   SELECT p.query_id, m.neighbor_id,
@@ -806,7 +840,8 @@ def _semdedup_pairs(assign: DataFrame, cluster_cap: int) -> DataFrame:
 def dedup_semantic(spark: SparkSession, sf_dir: str,
                    n_iter: int = IVF_ITERS, tau: float = SEMDEDUP_TAU,
                    n_centroids: int | None = N_CENTROIDS,
-                   cluster_cap: int = SEMDEDUP_CLUSTER_CAP) -> DataFrame:
+                   cluster_cap: int = SEMDEDUP_CLUSTER_CAP,
+                   train_mod: int = 1) -> DataFrame:
     """Per-vector semantic-dup verdict: (vec_id, c_id, dup_of, is_dup).
 
     Dataflow: ONE embeddings scan (the materialized index), the IVF
@@ -824,7 +859,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str,
     base = _indexed_embeddings(spark, sf_dir)
     if n_centroids is None:
         n_centroids = nlist_for(base.count())
-    aff = _centroid_affinity(base, "vec_id", n_iter, n_centroids)
+    aff = _centroid_affinity(base, "vec_id", n_iter, n_centroids, train_mod)
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
     # Lloyd training runs once: the assignment feeds both pair sides and
     # the final verdict join
@@ -852,9 +887,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str,
 
 def semdedup_sql(n_iter: int = IVF_ITERS, tau: float = SEMDEDUP_TAU,
                  n_centroids: int = N_CENTROIDS,
-                 cluster_cap: int = SEMDEDUP_CLUSTER_CAP) -> str:
+                 cluster_cap: int = SEMDEDUP_CLUSTER_CAP,
+                 train_mod: int = 1) -> str:
     return f"""
-WITH {_ivf_cents_ctes(n_iter, n_centroids)},
+WITH {_ivf_cents_ctes(n_iter, n_centroids, train_mod)},
 aff AS (
   SELECT e.vec_id, c.c_id,
          {_duck_dot('e.embedding', 'c.ce')}
@@ -1339,7 +1375,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, n_iter: int = PQ_ITERS) -> Dat
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
                    n_iter: int = IVF_ITERS,
                    n_centroids: int | None = N_CENTROIDS,
-                   n_probe: int = N_PROBE) -> DataFrame:
+                   n_probe: int = N_PROBE,
+                   train_mod: int = 1) -> DataFrame:
     """IVF + PQ composed — the full FAISS IVFPQ architecture from the two
     already-verified stages: the IVF coarse quantizer restricts candidates
     to the n_probe nearest lists per query (nprobe/nlist of the corpus,
@@ -1364,9 +1401,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
         n_centroids = nlist_for(base.count())
     # IVF coarse stage — the SHARED _ivf_members_probes, so the coarse
     # assignment cannot drift from ann_ivf_topk's
-    aff = _centroid_affinity(base, "vec_id", n_iter, n_centroids).localCheckpoint(
-        eager=True
-    )
+    aff = _centroid_affinity(
+        base, "vec_id", n_iter, n_centroids, train_mod
+    ).localCheckpoint(eager=True)
     members, probes = _ivf_members_probes(aff, n_probe)
     # PQ codes + per-query integer LUTs
     codes, cb = _pq_index(base)
@@ -1559,7 +1596,7 @@ ANN_PQ_SQL = pq_sql(PQ_ITERS)
 
 
 def ivfpq_sql(n_iter: int = IVF_ITERS, n_centroids: int = N_CENTROIDS,
-              n_probe: int = N_PROBE) -> str:
+              n_probe: int = N_PROBE, train_mod: int = 1) -> str:
     """IVFPQ twin: composed from the SAME shared blocks as its parents —
     _ivf_cents_ctes + _ivf_probe_ctes (the coarse stage, verbatim
     ivf_sql's), _pq_cb_ctes + _pq_serve_ctes + _pq_rerank_tail (the PQ
@@ -1567,7 +1604,7 @@ def ivfpq_sql(n_iter: int = IVF_ITERS, n_centroids: int = N_CENTROIDS,
     restriction and the candidate-limited `adc` of its own, so a fix to
     either parent's math flows here by construction."""
     return f"""
-WITH {_ivf_cents_ctes(n_iter, n_centroids)},
+WITH {_ivf_cents_ctes(n_iter, n_centroids, train_mod)},
 {_pq_cb_ctes(PQ_ITERS)},
 {_ivf_probe_ctes(n_probe)},
 {_pq_serve_ctes()},

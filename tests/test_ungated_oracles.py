@@ -851,3 +851,48 @@ def test_ivf_auto_width_parity(spark):
         sf,
     )
     assert ok, msg
+
+
+def test_ivf_sampled_training_parity(spark):
+    """FAISS-style subsampled Lloyd training (train_mod): the codebook is
+    trained on the deterministic vec_id % train_mod == 0 sample and the
+    full corpus assigned once — every training CTE in the generated
+    oracle carries the same sample restriction, so the sampled codebook
+    stays hash-exact across engines, composed through all three
+    consumers."""
+    from crawler_spark.operators.similarity import (
+        IVF_ITERS,
+        SEMDEDUP_TAU,
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+        dedup_semantic,
+        ivf_sql,
+        ivfpq_sql,
+        semdedup_sql,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    con = duck_connect(sf)
+    for name, fn, sql in (
+        (
+            "ann_ivf_topk_tm4",
+            lambda s, d: ann_ivf_topk(s, d, train_mod=4),
+            ivf_sql(IVF_ITERS, train_mod=4),
+        ),
+        (
+            "dedup_semantic_tm4",
+            lambda s, d: dedup_semantic(
+                s, d, n_centroids=8, cluster_cap=10, train_mod=4
+            ),
+            semdedup_sql(IVF_ITERS, SEMDEDUP_TAU, 8, 10, 4),
+        ),
+        (
+            "ann_ivfpq_topk_tm4",
+            lambda s, d: ann_ivfpq_topk(
+                s, d, n_centroids=32, n_probe=8, train_mod=4
+            ),
+            ivfpq_sql(IVF_ITERS, 32, 8, 4),
+        ),
+    ):
+        ok, msg = compare_one(spark, con, name, fn, sql, sf)
+        assert ok, (name, msg)
