@@ -482,7 +482,12 @@ def nlist_for(corpus_size: int) -> int:
     within-cluster pair step: pairs ~ nlist * (N/nlist)^2 = N^1.5/4 instead
     of N^2/nlist, and `dedup_semantic`'s cluster_cap sub-bucketing bounds
     stragglers past that expectation. At 10^9 vectors: nlist ~ 126k lists
-    of ~8k vectors, the standard billion-scale IVF shape."""
+    of ~8k vectors, the standard billion-scale IVF shape. Honest cost
+    accounting: the one-time full-corpus ASSIGNMENT is still the standard
+    exact N x nlist distance pass (4*N^1.5 at this sizing — what FAISS
+    pays too, BLAS-batched; accelerating it with an index over the
+    centroid space composes but is out of scope), and train_mod keeps the
+    n_iter Lloyd TRAINING rounds off that bill entirely."""
     import math
 
     return max(N_CENTROIDS, 4 * math.isqrt(max(corpus_size, 0)))
