@@ -80,6 +80,50 @@ SPAN_DUP_MAX = 0.3
 SUBSTR_DUP_MAX = 0.3
 
 
+def _quality_rep(g: DataFrame, m: DataFrame) -> DataFrame:
+    """(group_id, rep_doc_id) for MULTI-member near-dup groups — the
+    quality-argmax representative policy defined ONCE for both consumers
+    (dedup_best_rep and pipeline_clean_corpus), so a tie-break or
+    null-handling change can never diverge them. The (quality, -doc_id)
+    struct max is an exact total order: quality_score is the same rounded
+    float64 in both engines and the negated doc_id breaks ties toward the
+    lowest id. Singletons never enter the exchange; callers coalesce
+    rep_doc_id to doc_id."""
+    return (
+        g.filter(F.col("group_size") > 1)
+        .select("doc_id", "group_id")
+        .join(m.select("doc_id", "quality_score"), "doc_id")
+        .groupBy("group_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score").alias("q"),
+                    (-F.col("doc_id")).alias("nd"),
+                )
+            ).alias("b")
+        )
+        .select("group_id", (-F.col("b.nd")).alias("rep_doc_id"))
+    )
+
+
+def _quality_rep_r_sql(src: str, mt: str | None = None) -> str:
+    """The DuckDB twin of `_quality_rep`, as a CTE body: `src` supplies
+    (doc_id, group_id, group_size) and `mt` (or `src` itself when None)
+    supplies quality_score — ONE definition composed into BEST_REP_SQL
+    and PIPELINE_SQL."""
+    join = f" JOIN {mt} ON {mt}.doc_id = {src}.doc_id" if mt else ""
+    q = mt or src
+    return f"""SELECT group_id, doc_id AS rep_doc_id FROM (
+    SELECT {src}.group_id, {src}.doc_id,
+           row_number() OVER (
+             PARTITION BY {src}.group_id
+             ORDER BY {q}.quality_score DESC, {src}.doc_id
+           ) AS rn
+    FROM {src}{join}
+    WHERE {src}.group_size > 1
+  ) WHERE rn = 1"""
+
+
 def pipeline_clean_corpus(
     spark: SparkSession, sf_dir: str, rep_policy: str = "quality"
 ) -> DataFrame:
@@ -150,20 +194,7 @@ def pipeline_clean_corpus(
     sh = shingle_rows_from_toks(base).localCheckpoint(eager=True)
     g = dedup_groups_from_shingles(sh, base.select("doc_id"))
     if rep_policy == "quality":
-        best = (
-            g.filter(F.col("group_size") > 1)
-            .join(m.select("doc_id", "quality_score"), "doc_id")
-            .groupBy("group_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("quality_score").alias("q"),
-                        (-F.col("doc_id")).alias("nd"),
-                    )
-                ).alias("b")
-            )
-            .select("group_id", (-F.col("b.nd")).alias("best_doc_id"))
-        )
+        best = _quality_rep(g, m).withColumnRenamed("rep_doc_id", "best_doc_id")
         g = g.join(best, "group_id", "left").select(
             "doc_id",
             "group_id",
@@ -347,19 +378,7 @@ def dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "group_id", "group_size"
     )
     j = g.join(m, "doc_id")
-    best = (
-        j.filter(F.col("group_size") > 1)
-        .groupBy("group_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("quality_score").alias("q"),
-                    (-F.col("doc_id")).alias("nd"),
-                )
-            ).alias("b")
-        )
-        .select("group_id", (-F.col("b.nd")).alias("rep_doc_id"))
-    )
+    best = _quality_rep(g, m)
     return j.join(best, "group_id", "left").select(
         "doc_id",
         "group_id",
@@ -379,21 +398,12 @@ j AS (
   SELECT g.doc_id, g.group_id, g.group_size, m.quality_score
   FROM g JOIN m USING (doc_id)
 ),
-r AS (
-  SELECT group_id, doc_id AS rep_doc_id FROM (
-    SELECT group_id, doc_id,
-           row_number() OVER (
-             PARTITION BY group_id
-             ORDER BY quality_score DESC, doc_id
-           ) AS rn
-    FROM j
-  ) WHERE rn = 1
-)
+r AS ({_quality_rep_r_sql('j')})
 SELECT j.doc_id, j.group_id, j.group_size::bigint AS group_size,
-       r.rep_doc_id,
-       (j.doc_id = r.rep_doc_id) AS is_rep,
+       coalesce(r.rep_doc_id, j.doc_id) AS rep_doc_id,
+       (j.doc_id = coalesce(r.rep_doc_id, j.doc_id)) AS is_rep,
        j.quality_score
-FROM j JOIN r USING (group_id)
+FROM j LEFT JOIN r USING (group_id)
 """
 
 
@@ -412,17 +422,7 @@ ld AS (
 ),
 sd AS (SELECT doc_id, removed_ratio AS substr_dup_ratio FROM ({SUBSTR_DEDUP_SQL}) sdd),
 g AS (SELECT * FROM ({GROUPS_SQL}) gg),
-r AS (
-  SELECT group_id, doc_id AS rep_doc_id FROM (
-    SELECT g.group_id, g.doc_id,
-           row_number() OVER (
-             PARTITION BY g.group_id
-             ORDER BY m0.quality_score DESC, g.doc_id
-           ) AS rn
-    FROM g JOIN m m0 ON m0.doc_id = g.doc_id
-    WHERE g.group_size > 1
-  ) WHERE rn = 1
-),
+r AS ({_quality_rep_r_sql('g', 'm')}),
 ex AS (
   SELECT min(doc_id) AS doc_id, true AS exact_rep
   FROM documents GROUP BY md5(text)

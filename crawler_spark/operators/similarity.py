@@ -505,17 +505,34 @@ SIZED_NPROBE = 32
 
 
 def _centroid_means(
-    base: DataFrame, assign: DataFrame | None, n_centroids: int = N_CENTROIDS
+    base: DataFrame,
+    assign: DataFrame | None,
+    n_centroids: int = N_CENTROIDS,
+    seed_div: int = 1,
 ) -> DataFrame:
     """(c_id, ce array<double>, _n_ce): per-dimension means of each
     assignment's members, accumulated in INTEGER space (order-independent,
     so bit-identical across engines and partitionings). assign=None is the
     SEED round: c_id = pmod(vec_id, k) is a per-row expression, so it
     projects straight off the index with NO join — only real
-    re-assignments (later Lloyd rounds) pay the vec_id equi-join."""
+    re-assignments (later Lloyd rounds) pay the vec_id equi-join.
+
+    seed_div: when the caller trains on the vec_id % m == 0 subsample, the
+    raw pmod seed would hit only the residues {0, m, 2m, ...} mod k —
+    collapsing the codebook to k/gcd(m, k) lists (a review-caught bug:
+    nlist_for widths are multiples of 4, so train_mod=4 silently trained
+    1/4 of the requested lists). Seeding on pmod(vec_id div m, k) makes
+    the sample ids dense again, so every list is seeded whenever the
+    sample has >= k members; seed_div=1 is the byte-identical legacy
+    expression (the static-oracle contract)."""
     if assign is None:
+        seed = (
+            "vec_id"
+            if seed_div <= 1
+            else f"(vec_id div {seed_div})"
+        )
         exploded = base.select(
-            F.pmod("vec_id", F.lit(n_centroids)).alias("c_id"),
+            F.pmod(F.expr(seed), F.lit(n_centroids)).alias("c_id"),
             F.posexplode("embedding").alias("pos", "x"),
         )
     else:
@@ -581,7 +598,7 @@ def _trained_centroids(
         if train_mod <= 1
         else base.filter(F.pmod("vec_id", F.lit(train_mod)) == 0)
     )
-    cents = _centroid_means(tbase, None, n_centroids)
+    cents = _centroid_means(tbase, None, n_centroids, seed_div=train_mod)
     for _ in range(1, n_iter):
         aff = _affinity_to(tbase, cents, "vec_id")
         w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
@@ -700,8 +717,12 @@ def _ivf_cents_ctes(
     restricts every training CTE to the vec_id % train_mod == 0 sample
     exactly like the Spark side."""
     tw = f" WHERE vec_id % {train_mod} = 0" if train_mod > 1 else ""
+    # seed on (vec_id // m) when sampling so every list is seeded — the
+    # raw vec_id seed over the sample hits only k/gcd(m, k) residues
+    # (_centroid_means' seed_div twin)
+    seed = f"(vec_id // {train_mod})" if train_mod > 1 else "vec_id"
     parts = [
-        f"assign0 AS (SELECT vec_id, vec_id % {n_centroids} AS c_id"
+        f"assign0 AS (SELECT vec_id, {seed} % {n_centroids} AS c_id"
         f" FROM embeddings{tw})"
     ]
     for i in range(n_iter):
@@ -818,19 +839,30 @@ SEMDEDUP_TAU = 0.35
 # clusters. 256 ~ 2x the expected population at 10^6 vectors.
 SEMDEDUP_CLUSTER_CAP = 256
 
+# the sub-bucket hash's DuckDB twin (same md5-prefix h32 as common.duck_h32,
+# applied to the decimal rendering of vec_id — nonnegative, so % == pmod)
+_duck_h32_vec = "(('0x' || substr(md5(a.vec_id::VARCHAR),1,8))::bigint)"
+
 
 def _semdedup_pairs(assign: DataFrame, cluster_cap: int) -> DataFrame:
     """(vec_a, vec_b) candidate pairs within a cluster sub-bucket: cluster
     sizes are one tiny groupBy (nlist rows, broadcast back), n_sub =
-    ceil(size / cap), sub = pmod(vec_id, n_sub), self-join on (c_id, sub).
-    Factored out so the pair-bound test counts exactly what the operator
-    compares."""
+    ceil(size / cap), sub = pmod(h32(vec_id), n_sub), self-join on
+    (c_id, sub). The bucket key is a HASH of vec_id, not vec_id itself —
+    raw pmod would re-concentrate any cluster whose member ids are
+    correlated modulo n_sub (an arithmetic progression of ids lands every
+    member in one bucket, review-caught), defeating the cap exactly on
+    structured corpora; the md5-derived h32 twin keeps the split
+    deterministic and cross-engine exact. Factored out so the pair-bound
+    test counts exactly what the operator compares."""
+    from .common import spark_h32
+
     counts = assign.groupBy("c_id").agg(F.count("*").alias("_cn"))
     sub = assign.join(F.broadcast(counts), "c_id").select(
         "vec_id",
         "c_id",
         F.pmod(
-            "vec_id",
+            F.expr(spark_h32("cast(vec_id as string)")),
             F.expr(f"cast((_cn + {cluster_cap - 1}) div {cluster_cap} as bigint)"),
         ).alias("_sub"),
     )
@@ -913,7 +945,7 @@ assign AS (
 cnts AS (SELECT c_id, count(*)::bigint AS cn FROM assign GROUP BY c_id),
 suba AS (
   SELECT a.vec_id, a.c_id,
-         a.vec_id % ((t.cn + {cluster_cap - 1}) // {cluster_cap}) AS sub
+         {_duck_h32_vec} % ((t.cn + {cluster_cap - 1}) // {cluster_cap}) AS sub
   FROM assign a JOIN cnts t USING (c_id)
 ),
 prs AS (

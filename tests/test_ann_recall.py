@@ -121,21 +121,51 @@ def test_recall_floors_production_config_sf01(spark):
     """The full production configuration — nlist_for-sized width,
     SIZED_NPROBE probes, AND FAISS-style subsampled Lloyd training
     (train_mod=4: codebook trained on the deterministic 1/4 sample, full
-    corpus assigned once) — measured at sf0.1: IVF 0.96 overall / 1.0 in
-    the cos>=0.4 regime, IVFPQ 0.62/0.8947. On this corpus the sampled
-    codebook BEATS full training (176 lists over 500 training vectors
-    spread the lists finer than over all 2000), while each Lloyd round
-    costs 1/4 the affinity dots — at 10^9 vectors sampling is what makes
-    the n_iter training rounds constant-sized instead of
-    assignment-sized. Floors just below the deterministic measurements."""
+    corpus assigned once). Two STRUCTURAL guards come first — they are
+    what caught the round-5 seed bug (a pmod seed over the pmod sample
+    collapsed the codebook to nlist/gcd lists, and recall looked GREAT
+    because 32-of-44 effective lists meant a 73% corpus scan):
+
+      1. every requested list is populated (176/176 effective), and
+      2. the measured candidate fraction stays ~nprobe/nlist (<= 0.20),
+
+    then the recall floors. Honest quality accounting: at this corpus
+    the 1/4 sample is ~2.8 training vectors per list — far under the
+    FAISS >= 39/list guidance (at 10^9 vectors the same train_mod gives
+    ~2000/list, where sampling is free quality-wise) — so sampled
+    training measures IVF 0.58/0.5789-regime and IVFPQ 0.52/0.5789 vs
+    full training's 0.73/0.7368: a real small-corpus cost, still at or
+    above the fixed-width default (0.50/0.5789 and 0.40/0.5789) while
+    scanning 18% instead of 25%."""
+    from pyspark.sql import functions as F
+
     from crawler_spark.operators.similarity import (
+        IVF_ITERS,
+        N_QUERIES,
         SIZED_NPROBE,
+        _centroid_affinity,
+        _indexed_embeddings,
+        _ivf_members_probes,
         ann_ivf_topk,
         ann_ivfpq_topk,
         nlist_for,
     )
 
     nl = nlist_for(2000)
+    assert nl == 176, nl
+    base = _indexed_embeddings(spark, SF_BIG)
+    n = base.count()
+    aff = _centroid_affinity(base, "vec_id", IVF_ITERS, nl, 4).localCheckpoint(
+        eager=True
+    )
+    members, probes = _ivf_members_probes(aff, SIZED_NPROBE)
+    assert members.select("list_id").distinct().count() == nl
+    cands = probes.join(members, "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    frac = cands.count() / (N_QUERIES * n)
+    assert frac <= 0.20, frac  # measured 0.182 ~ nprobe/nlist
+
     r = ann_recall(
         spark,
         SF_BIG,
@@ -151,7 +181,7 @@ def test_recall_floors_production_config_sf01(spark):
         only=["ivf_prod", "ivfpq_prod"],
     )
     assert r["n_exact_cos>=0.4"] >= 15, r
-    assert r["recall_ivf_prod"] >= 0.90, r             # measured 0.96
-    assert r["recall_ivf_prod_cos>=0.4"] >= 0.95, r    # measured 1.0
-    assert r["recall_ivfpq_prod"] >= 0.55, r           # measured 0.62
-    assert r["recall_ivfpq_prod_cos>=0.4"] >= 0.84, r  # measured 0.8947
+    assert r["recall_ivf_prod"] >= 0.55, r             # measured 0.58
+    assert r["recall_ivf_prod_cos>=0.4"] >= 0.55, r    # measured 0.5789
+    assert r["recall_ivfpq_prod"] >= 0.48, r           # measured 0.52
+    assert r["recall_ivfpq_prod_cos>=0.4"] >= 0.55, r  # measured 0.5789

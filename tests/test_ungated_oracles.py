@@ -750,26 +750,47 @@ def test_ivf_family_nondefault_width(spark):
 
 def test_semdedup_cluster_cap_bounds_pairs(spark):
     """No cluster is ever quadratic past the cap: the pair stage's
-    sub-bucketing splits an oversized cluster into ceil(size/cap) pmod
-    buckets, so the pair count is linear in N*cap instead of quadratic in
-    the cluster size. Exact on a worst-skew synthetic assignment (every
-    vector in ONE cluster, ids uniform mod n_sub); also pins that pairs
-    stay within a sub-bucket and are canonically ordered."""
+    sub-bucketing splits an oversized cluster into ceil(size/cap) buckets
+    keyed by a HASH of vec_id (raw pmod would re-concentrate any cluster
+    whose ids are correlated modulo n_sub — the review-caught failure
+    this test's adversarial case pins). Exact against a Python replica of
+    the h32 bucket on a worst-skew assignment (every vector in ONE
+    cluster), on an arithmetic-progression id set (step 4 — raw pmod
+    would land 4 buckets of 100 and go quadratic), and canonical
+    ordering / no-cross-bucket invariants."""
+    import hashlib
+
     from crawler_spark.operators.similarity import _semdedup_pairs
 
+    def h32(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    def expect_pairs(ids, cap):
+        n_sub = (len(ids) + cap - 1) // cap
+        from collections import Counter
+
+        sizes = Counter(h32(i) % n_sub for i in ids)
+        return sum(s * (s - 1) // 2 for s in sizes.values()), n_sub, max(
+            sizes.values()
+        )
+
     n, cap = 400, 20
-    assign = spark.createDataFrame(
-        [(i, 0) for i in range(n)], "vec_id long, c_id int"
-    )
-    pairs = _semdedup_pairs(assign, cap).toPandas()
-    n_sub = (n + cap - 1) // cap  # 20 sub-buckets of exactly 20 members
-    per_bucket = n // n_sub
-    expect = n_sub * per_bucket * (per_bucket - 1) // 2  # 3800
-    assert len(pairs) == expect, (len(pairs), expect)
-    assert len(pairs) <= n * cap  # the linear bound vs C(400,2) = 79800
-    assert (pairs["vec_a"] < pairs["vec_b"]).all()
-    # pairs never cross a sub-bucket
-    assert ((pairs["vec_a"] % n_sub) == (pairs["vec_b"] % n_sub)).all()
+    for ids in (list(range(n)), list(range(0, 4 * n, 4))):
+        assign = spark.createDataFrame(
+            [(i, 0) for i in ids], "vec_id long, c_id int"
+        )
+        pairs = _semdedup_pairs(assign, cap).toPandas()
+        expect, n_sub, max_bucket = expect_pairs(ids, cap)
+        assert len(pairs) == expect, (len(pairs), expect)
+        # the hash split stays balanced: worst bucket within ~2x the cap,
+        # so the pair count is linear-in-N, never the C(400,2) = 79800
+        # blowup raw pmod produces on the step-4 progression
+        assert max_bucket <= 2 * cap, max_bucket
+        assert len(pairs) <= n * 2 * cap, len(pairs)
+        assert (pairs["vec_a"] < pairs["vec_b"]).all()
+        sub_a = pairs["vec_a"].map(lambda v: h32(int(v)) % n_sub)
+        sub_b = pairs["vec_b"].map(lambda v: h32(int(v)) % n_sub)
+        assert (sub_a == sub_b).all()
     # a cluster AT the cap is untouched: one sub-bucket, all pairs kept
     small = spark.createDataFrame(
         [(i, 0) for i in range(cap)], "vec_id long, c_id int"
