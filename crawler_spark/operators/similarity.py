@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .common import duck_h32 as _duck_h32
 from .common import load
 
 N_PLANES = 16
@@ -508,7 +509,7 @@ def _centroid_means(
     base: DataFrame,
     assign: DataFrame | None,
     n_centroids: int = N_CENTROIDS,
-    seed_div: int = 1,
+    hash_seed: bool = False,
 ) -> DataFrame:
     """(c_id, ce array<double>, _n_ce): per-dimension means of each
     assignment's members, accumulated in INTEGER space (order-independent,
@@ -517,19 +518,21 @@ def _centroid_means(
     projects straight off the index with NO join — only real
     re-assignments (later Lloyd rounds) pay the vec_id equi-join.
 
-    seed_div: when the caller trains on the vec_id % m == 0 subsample, the
-    raw pmod seed would hit only the residues {0, m, 2m, ...} mod k —
+    hash_seed: when the caller trains on the vec_id % m == 0 subsample,
+    the raw pmod seed hits only the residues {0, m, 2m, ...} mod k —
     collapsing the codebook to k/gcd(m, k) lists (a review-caught bug:
     nlist_for widths are multiples of 4, so train_mod=4 silently trained
-    1/4 of the requested lists). Seeding on pmod(vec_id div m, k) makes
-    the sample ids dense again, so every list is seeded whenever the
-    sample has >= k members; seed_div=1 is the byte-identical legacy
-    expression (the static-oracle contract)."""
+    1/4 of the requested lists). Seeding on pmod(h32(vec_id), k) fixes
+    the CLASS, not just that instance: any correlated or sparse id space
+    (arithmetic progressions, hashed ids) still seeds every list with
+    high probability, where a divided-id seed would only repair dense
+    contiguous ids. hash_seed=False is the byte-identical legacy
+    expression (the static-oracle contract for train_mod=1)."""
+    from .common import spark_h32
+
     if assign is None:
         seed = (
-            "vec_id"
-            if seed_div <= 1
-            else f"(vec_id div {seed_div})"
+            spark_h32("cast(vec_id as string)") if hash_seed else "vec_id"
         )
         exploded = base.select(
             F.pmod(F.expr(seed), F.lit(n_centroids)).alias("c_id"),
@@ -598,7 +601,7 @@ def _trained_centroids(
         if train_mod <= 1
         else base.filter(F.pmod("vec_id", F.lit(train_mod)) == 0)
     )
-    cents = _centroid_means(tbase, None, n_centroids, seed_div=train_mod)
+    cents = _centroid_means(tbase, None, n_centroids, hash_seed=train_mod > 1)
     for _ in range(1, n_iter):
         aff = _affinity_to(tbase, cents, "vec_id")
         w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
@@ -717,10 +720,10 @@ def _ivf_cents_ctes(
     restricts every training CTE to the vec_id % train_mod == 0 sample
     exactly like the Spark side."""
     tw = f" WHERE vec_id % {train_mod} = 0" if train_mod > 1 else ""
-    # seed on (vec_id // m) when sampling so every list is seeded — the
-    # raw vec_id seed over the sample hits only k/gcd(m, k) residues
-    # (_centroid_means' seed_div twin)
-    seed = f"(vec_id // {train_mod})" if train_mod > 1 else "vec_id"
+    # hash-seed when sampling so every list is seeded on ANY id space —
+    # the raw vec_id seed over the sample hits only k/gcd(m, k) residues
+    # (_centroid_means' hash_seed twin)
+    seed = _duck_h32("vec_id::VARCHAR") if train_mod > 1 else "vec_id"
     parts = [
         f"assign0 AS (SELECT vec_id, {seed} % {n_centroids} AS c_id"
         f" FROM embeddings{tw})"
@@ -830,7 +833,7 @@ ANN_IVF_SQL = ivf_sql(IVF_ITERS)
 SEMDEDUP_TAU = 0.35
 # Per-cluster pair bound: a cluster with more than CLUSTER_CAP members is
 # deterministically split into ceil(size / CLUSTER_CAP) sub-buckets by
-# pmod(vec_id, n_sub) and pairs are compared WITHIN a sub-bucket only — so
+# pmod(h32(vec_id), n_sub) and pairs are compared WITHIN a sub-bucket only — so
 # no cluster is ever quadratic past ~CLUSTER_CAP^2/2 pairs per sub-bucket,
 # whatever the codebook width or skew. This is the same accept-the-miss
 # trade SemDeDup itself makes at the cluster boundary (a pair split across
@@ -839,9 +842,10 @@ SEMDEDUP_TAU = 0.35
 # clusters. 256 ~ 2x the expected population at 10^6 vectors.
 SEMDEDUP_CLUSTER_CAP = 256
 
-# the sub-bucket hash's DuckDB twin (same md5-prefix h32 as common.duck_h32,
-# applied to the decimal rendering of vec_id — nonnegative, so % == pmod)
-_duck_h32_vec = "(('0x' || substr(md5(a.vec_id::VARCHAR),1,8))::bigint)"
+# the sub-bucket hash's DuckDB twin: common.duck_h32 over the decimal
+# rendering of vec_id (nonnegative, so % == pmod) — the SAME helper the
+# Spark side's spark_h32 is twinned with, so the definition cannot drift
+_duck_h32_vec = _duck_h32("a.vec_id::VARCHAR")
 
 
 def _semdedup_pairs(assign: DataFrame, cluster_cap: int) -> DataFrame:
@@ -849,12 +853,14 @@ def _semdedup_pairs(assign: DataFrame, cluster_cap: int) -> DataFrame:
     sizes are one tiny groupBy (nlist rows, broadcast back), n_sub =
     ceil(size / cap), sub = pmod(h32(vec_id), n_sub), self-join on
     (c_id, sub). The bucket key is a HASH of vec_id, not vec_id itself —
-    raw pmod would re-concentrate any cluster whose member ids are
-    correlated modulo n_sub (an arithmetic progression of ids lands every
-    member in one bucket, review-caught), defeating the cap exactly on
-    structured corpora; the md5-derived h32 twin keeps the split
-    deterministic and cross-engine exact. Factored out so the pair-bound
-    test counts exactly what the operator compares."""
+    raw pmod re-concentrates any cluster whose member ids are correlated
+    modulo n_sub (review-caught: an id progression of step s collapses
+    the split to n_sub/gcd(s, n_sub) buckets of size·gcd/n_sub members
+    each — fully quadratic again when s is a multiple of n_sub, where
+    every member lands in ONE bucket); the md5-derived h32 twin keeps the
+    split deterministic and cross-engine exact on any id structure.
+    Factored out so the pair-bound test counts exactly what the operator
+    compares."""
     from .common import spark_h32
 
     counts = assign.groupBy("c_id").agg(F.count("*").alias("_cn"))

@@ -129,14 +129,21 @@ def test_recall_floors_production_config_sf01(spark):
       1. every requested list is populated (176/176 effective), and
       2. the measured candidate fraction stays ~nprobe/nlist (<= 0.20),
 
-    then the recall floors. Honest quality accounting: at this corpus
-    the 1/4 sample is ~2.8 training vectors per list — far under the
-    FAISS >= 39/list guidance (at 10^9 vectors the same train_mod gives
+    then the recall floors. The sampled codebook seeds on h32(vec_id)
+    (any id structure, not just dense-contiguous), so balls-in-bins
+    leaves a FEW lists unseeded by design — 167/176 measured, matching
+    the 176·(1−1/176)^500 ≈ 166 expectation — hence the >= 90% guard,
+    not equality. Honest quality accounting: at this corpus the 1/4
+    sample is ~2.8 training vectors per list — far under the FAISS >=
+    39/list guidance (at 10^9 vectors the same train_mod gives
     ~2000/list, where sampling is free quality-wise) — so sampled
-    training measures IVF 0.58/0.5789-regime and IVFPQ 0.52/0.5789 vs
-    full training's 0.73/0.7368: a real small-corpus cost, still at or
-    above the fixed-width default (0.50/0.5789 and 0.40/0.5789) while
-    scanning 18% instead of 25%."""
+    training measures IVF 0.63/0.6842-regime and IVFPQ 0.53/0.6842 vs
+    full training's 0.73/0.7368: a real small-corpus cost, still above
+    the fixed-width default (0.50/0.5789 and 0.40/0.5789) while scanning
+    ~19% instead of 25%. The ivf_prod recall reuses the guard's coarse
+    stage (ONE Lloyd training, review finding: the first version trained
+    the same codebook three times); ivfpq_prod runs the full composed
+    builder — that composition is what it verifies."""
     from pyspark.sql import functions as F
 
     from crawler_spark.operators.similarity import (
@@ -144,9 +151,9 @@ def test_recall_floors_production_config_sf01(spark):
         N_QUERIES,
         SIZED_NPROBE,
         _centroid_affinity,
+        _exact_rerank,
         _indexed_embeddings,
         _ivf_members_probes,
-        ann_ivf_topk,
         ann_ivfpq_topk,
         nlist_for,
     )
@@ -159,21 +166,20 @@ def test_recall_floors_production_config_sf01(spark):
         eager=True
     )
     members, probes = _ivf_members_probes(aff, SIZED_NPROBE)
-    assert members.select("list_id").distinct().count() == nl
+    assert members.select("list_id").distinct().count() >= int(0.9 * nl)
     cands = probes.join(members, "list_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    cands = cands.localCheckpoint(eager=True)
     frac = cands.count() / (N_QUERIES * n)
-    assert frac <= 0.20, frac  # measured 0.182 ~ nprobe/nlist
+    assert frac <= 0.21, frac  # measured 0.189 ~ nprobe/nlist
 
     r = ann_recall(
         spark,
         SF_BIG,
         sim_floor=0.4,
         extra={
-            "ivf_prod": lambda s, d: ann_ivf_topk(
-                s, d, n_centroids=nl, n_probe=SIZED_NPROBE, train_mod=4
-            ),
+            "ivf_prod": lambda s, d: _exact_rerank(base, cands),
             "ivfpq_prod": lambda s, d: ann_ivfpq_topk(
                 s, d, n_centroids=nl, n_probe=SIZED_NPROBE, train_mod=4
             ),
@@ -181,7 +187,7 @@ def test_recall_floors_production_config_sf01(spark):
         only=["ivf_prod", "ivfpq_prod"],
     )
     assert r["n_exact_cos>=0.4"] >= 15, r
-    assert r["recall_ivf_prod"] >= 0.55, r             # measured 0.58
-    assert r["recall_ivf_prod_cos>=0.4"] >= 0.55, r    # measured 0.5789
-    assert r["recall_ivfpq_prod"] >= 0.48, r           # measured 0.52
-    assert r["recall_ivfpq_prod_cos>=0.4"] >= 0.55, r  # measured 0.5789
+    assert r["recall_ivf_prod"] >= 0.60, r             # measured 0.63
+    assert r["recall_ivf_prod_cos>=0.4"] >= 0.65, r    # measured 0.6842
+    assert r["recall_ivfpq_prod"] >= 0.50, r           # measured 0.53
+    assert r["recall_ivfpq_prod_cos>=0.4"] >= 0.65, r  # measured 0.6842

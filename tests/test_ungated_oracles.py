@@ -756,8 +756,11 @@ def test_semdedup_cluster_cap_bounds_pairs(spark):
     this test's adversarial case pins). Exact against a Python replica of
     the h32 bucket on a worst-skew assignment (every vector in ONE
     cluster), on an arithmetic-progression id set (step 4 — raw pmod
-    would land 4 buckets of 100 and go quadratic), and canonical
-    ordering / no-cross-bucket invariants."""
+    would collapse the 20-way split to gcd(4,20)=4, i.e. 5 buckets of 80
+    and 15,800 pairs vs the hash split's ~3,800; a step that is a
+    MULTIPLE of n_sub would land everything in one bucket, the full
+    C(400,2)=79,800 blowup), and canonical ordering / no-cross-bucket
+    invariants."""
     import hashlib
 
     from crawler_spark.operators.similarity import _semdedup_pairs
@@ -783,8 +786,8 @@ def test_semdedup_cluster_cap_bounds_pairs(spark):
         expect, n_sub, max_bucket = expect_pairs(ids, cap)
         assert len(pairs) == expect, (len(pairs), expect)
         # the hash split stays balanced: worst bucket within ~2x the cap,
-        # so the pair count is linear-in-N, never the C(400,2) = 79800
-        # blowup raw pmod produces on the step-4 progression
+        # so the pair count stays linear-in-N regardless of how the ids
+        # correlate with n_sub (raw pmod degrades by gcd(step, n_sub))
         assert max_bucket <= 2 * cap, max_bucket
         assert len(pairs) <= n * 2 * cap, len(pairs)
         assert (pairs["vec_a"] < pairs["vec_b"]).all()
