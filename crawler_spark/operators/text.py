@@ -1348,6 +1348,191 @@ FROM m
 """
 
 
+# -- BM25 top-k retrieval (integer-exact Okapi scoring) ---------------------
+# Retrieval over the corpus is a first-class training-data op: dedup against
+# a query set, retrieval-based decontamination (find the documents most
+# similar to an eval prompt), and targeted corpus audits all reduce to
+# "score every document against a small query bag, keep the top-k".
+# Okapi BM25 (Robertson et al., TREC-3) with k1 = 6/5 and b = 3/4 kept as
+# RATIONALS so the whole score is integer arithmetic both engines compute
+# bit-identically (the text_surprisal lesson — float ln/÷ sums diverge in
+# the last ulp per partitioning):
+#   - idf is the LOG-FREE rational: the Robertson–Sparck-Jones idf argument
+#     (N - df + 0.5)/(df + 0.5) milli-quantized as
+#     idf_milli = (1000·(2N - 2df + 1)) div (2df + 1), capped at 20_000
+#     (≈ ln-idf's ceiling at N ≈ 5·10^8; rare terms saturate at the cap the
+#     way ln compresses them). The first draft used the surprisal-style
+#     integer-BIT idf (bitlen(N) - bitlen(df)) and produced an all-zero
+#     score column on this corpus — the ~40-word vocabulary puts every
+#     query term in most documents, df ≈ N, and whole-bit quantization
+#     rounds that to exactly 0 — the same vacuous-verification trap as the
+#     round-4 "recall 1.0 on an empty regime". The rational idf still
+#     discriminates at df ≈ N (e.g. df = 0.8·N → ~250 milli-units).
+#   - avgdl is quantized driver-side to avgdl_milli = (1000·Σdl) div N
+#   - the per-term contribution
+#       idf · tf·(k1+1) / (tf + k1·(1-b) + k1·b·dl/avgdl)
+#     becomes (2_200_000 · tf · idf_milli) div denom_milli with
+#     denom_milli = 1000·tf + 300 + (900_000·dl) div avgdl_milli — every
+#     step int64 floor division, so the per-(query, doc) SUM is an exact
+#     order-independent int64 (score_micro = 1e6 × the rational score up to
+#     the documented quantization: 2_200_000/denom_milli = (k1+1)·1000/denom
+#     and idf_milli/1000 = idf, so the product is micro-scaled score).
+# Overflow bounds (ANSI-loud in Spark, bigint-overflow-loud in DuckDB, the
+# x15 packed-key precedent): tf < 2^26 guarded by raise_error; idf_milli <=
+# 20_000 by the cap, so 2_200_000·tf·idf_milli < 2.96e18 < 2^63; 900_000·dl
+# and 1000·Σdl stay in int64 for any corpus a bigint doc count can describe.
+# Dataflow at 100 TB: TWO tokenize passes (the text_surprisal shape) — a
+# map-only stats pass collapsing to ONE row (count + Σdl), then the scoring
+# pass whose explode is filtered to the query vocabulary BEFORE the
+# (doc, term) partial agg, so the shuffle carries only matching tokens;
+# the query-term and idf tables are broadcast by construction (|vocab| ≤ a
+# few dozen), and the final top-k windows over q_id with at most
+# |matched docs| rows — the same per-query row_number page every ANN
+# serving block uses. A pipeline that already checkpoints (doc_id, toks)
+# (pipeline_clean_corpus style) can feed both passes from that one scan.
+BM25_QUERIES = (
+    (1, "sort table window"),
+    (2, "query scan fast"),
+    (3, "merge join batch"),
+    (4, "customer value stream"),
+)
+BM25_TOP = 10
+_BM25_TF_CAP = 1 << 26  # keeps 2_200_000 · tf · idf_milli inside int64
+_BM25_IDF_CAP = 20_000  # milli-units; ≈ ln-idf ceiling at N ≈ 5e8 docs
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str,
+                   queries: tuple = BM25_QUERIES,
+                   top: int = BM25_TOP) -> DataFrame:
+    return text_bm25_topk_frame(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+        ),
+        queries=queries,
+        top=top,
+    )
+
+
+def text_bm25_topk_frame(docs: DataFrame, queries: tuple = BM25_QUERIES,
+                         top: int = BM25_TOP) -> DataFrame:
+    """BM25 top-k over a pre-tokenized (doc_id, toks) frame."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    base = docs.select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    n_docs, total = base.agg(
+        F.count("*"), F.coalesce(F.sum("dl"), F.lit(0))
+    ).first()
+    n_docs, total = int(n_docs), int(total)
+    avgdl_milli = max((1000 * total) // max(n_docs, 1), 1)
+
+    qdf = spark.createDataFrame(
+        [(int(q), t) for q, t in queries], "q_id int, q_text string"
+    )
+    qterms = qdf.select(
+        "q_id", F.explode(F.split("q_text", " ")).alias("term")
+    )
+    vocab = sorted({t for _, text in queries for t in text.split(" ")})
+
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(vocab))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        F.expr(
+            f"least((1000 * (2 * {n_docs} - 2 * count(distinct doc_id) + 1)) "
+            f"div (2 * count(distinct doc_id) + 1), {_BM25_IDF_CAP})"
+        ).cast("long").alias("idf_milli")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"case when tf < {_BM25_TF_CAP} then "
+                f"(2200000 * tf * idf_milli) div "
+                f"(1000 * tf + 300 + (900000 * dl) div {avgdl_milli}) "
+                f"else cast(raise_error('text_bm25_topk: tf >= 2^26 "
+                f"overflows the integer contribution') as bigint) end"
+            ),
+        )
+    )
+    per = scored.groupBy("q_id", "doc_id").agg(
+        F.sum("contrib").cast("long").alias("score_micro")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "score_micro",
+            (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+        )
+    )
+
+
+def _bm25_sql(queries: tuple = BM25_QUERIES, top: int = BM25_TOP) -> str:
+    values = ", ".join(f"({int(q)}, '{t}')" for q, t in queries)
+    vocab = ", ".join(
+        f"'{t}'" for t in sorted({t for _, text in queries for t in text.split(" ")})
+    )
+    return f"""
+WITH q(q_id, q_text) AS (VALUES {values}),
+qterms AS (SELECT q_id, unnest(string_split(q_text, ' ')) AS term FROM q),
+d AS (
+  SELECT doc_id, len({DUCK_TOKENS})::bigint AS dl, {DUCK_TOKENS} AS toks
+  FROM documents
+),
+stats AS (
+  SELECT greatest((1000 * coalesce(sum(dl), 0)) // greatest(count(*), 1), 1)
+           AS avgdl_milli,
+         count(*)::bigint AS n_docs
+  FROM d
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::bigint AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({vocab})
+  GROUP BY doc_id, dl, term
+),
+idf AS (
+  SELECT term,
+         least((1000 * (2 * n_docs - 2 * count(DISTINCT doc_id) + 1)) //
+               (2 * count(DISTINCT doc_id) + 1), {_BM25_IDF_CAP})::bigint
+           AS idf_milli
+  FROM tf, stats GROUP BY term, n_docs
+),
+per AS (
+  SELECT q_id, doc_id,
+         sum((2200000 * tf * idf_milli) //
+             (1000 * tf + 300 + (900000 * dl) // avgdl_milli))::bigint
+           AS score_micro
+  FROM tf JOIN qterms USING (term) JOIN idf USING (term), stats
+  GROUP BY q_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC
+         ) AS rank
+  FROM per
+)
+SELECT q_id::bigint AS q_id, doc_id::bigint AS doc_id, rank::bigint AS rank,
+       score_micro, score_micro / 1000000.0 AS score
+FROM ranked WHERE rank <= {top}
+"""
+
+
+BM25_SQL = _bm25_sql()
+
+
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
     # gated in round 5 (rotated in for retired f5/g1/si_remarks/si_info):

@@ -63,6 +63,7 @@ from crawler_spark.operators.similarity import (
     ivf_sql,
 )
 from crawler_spark.operators.text import (
+    BM25_SQL,
     DECONTAM_SQL,
     DUP_GRAMS_SQL,
     FINGERPRINT_SQL,
@@ -79,6 +80,7 @@ from crawler_spark.operators.text import (
     sample_mixture,
     SURPRISAL_SQL,
     sample_stratified,
+    text_bm25_topk,
     text_fingerprint,
     text_dup_grams,
     text_gopher_rules,
@@ -127,6 +129,10 @@ def test_ungated_builders_match_oracle(spark):
         ("text_repetition", text_repetition, REPETITION_SQL),
         ("sample_stratified", sample_stratified, STRATIFIED_SQL),
         ("text_surprisal", text_surprisal, SURPRISAL_SQL),
+        # BM25 top-k retrieval: integer-exact Okapi scoring (rational
+        # idf + milli-quantized length norm), the retrieval leg of
+        # decontamination/audit pipelines
+        ("text_bm25_topk", text_bm25_topk, BM25_SQL),
         ("text_dup_grams", text_dup_grams, DUP_GRAMS_SQL),
         # CCNet-style span removal: globally-first occurrence of each
         # pseudo-line survives, every other copy is dropped and the
@@ -845,9 +851,60 @@ def test_round4_ops_twin_at_bench_scale(spark):
     for name, fn, sql in (
         ("dedup_best_rep", dedup_best_rep, BEST_REP_SQL),
         ("mm_audio_neardup", mm_audio_neardup, AUDIO_NEARDUP_SQL),
+        # round-5 addition rides the same bench-scale gate from birth
+        ("text_bm25_topk", text_bm25_topk, BM25_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
+
+
+def test_bm25_ranking_semantics(spark):
+    """Pin the three orderings BM25 exists to produce — each on a pair that
+    isolates ONE lever (equal everything else):
+
+      1. tf monotone: more query-term occurrences outrank fewer.
+      2. length normalization: same tf, shorter document wins.
+      3. idf monotone at equal tf/dl: rare > common > universal > 0.
+
+    The third chain is the regression pin for the vacuous-idf trap: the
+    first draft's integer-BIT idf (bitlen(N) - bitlen(df)) rounded df ≈ N
+    to exactly 0 and produced an all-zero score column on the word-soup
+    corpus while oracle parity stayed green (both twins shared the
+    formula). The rational idf must keep even a 4-of-6-docs term strictly
+    positive and strictly below a 1-of-6 term's contribution."""
+    from crawler_spark.operators.text import text_bm25_topk_frame
+
+    rows = [
+        (1, "apple apple apple banana common"),
+        (2, "apple banana banana banana common"),
+        (3, "cherry banana common zz zz"),
+        (4, "banana common zz zz zz"),
+        (5, "common common common common common"),
+        (6, "apple zz zz zz zz zz zz zz zz common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "split(text, ' ') as toks"
+    )
+    out = text_bm25_topk_frame(
+        docs,
+        queries=((1, "apple"), (2, "cherry"), (3, "banana"), (4, "common")),
+        top=5,
+    )
+    got = {
+        (r["q_id"], r["doc_id"]): (r["rank"], r["score_micro"])
+        for r in out.collect()
+    }
+    # 1. tf: doc 1 (tf=3, dl=5) beats doc 2 (tf=1, dl=5) on 'apple'
+    assert got[(1, 1)][0] == 1
+    assert got[(1, 1)][1] > got[(1, 2)][1]
+    # 2. length norm: doc 2 (tf=1, dl=5) beats doc 6 (tf=1, dl=10)
+    assert got[(1, 2)][1] > got[(1, 6)][1]
+    # 3. idf chain at tf=1, dl=5: cherry (df=1) > banana (df=4) >
+    #    common (df=6 of 6) > 0 — the universal term stays positive but
+    #    smallest (the rational's +1/+0.5 offsets, BM25+ style)
+    assert got[(2, 3)][1] > got[(3, 4)][1] > got[(4, 4)][1] > 0
+    # top=5 caps the 6 'common' matches to exactly 5 rows
+    assert sum(1 for (q, _d) in got if q == 4) == 5
 
 
 def test_ivf_auto_width_parity(spark):
