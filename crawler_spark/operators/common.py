@@ -66,6 +66,19 @@ def duck_h32(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}),1,8))::bigint)"
 
 
+# 60-bit md5 slice (15 hex chars — stays inside int64): for hash-first
+# two-pass ops where a 32-bit space would saturate (e.g. mining over
+# billions of distinct n-grams, birthday collisions at ~2^16 keys for h32
+# vs ~2^30 for h60); same construction as the h32 twins so parity is
+# engine-exact
+def spark_h60(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}),1,15),16,10) as bigint)"
+
+
+def duck_h60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}),1,15))::bigint)"
+
+
 # polynomial char hash (whole-string fingerprint)
 def spark_polyhash(expr: str) -> str:
     return f"aggregate(split({expr},''), 0L, (acc,c) -> (acc*31 + ascii(c)) % {POLY_MOD})"

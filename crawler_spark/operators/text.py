@@ -1533,6 +1533,153 @@ FROM ranked WHERE rank <= {top}
 BM25_SQL = _bm25_sql()
 
 
+# -- boilerplate k-gram mining (global top-k by document frequency) ----------
+# The discovery half of boilerplate removal: CCNet/C4-style pipelines first
+# MINE the spans that repeat across many documents (navigation chrome,
+# license footers, template text), then feed them to span removal
+# (text_line_dedup / text_substring_dedup are the removal half here). The
+# signal is document frequency of k-token grams, mined GLOBALLY — on this
+# corpus per-source mining is vacuous (duplicate docs land in different
+# sources; measured max per-source df = 1 except one source), and real
+# boilerplate crosses domains anyway, so the op reports n_sources per gram
+# as the cross-source-spread signal instead of partitioning by it.
+# Dataflow is the scale-right HASH-FIRST two-pass shape:
+#   pass 1  tokenize → explode k-grams → h60(gram) → groupBy(h) counting
+#           df_docs / n_sources / n_occ — the wordcount-shaped shuffle
+#           carries 8-byte hashes, not ~50-byte gram strings (~6× narrower
+#           at the same row count), and map-side partial agg collapses
+#           repeats; the global top-k plans as TakeOrderedAndProject
+#           (per-partition top-k, merge of top·n_parts rows — never a
+#           single-reducer sort of the |distinct grams| table).
+#   pass 2  re-tokenize, semi-join the explode to the ≤top winning hashes
+#           (broadcast by construction) to recover the gram STRINGS.
+# h60 (not h32) because a 32-bit space saturates at ~2^16 distinct grams
+# (birthday); 60 bits holds ~2^30. A collision would merge two grams into
+# one row pair — BOTH engines compute the identical md5 slice, so parity
+# is unaffected; ties and the rank itself break on (df desc, n_occ desc,
+# h asc), a total order available before strings exist.
+BOILER_K = 5
+BOILER_TOP = 25
+
+
+def text_boilerplate_grams(spark: SparkSession, sf_dir: str,
+                           k: int = BOILER_K,
+                           top: int = BOILER_TOP) -> DataFrame:
+    return text_boilerplate_grams_frame(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        k=k,
+        top=top,
+    )
+
+
+def _boiler_occ(docs: DataFrame, k: int) -> DataFrame:
+    """One tokenize pass: (doc_id, source, gram) per k-gram occurrence."""
+    return docs.select(
+        "doc_id", "source", F.expr(SPARK_TOKENS).alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(_spark_kgrams(k))).alias("gram"),
+    )
+
+
+def boiler_winners_plan(docs: DataFrame, k: int = BOILER_K,
+                        top: int = BOILER_TOP) -> DataFrame:
+    """Pass 1 as a lazy plan: hash-keyed df/source/occurrence counts, cut
+    to the global top-k — orderBy+limit so Catalyst plans
+    TakeOrderedAndProject (plan-asserted in test_boilerplate_mining_plan)."""
+    from .common import spark_h60
+
+    agg = (
+        _boiler_occ(docs, k)
+        .select("doc_id", "source", F.expr(spark_h60("gram")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("df_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.count("*").alias("n_occ"),
+        )
+    )
+    return agg.orderBy(
+        F.desc("df_docs"), F.desc("n_occ"), F.asc("h")
+    ).limit(top)
+
+
+def text_boilerplate_grams_frame(docs: DataFrame, k: int = BOILER_K,
+                                 top: int = BOILER_TOP) -> DataFrame:
+    """Boilerplate mining over a (doc_id, source, text) frame."""
+    from pyspark.sql import Window
+
+    from .common import spark_h60
+
+    # materialize the <= top winners (a few hundred bytes): they are
+    # referenced THREE times downstream (rank side, string-recovery side,
+    # and the broadcast semi-join), and without the checkpoint each
+    # reference re-runs the whole pass-1 scan+agg — measured 3 documents
+    # scans instead of 2 (plan-asserted in test_boilerplate_mining_plan)
+    winners = boiler_winners_plan(docs, k, top).localCheckpoint(eager=True)
+    strings = (
+        _boiler_occ(docs, k)
+        .select(F.expr(spark_h60("gram")).alias("h"), "gram")
+        .join(F.broadcast(winners), "h")
+        .select("h", "gram")
+        .distinct()
+    )
+    # rank BEFORE the string join: an h60 collision yields two gram rows
+    # for one winner, which must SHARE the rank (the DuckDB twin ranks the
+    # winners CTE for the same reason)
+    w = Window.orderBy(F.desc("df_docs"), F.desc("n_occ"), F.asc("h"))
+    ranked = winners.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(strings), "h")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "gram",
+            F.col("df_docs").cast("long").alias("df_docs"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+        )
+    )
+
+
+def _boilerplate_sql(k: int = BOILER_K, top: int = BOILER_TOP) -> str:
+    from .common import duck_h60
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents
+),
+occ AS (
+  SELECT doc_id, source, unnest({_duck_kgrams(k)}) AS gram FROM d
+),
+agg AS (
+  SELECT {duck_h60("gram")} AS h,
+         count(DISTINCT doc_id)::bigint AS df_docs,
+         count(DISTINCT source)::bigint AS n_sources,
+         count(*)::bigint AS n_occ
+  FROM occ GROUP BY 1
+),
+winners AS (
+  SELECT * FROM agg ORDER BY df_docs DESC, n_occ DESC, h ASC LIMIT {top}
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY df_docs DESC, n_occ DESC, h ASC)
+              AS rank
+  FROM winners
+),
+strings AS (
+  SELECT DISTINCT {duck_h60("gram")} AS h, gram
+  FROM occ
+  WHERE {duck_h60("gram")} IN (SELECT h FROM winners)
+)
+SELECT rank::bigint AS rank, gram, df_docs, n_sources, n_occ
+FROM ranked JOIN strings USING (h)
+"""
+
+
+BOILERPLATE_SQL = _boilerplate_sql()
+
+
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
     # gated in round 5 (rotated in for retired f5/g1/si_remarks/si_info):

@@ -91,6 +91,34 @@ def test_topk_plans_as_take_ordered(spark):
     assert "TakeOrderedAndProject" in explain_str(df, "simple")
 
 
+def test_boilerplate_mining_plan(spark):
+    """text_boilerplate_grams' scale contract: the <= top winners are a
+    materialized checkpoint leaf (they are referenced three times —
+    without the checkpoint the final plan re-ran pass 1 per reference,
+    measured 3 documents scans), the global top-k inside pass 1 plans as
+    TakeOrderedAndProject (per-partition heaps, never a single-reducer
+    sort), the string-recovery join broadcasts, and the final plan holds
+    exactly ONE documents scan (pass 2; pass 1 already ran into the
+    checkpoint) with no cartesian anywhere."""
+    from crawler_spark.operators.common import load
+    from crawler_spark.operators.text import (
+        boiler_winners_plan,
+        text_boilerplate_grams,
+    )
+    from crawler_spark.plans import explain_str
+
+    df = text_boilerplate_grams(spark, SF)
+    assert_no_cartesian(df)
+    assert has_broadcast_join(df)
+    assert len(scan_read_schema(df)) == 1, scan_read_schema(df)
+    # the TakeOrdered property belongs to pass 1 (it is consumed by the
+    # eager checkpoint, so assert it on the op's own lazy pass-1 plan)
+    pass1 = boiler_winners_plan(
+        load(spark, SF, "documents").select("doc_id", "source", "text")
+    )
+    assert "TakeOrderedAndProject" in explain_str(pass1, "simple")
+
+
 def test_ann_family_single_embeddings_scan(spark):
     """ann_bucket_rerank / dedup_embedding_cosine / ann_ivf_topk draw bands,
     norms, and rerank sides from ONE materialized index (checkpoint leaf):

@@ -64,6 +64,7 @@ from crawler_spark.operators.similarity import (
 )
 from crawler_spark.operators.text import (
     BM25_SQL,
+    BOILERPLATE_SQL,
     DECONTAM_SQL,
     DUP_GRAMS_SQL,
     FINGERPRINT_SQL,
@@ -81,6 +82,7 @@ from crawler_spark.operators.text import (
     SURPRISAL_SQL,
     sample_stratified,
     text_bm25_topk,
+    text_boilerplate_grams,
     text_fingerprint,
     text_dup_grams,
     text_gopher_rules,
@@ -133,6 +135,10 @@ def test_ungated_builders_match_oracle(spark):
         # idf + milli-quantized length norm), the retrieval leg of
         # decontamination/audit pipelines
         ("text_bm25_topk", text_bm25_topk, BM25_SQL),
+        # boilerplate mining: global top-k k-grams by document frequency,
+        # hash-first two-pass (8-byte shuffle keys, strings recovered for
+        # the <= top winners only)
+        ("text_boilerplate_grams", text_boilerplate_grams, BOILERPLATE_SQL),
         ("text_dup_grams", text_dup_grams, DUP_GRAMS_SQL),
         # CCNet-style span removal: globally-first occurrence of each
         # pseudo-line survives, every other copy is dropped and the
@@ -851,8 +857,9 @@ def test_round4_ops_twin_at_bench_scale(spark):
     for name, fn, sql in (
         ("dedup_best_rep", dedup_best_rep, BEST_REP_SQL),
         ("mm_audio_neardup", mm_audio_neardup, AUDIO_NEARDUP_SQL),
-        # round-5 addition rides the same bench-scale gate from birth
+        # round-5 additions ride the same bench-scale gate from birth
         ("text_bm25_topk", text_bm25_topk, BM25_SQL),
+        ("text_boilerplate_grams", text_boilerplate_grams, BOILERPLATE_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -905,6 +912,34 @@ def test_bm25_ranking_semantics(spark):
     assert got[(2, 3)][1] > got[(3, 4)][1] > got[(4, 4)][1] > 0
     # top=5 caps the 6 'common' matches to exactly 5 rows
     assert sum(1 for (q, _d) in got if q == 4) == 5
+
+
+def test_boilerplate_mining_semantics(spark):
+    """Pin what the miner exists to surface: a 6-token boilerplate span
+    planted in 4 of 4 docs across 2 sources (twice in one doc) must yield
+    exactly its two 5-grams at the top with df_docs=4, n_sources=2,
+    n_occ=5 (the doc carrying it twice raises occurrences but not df),
+    and `top` must cap the output."""
+    from crawler_spark.operators.text import text_boilerplate_grams_frame
+
+    bp = "b1 b2 b3 b4 b5 b6"
+    rows = [
+        (1, "src_a", f"{bp} u1 u2 u3 u4"),
+        (2, "src_a", f"u5 u6 u7 u8 {bp}"),
+        (3, "src_b", f"{bp} u9 ua ub uc"),
+        (4, "src_b", f"{bp} ud {bp}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = text_boilerplate_grams_frame(docs, k=5, top=3).collect()
+    assert len(out) == 3
+    by_gram = {r["gram"]: r for r in out}
+    for g in ("b1 b2 b3 b4 b5", "b2 b3 b4 b5 b6"):
+        r = by_gram[g]
+        assert (r["df_docs"], r["n_sources"], r["n_occ"]) == (4, 2, 5), r
+        assert r["rank"] in (1, 2)
+    # everything else in the corpus is strictly less document-frequent
+    third = [r for r in out if r["rank"] == 3][0]
+    assert third["df_docs"] < 4
 
 
 def test_ivf_auto_width_parity(spark):
