@@ -89,3 +89,32 @@ def duck_polyhash(expr: str) -> str:
         f"list_reduce(list_prepend(0::bigint, list_transform(string_split({expr},''), "
         f"c -> ascii(c)::bigint)), (acc,c) -> (acc*31 + c) % {POLY_MOD})"
     )
+
+
+# exact integer milli-bits log2: 1000*floor(log2 n) plus a LINEAR-mantissa
+# fractional part, 1000*(n - 2^b) div 2^b with b = floor(log2 n). No float
+# log anywhere (the text_surprisal contract: float ln diverges in the last
+# ulp across engines/partitionings), yet ~1/1000-bit resolution instead of
+# the whole-bit quantization that made the first BM25 idf draft vacuous
+# (df ~ N rounded every weight to exactly 0). The linear mantissa under-
+# estimates log2 by at most 0.086 bits (max at n = 1.44*2^b) — a SCORING
+# approximation, not a parity risk: all three twins (Spark / DuckDB /
+# py_mlog2) compute the identical integer, property-tested in
+# tests/test_ungated_oracles.py. Domain n >= 1; int64-safe for
+# n <= (2^63-1)/1000 ~ 9.2e15 (any realistic count: 100 TB of text is
+# ~2.5e13 tokens).
+def spark_mlog2(expr: str) -> str:
+    b = f"(length(bin({expr})) - 1)"
+    p = f"shiftleft(cast(1 as bigint), {b})"
+    return f"(1000 * {b} + (1000 * (({expr}) - {p})) div {p})"
+
+
+def duck_mlog2(expr: str) -> str:
+    b = f"(length(bin({expr})) - 1)"
+    p = f"(1::BIGINT << {b})"
+    return f"(1000 * {b} + (1000 * (({expr}) - {p})) // {p})"
+
+
+def py_mlog2(n: int) -> int:
+    b = n.bit_length() - 1
+    return 1000 * b + (1000 * (n - (1 << b))) // (1 << b)

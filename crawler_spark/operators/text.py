@@ -1680,6 +1680,285 @@ FROM ranked JOIN strings USING (h)
 BOILERPLATE_SQL = _boilerplate_sql()
 
 
+# -- fastText-style quality classifier (hashed-feature Naive Bayes) ---------
+# The GPT-3/LLaMA webtext-quality archetype: a LINEAR classifier over
+# hashed unigram+bigram features (fastText's wordNgrams=2 hashing trick),
+# trained as multinomial Naive Bayes on a curated-target split and applied
+# to every document; keep = "more target-like than background" (log-odds +
+# class prior > 0). Target stand-in is the held-out split convention the
+# repo already uses for decontamination/DSIR (doc_id % mod == 0 — the
+# pipeline owner supplies the curated sample in production). Relationship
+# to text_dsir, stated honestly: DSIR is importance-RESAMPLING (whole-bit
+# hashed-unigram weights, top-quota cut); this is the CLASSIFIER leg —
+# bigram features, add-one-smoothed per-class conditionals, a class prior,
+# and a threshold keep decision, all at milli-bit resolution via
+# common.spark_mlog2 (whole-bit weights would round this word-soup
+# corpus's near-identical class distributions to all-zero — the vacuous
+# BM25-idf trap; milli-bits keep every bucket discriminating).
+# Determinism: weights are exact int64 milli-bits (no float log), so the
+# per-doc sum is order-independent and both engines agree bit-for-bit.
+# Dataflow at 100 TB: one tokenize pass explodes unigram + bigram feature
+# occurrences, hashed to NBQ_BUCKETS buckets; BOTH class histograms ride
+# ONE groupBy(b) (map-side partial agg -> <= NBQ_BUCKETS shuffle rows, the
+# DSIR shape); its checkpoint supplies the class totals (no extra corpus
+# scan); the scoring pass joins the weight table — broadcast BY
+# CONSTRUCTION (<= NBQ_BUCKETS rows at any corpus size, the reason
+# production classifiers hash features instead of keeping a vocabulary).
+# A document with zero features has no evidence and is not emitted (the
+# DSIR convention).
+NBQ_BUCKETS = 4096
+NBQ_TARGET_MOD = 10  # curated-target stand-in: doc_id % 10 == 0
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str,
+                            buckets: int = NBQ_BUCKETS,
+                            target_mod: int = NBQ_TARGET_MOD) -> DataFrame:
+    return text_quality_classifier_frame(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+        ),
+        buckets=buckets,
+        target_mod=target_mod,
+    )
+
+
+def text_quality_classifier_frame(docs: DataFrame,
+                                  buckets: int = NBQ_BUCKETS,
+                                  target_mod: int = NBQ_TARGET_MOD
+                                  ) -> DataFrame:
+    """NB quality score over a pre-tokenized (doc_id, toks) frame."""
+    from .common import py_mlog2, spark_h32, spark_mlog2
+
+    uni = docs.select("doc_id", F.explode("toks").alias("feat"))
+    bi = docs.select(
+        "doc_id", F.explode(F.expr(_spark_kgrams(2))).alias("feat")
+    )
+    feats = uni.unionByName(bi).select(
+        "doc_id", (F.expr(spark_h32("feat")) % buckets).alias("b")
+    )
+    hist = feats.groupBy("b").agg(
+        F.sum((F.col("doc_id") % target_mod == 0).cast("long")).alias("cnt_t"),
+        F.sum((F.col("doc_id") % target_mod != 0).cast("long")).alias("cnt_b"),
+    ).localCheckpoint(eager=True)
+    tot = hist.agg(F.sum("cnt_t"), F.sum("cnt_b")).collect()[0]
+    tot_t, tot_b = int(tot[0] or 0), int(tot[1] or 0)
+    # class-conditional denominators (add-one over the bucket space) and
+    # the class prior, all exact ints computed driver-side
+    base = py_mlog2(tot_b + buckets) - py_mlog2(tot_t + buckets)
+    n_docs = docs.select(
+        F.sum((F.col("doc_id") % target_mod == 0).cast("long")),
+        F.sum((F.col("doc_id") % target_mod != 0).cast("long")),
+    ).collect()[0]
+    prior = py_mlog2(max(int(n_docs[0] or 0), 1)) - py_mlog2(
+        max(int(n_docs[1] or 0), 1)
+    )
+    weights = hist.select(
+        "b",
+        (
+            F.expr(spark_mlog2("cnt_t + 1"))
+            - F.expr(spark_mlog2("cnt_b + 1"))
+            + F.lit(base)
+        ).cast("long").alias("w_milli"),
+    )
+    scored = feats.join(F.broadcast(weights), "b").groupBy("doc_id").agg(
+        F.sum("w_milli").cast("long").alias("s"),
+        F.count("*").alias("n_feats"),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        (F.col("s") + F.lit(prior)).cast("long").alias("score_milli"),
+        ((F.col("s") + F.lit(prior)) > 0).alias("keep"),
+    )
+
+
+def _nbq_sql(buckets: int = NBQ_BUCKETS,
+             target_mod: int = NBQ_TARGET_MOD) -> str:
+    from .common import duck_h32, duck_mlog2
+
+    return f"""
+WITH toksd AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+),
+feats AS (
+  SELECT doc_id, {duck_h32('feat')} % {buckets} AS b FROM (
+    SELECT doc_id, unnest(toks) AS feat FROM toksd
+    UNION ALL
+    SELECT doc_id, unnest({_duck_kgrams(2)}) AS feat FROM toksd
+  )
+),
+hist AS (
+  SELECT b,
+         sum((doc_id % {target_mod} = 0)::int)::bigint AS cnt_t,
+         sum((doc_id % {target_mod} <> 0)::int)::bigint AS cnt_b
+  FROM feats GROUP BY b
+),
+tots AS (
+  SELECT coalesce(sum(cnt_t), 0)::bigint AS tot_t,
+         coalesce(sum(cnt_b), 0)::bigint AS tot_b
+  FROM hist
+),
+prior AS (
+  SELECT ({duck_mlog2(
+      f"greatest(sum((doc_id % {target_mod} = 0)::int), 1)")}
+        - {duck_mlog2(
+      f"greatest(sum((doc_id % {target_mod} <> 0)::int), 1)")})::bigint
+           AS prior_milli
+  FROM documents
+),
+weights AS (
+  SELECT b,
+         ({duck_mlog2('cnt_t + 1')} - {duck_mlog2('cnt_b + 1')}
+          + {duck_mlog2(f'tot_b + {buckets}')}
+          - {duck_mlog2(f'tot_t + {buckets}')})::bigint AS w_milli
+  FROM hist, tots
+),
+scored AS (
+  SELECT doc_id, count(*)::bigint AS n_feats, sum(w_milli)::bigint AS s
+  FROM feats JOIN weights USING (b) GROUP BY doc_id
+)
+SELECT doc_id::bigint AS doc_id, n_feats,
+       (s + prior_milli)::bigint AS score_milli,
+       (s + prior_milli) > 0 AS keep
+FROM scored, prior
+"""
+
+
+NBQ_SQL = _nbq_sql()
+
+
+# -- bigram-LM surprisal (the conditional upgrade of text_surprisal) --------
+# CCNet's actual quality signal is a CONDITIONAL language model (a 5-gram
+# KenLM); text_surprisal's unigram model cannot see word ORDER at all —
+# two documents with identical token multisets score identically no
+# matter how scrambled one of them is (pinned as the separation test).
+# This op scores each document under an add-one-smoothed BIGRAM model
+# trained on the corpus itself:
+#   first token   bits = mlog2(total) - mlog2(cnt_uni(tok))
+#   token i >= 2  bits = mlog2(cnt_uni(prev) + V) - mlog2(cnt_bi(prev,tok) + 1)
+# (p(tok|prev) = (cnt_bi + 1)/(cnt_uni(prev) + V), V = |vocabulary|), at
+# milli-bit resolution via common.spark_mlog2 — exact int64 everywhere, so
+# the per-doc sum is order-independent and engine-exact. Dataflow: the
+# text_surprisal budget plus one pass — a unigram wordcount (whose
+# checkpoint supplies total and V), a bigram count, and the scoring pass.
+# The unigram model broadcasts (the text_surprisal convention); the BIGRAM
+# table is vocabulary^2-shaped and correctly NOT broadcast (the
+# text_dup_grams precedent) — the scoring join is keyed by h60(gram), so
+# the shuffle carries 8-byte keys instead of ~20-byte gram strings (the
+# boilerplate-mining lesson; an h60 collision merges two bigram counts
+# identically in both engines — parity unaffected).
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_bigram_surprisal_frame(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+        )
+    )
+
+
+def text_bigram_surprisal_frame(docs: DataFrame) -> DataFrame:
+    """Bigram surprisal over a pre-tokenized (doc_id, toks) frame."""
+    from .common import py_mlog2, spark_h60, spark_mlog2
+
+    uni_occ = docs.select("doc_id", F.explode("toks").alias("tok"))
+    vocab = uni_occ.groupBy("tok").agg(
+        F.count("*").alias("cnt")
+    ).localCheckpoint(eager=True)
+    row = vocab.agg(F.sum("cnt"), F.count("*")).collect()[0]
+    total, v_size = int(row[0] or 1), int(row[1] or 1)
+    total_milli = py_mlog2(total)
+
+    bi_occ = docs.select(
+        "doc_id", F.explode(F.expr(_spark_kgrams(2))).alias("gram")
+    ).select(
+        "doc_id",
+        F.expr(spark_h60("gram")).alias("g"),
+        F.expr("split(gram, ' ')[0]").alias("prev"),
+    )
+    bi_cnt = bi_occ.groupBy("g").agg(F.count("*").alias("cnt_bi"))
+    prev_cnt = vocab.select(
+        F.col("tok").alias("prev"), F.col("cnt").alias("cnt_prev")
+    )
+    bi_bits = (
+        bi_occ.join(bi_cnt, "g")
+        .join(F.broadcast(prev_cnt), "prev")
+        .select(
+            "doc_id",
+            (
+                F.expr(spark_mlog2(f"cnt_prev + {v_size}"))
+                - F.expr(spark_mlog2("cnt_bi + 1"))
+            ).alias("bits"),
+        )
+    )
+    first_bits = (
+        docs.filter(F.size("toks") >= 1)
+        .select("doc_id", F.element_at("toks", 1).alias("tok"))
+        .join(F.broadcast(vocab), "tok")
+        .select(
+            "doc_id",
+            (F.lit(total_milli) - F.expr(spark_mlog2("cnt"))).alias("bits"),
+        )
+    )
+    per = first_bits.unionByName(bi_bits).groupBy("doc_id").agg(
+        F.sum("bits").cast("long").alias("bits_milli")
+    )
+    n_toks = docs.select("doc_id", F.size("toks").cast("long").alias("n_scored"))
+    return per.join(n_toks, "doc_id").select(
+        "doc_id",
+        "bits_milli",
+        "n_scored",
+        F.round(
+            F.col("bits_milli") / (F.lit(1000.0) * F.col("n_scored")), 6
+        ).alias("bits_per_token"),
+    )
+
+
+def _bigram_surprisal_sql() -> str:
+    from .common import duck_h60, duck_mlog2
+
+    return f"""
+WITH toksd AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+),
+uni AS (
+  SELECT tok, count(*)::bigint AS cnt
+  FROM (SELECT unnest(toks) AS tok FROM toksd) GROUP BY tok
+),
+tots AS (
+  SELECT coalesce(sum(cnt), 1)::bigint AS total,
+         greatest(count(*), 1)::bigint AS v FROM uni
+),
+biocc AS (
+  SELECT doc_id, {duck_h60('gram')} AS g, string_split(gram, ' ')[1] AS prev
+  FROM (SELECT doc_id, unnest({_duck_kgrams(2)}) AS gram FROM toksd)
+),
+bic AS (SELECT g, count(*)::bigint AS cnt_bi FROM biocc GROUP BY g),
+firstb AS (
+  SELECT t.doc_id,
+         ({duck_mlog2('s.total')} - {duck_mlog2('u.cnt')})::bigint AS bits
+  FROM toksd t JOIN uni u ON u.tok = t.toks[1] CROSS JOIN tots s
+  WHERE len(t.toks) >= 1
+),
+bib AS (
+  SELECT o.doc_id,
+         ({duck_mlog2('u.cnt + s.v')} - {duck_mlog2('c.cnt_bi + 1')})::bigint
+           AS bits
+  FROM biocc o JOIN bic c USING (g) JOIN uni u ON u.tok = o.prev
+  CROSS JOIN tots s
+),
+per AS (
+  SELECT doc_id, sum(bits)::bigint AS bits_milli
+  FROM (SELECT * FROM firstb UNION ALL SELECT * FROM bib) GROUP BY doc_id
+)
+SELECT p.doc_id::bigint AS doc_id, p.bits_milli,
+       len(t.toks)::bigint AS n_scored,
+       round(p.bits_milli / (1000.0 * len(t.toks)), 6) AS bits_per_token
+FROM per p JOIN toksd t USING (doc_id)
+"""
+
+
+BIGRAM_SURPRISAL_SQL = _bigram_surprisal_sql()
+
+
 QUERIES = {
     "text_metrics": (text_metrics, METRICS_SQL),
     # gated in round 5 (rotated in for retired f5/g1/si_remarks/si_info):

@@ -63,8 +63,10 @@ from crawler_spark.operators.similarity import (
     ivf_sql,
 )
 from crawler_spark.operators.text import (
+    BIGRAM_SURPRISAL_SQL,
     BM25_SQL,
     BOILERPLATE_SQL,
+    NBQ_SQL,
     DECONTAM_SQL,
     DUP_GRAMS_SQL,
     FINGERPRINT_SQL,
@@ -81,9 +83,11 @@ from crawler_spark.operators.text import (
     sample_mixture,
     SURPRISAL_SQL,
     sample_stratified,
+    text_bigram_surprisal,
     text_bm25_topk,
     text_boilerplate_grams,
     text_fingerprint,
+    text_quality_classifier,
     text_dup_grams,
     text_gopher_rules,
     text_kmv_distinct,
@@ -139,6 +143,13 @@ def test_ungated_builders_match_oracle(spark):
         # hash-first two-pass (8-byte shuffle keys, strings recovered for
         # the <= top winners only)
         ("text_boilerplate_grams", text_boilerplate_grams, BOILERPLATE_SQL),
+        # fastText-style hashed unigram+bigram NB quality classifier:
+        # milli-bit log-odds + prior, threshold keep (the classifier leg
+        # next to text_dsir's resampling leg)
+        ("text_quality_classifier", text_quality_classifier, NBQ_SQL),
+        # conditional bigram-LM surprisal: sees word order that the
+        # unigram text_surprisal provably cannot (separation pinned below)
+        ("text_bigram_surprisal", text_bigram_surprisal, BIGRAM_SURPRISAL_SQL),
         ("text_dup_grams", text_dup_grams, DUP_GRAMS_SQL),
         # CCNet-style span removal: globally-first occurrence of each
         # pseudo-line survives, every other copy is dropped and the
@@ -860,6 +871,8 @@ def test_round4_ops_twin_at_bench_scale(spark):
         # round-5 additions ride the same bench-scale gate from birth
         ("text_bm25_topk", text_bm25_topk, BM25_SQL),
         ("text_boilerplate_grams", text_boilerplate_grams, BOILERPLATE_SQL),
+        ("text_quality_classifier", text_quality_classifier, NBQ_SQL),
+        ("text_bigram_surprisal", text_bigram_surprisal, BIGRAM_SURPRISAL_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -1012,3 +1025,117 @@ def test_ivf_sampled_training_parity(spark):
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
+
+
+def test_mlog2_twin_parity(spark):
+    """Property-pin the three milli-log2 twins (Spark expr / DuckDB expr /
+    py_mlog2) on edge cases and random 50-bit ints: identical integers
+    everywhere. This is the primitive under text_quality_classifier and
+    text_bigram_surprisal — a last-ulp divergence here would skew every
+    downstream weight, so it gets the ids.py-style property treatment."""
+    import random
+
+    import duckdb
+
+    from crawler_spark.operators.common import (
+        duck_mlog2,
+        py_mlog2,
+        spark_mlog2,
+    )
+
+    rng = random.Random(0xB17)
+    vals = (
+        [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 1023, 1024, 1025, (1 << 50) - 1]
+        + [rng.randrange(1, 1 << 50) for _ in range(500)]
+    )
+    expect = {v: py_mlog2(v) for v in vals}
+
+    got_spark = {
+        r["n"]: r["m"]
+        for r in spark.createDataFrame([(v,) for v in vals], "n long")
+        .selectExpr("n", f"{spark_mlog2('n')} as m")
+        .collect()
+    }
+    assert got_spark == expect
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got_duck = dict(con.execute(f"SELECT n, {duck_mlog2('n')} FROM t").fetchall())
+    assert got_duck == expect
+
+
+def test_quality_classifier_separates(spark):
+    """Pin the two properties the classifier exists for:
+
+    1. SEPARATION — a planted corpus where the curated split
+       (doc_id % 10 == 0) writes in vocabulary A and the background in
+       vocabulary B: every A-vocab document (including a background-split
+       probe the training labels as negative) must score positive / keep,
+       every B-vocab document negative / drop. The probe is the point: the
+       classifier generalizes from token evidence, not from the label.
+    2. NON-VACUOUSNESS on the real corpus — the BM25-idf lesson: whole-bit
+       weights would round this word-soup corpus's near-identical class
+       histograms to all-zero and the oracle would stay green on a dead
+       score column. Milli-bit weights must keep the scores spread."""
+    from crawler_spark.operators.text import (
+        text_quality_classifier,
+        text_quality_classifier_frame,
+    )
+
+    target = "alpha beta gamma delta epsilon zeta"
+    noise = "noise junk spam blah filler cruft"
+    rows = (
+        [(i, target) for i in (10, 20, 30)]
+        + [(i, noise) for i in (1, 2, 3, 4, 5, 6)]
+        + [(7, target)]  # background-labeled probe with target vocabulary
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "split(text, ' ') as toks"
+    )
+    got = {
+        r["doc_id"]: (r["score_milli"], r["keep"])
+        for r in text_quality_classifier_frame(docs).collect()
+    }
+    for did in (10, 20, 30, 7):
+        assert got[did][0] > 0 and got[did][1], (did, got[did])
+    for did in (1, 2, 3, 4, 5, 6):
+        assert got[did][0] < 0 and not got[did][1], (did, got[did])
+
+    real = text_quality_classifier(spark, SF).collect()
+    scores = {r["score_milli"] for r in real}
+    assert len(scores) > 10, "real-corpus scores collapsed (vacuous weights)"
+    assert any(s != 0 for s in scores)
+
+
+def test_bigram_surprisal_sees_word_order(spark):
+    """The separation the op exists for: two documents with IDENTICAL
+    token multisets (4 x's + 4 y's) — one alternating (predictable
+    transitions), one sorted (rare transitions). The unigram
+    text_surprisal provably ties them (it only sees the multiset); the
+    bigram model must score the alternating document strictly lower.
+    Expected integers derived by hand from the add-one bigram model over
+    this 2-doc corpus (V=2, xy:5 yx:3 xx:3 yy:3, cnt(x)=cnt(y)=8)."""
+    from crawler_spark.operators.text import (
+        text_bigram_surprisal_frame,
+        text_surprisal_frame,
+    )
+
+    rows = [
+        (1, ["x", "y"] * 4),
+        (2, ["x"] * 4 + ["y"] * 4),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+
+    uni = {
+        r["doc_id"]: r["surprisal_bits"]
+        for r in text_surprisal_frame(docs).collect()
+    }
+    assert uni[1] == uni[2], "unigram model must tie equal multisets"
+
+    bi = {
+        r["doc_id"]: r["bits_milli"]
+        for r in text_bigram_surprisal_frame(docs).collect()
+    }
+    assert bi[1] == 7750 and bi[2] == 9250, bi
+    assert bi[1] < bi[2]
