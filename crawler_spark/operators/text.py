@@ -1729,13 +1729,13 @@ def text_quality_classifier_frame(docs: DataFrame,
     """NB quality score over a pre-tokenized (doc_id, toks) frame."""
     from .common import py_mlog2, spark_h32, spark_mlog2
 
-    uni = docs.select("doc_id", F.explode("toks").alias("feat"))
-    bi = docs.select(
-        "doc_id", F.explode(F.expr(_spark_kgrams(2))).alias("feat")
-    )
-    feats = uni.unionByName(bi).select(
-        "doc_id", (F.expr(spark_h32("feat")) % buckets).alias("b")
-    )
+    # ONE explode of the concatenated unigram+bigram feature array — a
+    # union of two explodes costs a second full tokenize scan for the
+    # identical bag (plan-asserted single documents scan in test_plans)
+    feats = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"concat(toks, {_spark_kgrams(2)})")).alias("feat"),
+    ).select("doc_id", (F.expr(spark_h32("feat")) % buckets).alias("b"))
     hist = feats.groupBy("b").agg(
         F.sum((F.col("doc_id") % target_mod == 0).cast("long")).alias("cnt_t"),
         F.sum((F.col("doc_id") % target_mod != 0).cast("long")).alias("cnt_b"),
@@ -1782,9 +1782,8 @@ WITH toksd AS (
 ),
 feats AS (
   SELECT doc_id, {duck_h32('feat')} % {buckets} AS b FROM (
-    SELECT doc_id, unnest(toks) AS feat FROM toksd
-    UNION ALL
-    SELECT doc_id, unnest({_duck_kgrams(2)}) AS feat FROM toksd
+    SELECT doc_id, unnest(list_concat(toks, {_duck_kgrams(2)})) AS feat
+    FROM toksd
   )
 ),
 hist AS (
@@ -1874,7 +1873,13 @@ def text_bigram_surprisal_frame(docs: DataFrame) -> DataFrame:
         F.expr(spark_h60("gram")).alias("g"),
         F.expr("split(gram, ' ')[0]").alias("prev"),
     )
-    bi_cnt = bi_occ.groupBy("g").agg(F.count("*").alias("cnt_bi"))
+    # the bigram count table IS the trained model — materialize it like
+    # vocab (at scale a production system persists the LM once and serves
+    # many scoring passes from it; here it also keeps the serving plan at
+    # two documents scans instead of three, plan-asserted in test_plans)
+    bi_cnt = bi_occ.groupBy("g").agg(
+        F.count("*").alias("cnt_bi")
+    ).localCheckpoint(eager=True)
     prev_cnt = vocab.select(
         F.col("tok").alias("prev"), F.col("cnt").alias("cnt_prev")
     )
@@ -1887,22 +1892,31 @@ def text_bigram_surprisal_frame(docs: DataFrame) -> DataFrame:
                 F.expr(spark_mlog2(f"cnt_prev + {v_size}"))
                 - F.expr(spark_mlog2("cnt_bi + 1"))
             ).alias("bits"),
+            F.lit(None).cast("long").alias("n"),
         )
     )
+    # the first-token leg also carries n_scored (every non-empty doc has
+    # exactly one such row) — the union agg picks it up via max(), saving
+    # the separate size-join scan of the corpus
     first_bits = (
         docs.filter(F.size("toks") >= 1)
-        .select("doc_id", F.element_at("toks", 1).alias("tok"))
+        .select(
+            "doc_id",
+            F.element_at("toks", 1).alias("tok"),
+            F.size("toks").cast("long").alias("n"),
+        )
         .join(F.broadcast(vocab), "tok")
         .select(
             "doc_id",
             (F.lit(total_milli) - F.expr(spark_mlog2("cnt"))).alias("bits"),
+            "n",
         )
     )
     per = first_bits.unionByName(bi_bits).groupBy("doc_id").agg(
-        F.sum("bits").cast("long").alias("bits_milli")
+        F.sum("bits").cast("long").alias("bits_milli"),
+        F.max("n").alias("n_scored"),
     )
-    n_toks = docs.select("doc_id", F.size("toks").cast("long").alias("n_scored"))
-    return per.join(n_toks, "doc_id").select(
+    return per.select(
         "doc_id",
         "bits_milli",
         "n_scored",
@@ -1912,11 +1926,13 @@ def text_bigram_surprisal_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bigram_surprisal_sql() -> str:
+def _bigram_ctes() -> str:
+    """The shared CTE chain ending in per(doc_id, bits_milli, n_scored) —
+    reused verbatim by the text_ppl_buckets twin so both oracles train the
+    identical model."""
     from .common import duck_h60, duck_mlog2
 
-    return f"""
-WITH toksd AS (
+    return f"""toksd AS (
   SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
 ),
 uni AS (
@@ -1934,29 +1950,109 @@ biocc AS (
 bic AS (SELECT g, count(*)::bigint AS cnt_bi FROM biocc GROUP BY g),
 firstb AS (
   SELECT t.doc_id,
-         ({duck_mlog2('s.total')} - {duck_mlog2('u.cnt')})::bigint AS bits
+         ({duck_mlog2('s.total')} - {duck_mlog2('u.cnt')})::bigint AS bits,
+         len(t.toks)::bigint AS n
   FROM toksd t JOIN uni u ON u.tok = t.toks[1] CROSS JOIN tots s
   WHERE len(t.toks) >= 1
 ),
 bib AS (
   SELECT o.doc_id,
          ({duck_mlog2('u.cnt + s.v')} - {duck_mlog2('c.cnt_bi + 1')})::bigint
-           AS bits
+           AS bits,
+         NULL::BIGINT AS n
   FROM biocc o JOIN bic c USING (g) JOIN uni u ON u.tok = o.prev
   CROSS JOIN tots s
 ),
 per AS (
-  SELECT doc_id, sum(bits)::bigint AS bits_milli
+  SELECT doc_id, sum(bits)::bigint AS bits_milli, max(n)::bigint AS n_scored
   FROM (SELECT * FROM firstb UNION ALL SELECT * FROM bib) GROUP BY doc_id
-)
-SELECT p.doc_id::bigint AS doc_id, p.bits_milli,
-       len(t.toks)::bigint AS n_scored,
-       round(p.bits_milli / (1000.0 * len(t.toks)), 6) AS bits_per_token
-FROM per p JOIN toksd t USING (doc_id)
+)"""
+
+
+def _bigram_surprisal_sql() -> str:
+    return f"""
+WITH {_bigram_ctes()}
+SELECT doc_id::bigint AS doc_id, bits_milli, n_scored,
+       round(bits_milli / (1000.0 * n_scored), 6) AS bits_per_token
+FROM per
 """
 
 
 BIGRAM_SURPRISAL_SQL = _bigram_surprisal_sql()
+
+
+# -- CCNet perplexity buckets (head / middle / tail per language) -----------
+# The third leg of the CCNet pipeline, closing the trilogy the repo
+# already carries: line-level dedup (text_line_dedup) -> LM scoring
+# (text_bigram_surprisal) -> PER-LANGUAGE tercile split into head (most
+# fluent third), middle, tail — CCNet's actual published output shape,
+# which downstream recipes consume as "train on head+middle". The
+# ordering key is exact integer micro-bits-per-token,
+# (1_000_000 * bits_milli) div n_scored, tie-broken by doc_id, so both
+# engines rank identically; the bucket rule is the floor tercile
+# 3*rank <= n / 3*rank <= 2n. Dataflow: the bigram-surprisal serving plan
+# (two tokenize scans against the checkpointed uni+bigram models) plus a
+# column-pruned (doc_id, lang) scan for the language key. The per-lang
+# rank is ONE exchange keyed by lang; language cardinality is small, so
+# at 100 TB the exact rank becomes the DSIR-style cut: two APPROXIMATE
+# quantile thresholds per language from a sampled pass, then a map-side
+# bucket assign — the exact tercile keeps the oracle contract here (the
+# sample_stratified/DSIR precedent). Zero-token documents carry no LM
+# evidence and are not bucketed (absent from per, the DSIR convention).
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    per = text_bigram_surprisal_frame(
+        docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
+    )
+    scored = per.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr("(1000000 * bits_milli) div n_scored").alias("ppl_micro"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("ppl_micro"), F.asc("doc_id"))
+    wn = Window.partitionBy("lang")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .select(
+            "doc_id",
+            "lang",
+            "ppl_micro",
+            F.expr(
+                "case when 3 * rk <= n then 'head' "
+                "when 3 * rk <= 2 * n then 'middle' "
+                "else 'tail' end"
+            ).alias("bucket"),
+        )
+    )
+
+
+def _ppl_buckets_sql() -> str:
+    return f"""
+WITH {_bigram_ctes()},
+scored AS (
+  SELECT p.doc_id, l.lang,
+         (1000000 * p.bits_milli) // p.n_scored AS ppl_micro
+  FROM per p JOIN (SELECT doc_id, lang FROM documents) l USING (doc_id)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY ppl_micro ASC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT doc_id::bigint AS doc_id, lang, ppl_micro::bigint AS ppl_micro,
+       CASE WHEN 3 * rk <= n THEN 'head'
+            WHEN 3 * rk <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
+PPL_BUCKETS_SQL = _ppl_buckets_sql()
 
 
 QUERIES = {

@@ -572,3 +572,39 @@ def test_pq_stage1_bounded_per_batch(spark):
     m = PQ_SHORTLIST_MULT * TOP_K
     n_rows = stage1.count()
     assert n_rows <= n_batches * len(q_ids) * m, (n_rows, n_batches, len(q_ids), m)
+
+
+def test_lm_ops_scan_budget(spark):
+    """Serving-plan scan budget for the round-5 LM family (the
+    pipeline_single_documents_scan discipline): the NB classifier serves
+    off ONE documents scan (single concat-explode of unigram+bigram
+    features against the checkpointed weight table — a union of two
+    explodes cost a second full tokenize), bigram surprisal off TWO (the
+    scoring explode + the first-token leg; both models are checkpoint
+    leaves), and the CCNet buckets off THREE (bigram's two + the
+    column-pruned lang join, which must read only doc_id/lang). All
+    broadcast where a model joins, no cartesian anywhere."""
+    from crawler_spark.operators.text import (
+        text_bigram_surprisal,
+        text_ppl_buckets,
+        text_quality_classifier,
+    )
+
+    for fn, max_scans in (
+        (text_quality_classifier, 1),
+        (text_bigram_surprisal, 2),
+        (text_ppl_buckets, 3),
+    ):
+        df = fn(spark, SF)
+        assert_no_cartesian(df)
+        assert has_broadcast_join(df)
+        scans = scan_read_schema(df)
+        assert len(scans) <= max_scans, (fn.__name__, scans)
+    # the lang-key scan reads only the two join columns
+    lang_scans = [
+        s for s in scan_read_schema(text_ppl_buckets(spark, SF))
+        if "lang" in s
+    ]
+    assert lang_scans and all(
+        set(s) <= {"doc_id", "lang"} for s in lang_scans
+    ), lang_scans

@@ -67,6 +67,7 @@ from crawler_spark.operators.text import (
     BM25_SQL,
     BOILERPLATE_SQL,
     NBQ_SQL,
+    PPL_BUCKETS_SQL,
     DECONTAM_SQL,
     DUP_GRAMS_SQL,
     FINGERPRINT_SQL,
@@ -87,6 +88,7 @@ from crawler_spark.operators.text import (
     text_bm25_topk,
     text_boilerplate_grams,
     text_fingerprint,
+    text_ppl_buckets,
     text_quality_classifier,
     text_dup_grams,
     text_gopher_rules,
@@ -150,6 +152,10 @@ def test_ungated_builders_match_oracle(spark):
         # conditional bigram-LM surprisal: sees word order that the
         # unigram text_surprisal provably cannot (separation pinned below)
         ("text_bigram_surprisal", text_bigram_surprisal, BIGRAM_SURPRISAL_SQL),
+        # CCNet head/middle/tail: per-language tercile split on exact
+        # micro-bits-per-token under the bigram model (the trilogy's
+        # third leg next to text_line_dedup and the LM score)
+        ("text_ppl_buckets", text_ppl_buckets, PPL_BUCKETS_SQL),
         ("text_dup_grams", text_dup_grams, DUP_GRAMS_SQL),
         # CCNet-style span removal: globally-first occurrence of each
         # pseudo-line survives, every other copy is dropped and the
@@ -873,6 +879,7 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("text_boilerplate_grams", text_boilerplate_grams, BOILERPLATE_SQL),
         ("text_quality_classifier", text_quality_classifier, NBQ_SQL),
         ("text_bigram_surprisal", text_bigram_surprisal, BIGRAM_SURPRISAL_SQL),
+        ("text_ppl_buckets", text_ppl_buckets, PPL_BUCKETS_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -1139,3 +1146,29 @@ def test_bigram_surprisal_sees_word_order(spark):
     }
     assert bi[1] == 7750 and bi[2] == 9250, bi
     assert bi[1] < bi[2]
+
+
+def test_ppl_buckets_tercile_semantics(spark):
+    """Pin the bucket rule on the real corpus: per language, bucket sizes
+    follow the floor-tercile split (head = floor(n/3), middle =
+    floor(2n/3) - floor(n/3), tail = rest), and the buckets are ORDERED —
+    every head doc's ppl_micro <= every middle doc's <= every tail doc's
+    within its language (ties can straddle the boundary only in doc_id
+    order, so <= is the exact invariant)."""
+    from collections import defaultdict
+
+    from crawler_spark.operators.text import text_ppl_buckets
+
+    rows = text_ppl_buckets(spark, SF).collect()
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]].append(r["ppl_micro"])
+    assert len(by_lang) > 1
+    for lang, buckets in by_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        assert len(buckets.get("head", [])) == n // 3, (lang, n)
+        assert len(buckets.get("middle", [])) == (2 * n) // 3 - n // 3
+        if buckets.get("head") and buckets.get("middle"):
+            assert max(buckets["head"]) <= min(buckets["middle"]), lang
+        if buckets.get("middle") and buckets.get("tail"):
+            assert max(buckets["middle"]) <= min(buckets["tail"]), lang
