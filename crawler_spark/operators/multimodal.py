@@ -486,6 +486,87 @@ FROM grp JOIN gs USING (gid)
 """
 
 
+# -- query-by-image retrieval (phash Hamming top-k) --------------------------
+# The image-axis retrieval leg, completing the matrix next to the dedup
+# views: given a small query set of images, return each query's k nearest
+# corpus images by phash Hamming distance — reverse image search, "find
+# training images similar to this eval image" audits, and the serving
+# shape of every copy-detection triage UI. Same architecture as
+# ann_bucket_rerank translated to Hamming space: candidates come from the
+# banded LSH equi-join (an image must share at least one exact 16-bit
+# band with the query — by pigeonhole this RECALLS every image within
+# Hamming <= N_PHASH_BANDS-1 of the query wherever the 4 flipped bits
+# land, and grades further-out images best-effort; retrieval does NOT
+# threshold at PHASH_HAM_MAX, that is the near-dup views' job), then the
+# exact popcount reranks and a per-query row_number pages the top-k (the
+# ANN serving-block shape). The QUERY side broadcasts by construction
+# (N_IMG_QUERIES rows); the index is the shared `_phash_index` checkpoint
+# leaf, so the serving plan re-decodes nothing. Candidate cost at 100 TB:
+# |queries| x (corpus fraction sharing a band) — the band join IS the
+# index probe, never an all-pairs scan.
+N_IMG_QUERIES = 8
+IMG_TOP = 5
+
+
+def mm_phash_topk(spark: SparkSession, sf_dir: str,
+                  n_queries: int = N_IMG_QUERIES,
+                  top: int = IMG_TOP) -> DataFrame:
+    from pyspark.sql import Window
+
+    idx = _phash_index(spark, sf_dir)
+    bands = _band_stack(idx, "phash", "k")
+    q = bands.filter(F.col("k") < n_queries).select(
+        F.col("k").alias("qk"), F.col("phash").alias("pq"),
+        "band_no", "band_val",
+    )
+    c = bands.select(
+        F.col("k").alias("ck"), F.col("phash").alias("pc"),
+        "band_no", "band_val",
+    )
+    cand = (
+        c.join(F.broadcast(q), ["band_no", "band_val"])
+        .filter(F.col("ck") != F.col("qk"))
+        .select("qk", "ck", "pq", "pc")
+        .distinct()  # a pair sharing several bands is one candidate
+    )
+    w = Window.partitionBy("qk").orderBy(F.asc("hamming"), F.asc("ck"))
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("pq").bitwiseXOR(F.col("pc"))).cast("long"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            F.concat(F.lit("img"), F.col("qk").cast("string")).alias("q_img"),
+            F.concat(F.lit("img"), F.col("ck").cast("string")).alias("image_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "hamming",
+        )
+    )
+
+
+PHASH_TOPK_SQL = f"""
+WITH {_PHASH_EDGE_CTES},
+cand AS (
+  SELECT DISTINCT a.k AS qk, b.k AS ck, a.phash AS pq, b.phash AS pc
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val
+  WHERE a.k < {N_IMG_QUERIES} AND b.k <> a.k
+),
+ranked AS (
+  SELECT qk, ck, bit_count(xor(pq, pc))::bigint AS hamming,
+         row_number() OVER (
+           PARTITION BY qk
+           ORDER BY bit_count(xor(pq, pc)) ASC, ck ASC) AS rank
+  FROM cand
+)
+SELECT 'img' || qk AS q_img, 'img' || ck AS image_id,
+       rank::bigint AS rank, hamming
+FROM ranked WHERE rank <= {IMG_TOP}
+"""
+
+
 # -- video frame sampling over multi-frame binary payloads ------------------
 #
 # The video analog of mm_decode_features: a payload is an opaque container of

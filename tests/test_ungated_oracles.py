@@ -17,6 +17,7 @@ from crawler_spark.operators.multimodal import (
     BINARY_STATS_SQL,
     PAIR_CURATION_SQL,
     PHASH_GROUPS_SQL,
+    PHASH_TOPK_SQL,
     QUALITY_SQL,
     VIDEO_NEARDUP_SQL,
     mm_audio_features,
@@ -24,6 +25,7 @@ from crawler_spark.operators.multimodal import (
     mm_binary_stats,
     mm_pair_curation,
     mm_phash_groups,
+    mm_phash_topk,
     mm_quality_filter,
     mm_video_neardup,
 )
@@ -169,6 +171,9 @@ def test_ungated_builders_match_oracle(spark):
         ("mm_quality_filter", mm_quality_filter, QUALITY_SQL),
         ("mm_pair_curation", mm_pair_curation, PAIR_CURATION_SQL),
         ("mm_phash_groups", mm_phash_groups, PHASH_GROUPS_SQL),
+        # query-by-image retrieval: banded-LSH candidates, exact popcount
+        # rerank, per-query top-k page (the image-axis ann_bucket_rerank)
+        ("mm_phash_topk", mm_phash_topk, PHASH_TOPK_SQL),
         # admission-time near-dup gate: batch (doc_id % 4 == 0) against the
         # indexed rest — O(batch), no corpus rescan
         ("dedup_incremental", dedup_incremental, INCREMENTAL_SQL),
@@ -880,6 +885,7 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("text_quality_classifier", text_quality_classifier, NBQ_SQL),
         ("text_bigram_surprisal", text_bigram_surprisal, BIGRAM_SURPRISAL_SQL),
         ("text_ppl_buckets", text_ppl_buckets, PPL_BUCKETS_SQL),
+        ("mm_phash_topk", mm_phash_topk, PHASH_TOPK_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -1172,3 +1178,61 @@ def test_ppl_buckets_tercile_semantics(spark):
             assert max(buckets["head"]) <= min(buckets["middle"]), lang
         if buckets.get("middle") and buckets.get("tail"):
             assert max(buckets["middle"]) <= min(buckets["tail"]), lang
+
+
+def test_phash_topk_matches_python_replica(spark):
+    """Pin the retrieval semantics against an independent pure-Python
+    replica of band-candidate generation + Hamming rerank over the same
+    phash index (the DuckDB twin re-derives the phashes from the closed
+    form, so hash parity is its job; THIS test pins the bands -> distinct
+    candidates -> (hamming, ck) top-k pipeline). Also asserts the plan
+    contract: query side broadcast, no cartesian, no parquet scan (the
+    index is a checkpoint leaf)."""
+    from crawler_spark.operators.multimodal import (
+        IMG_TOP,
+        N_IMG_QUERIES,
+        N_PHASH_BANDS,
+        PHASH_BAND_BITS,
+        _phash_index,
+        mm_phash_topk,
+    )
+    from crawler_spark.plans import (
+        assert_no_cartesian,
+        has_broadcast_join,
+        scan_read_schema,
+    )
+
+    idx = {r["k"]: r["phash"] for r in _phash_index(spark, SF).collect()}
+    mask = (1 << PHASH_BAND_BITS) - 1
+
+    def bands(p: int) -> set:
+        u = p & ((1 << 64) - 1)
+        return {
+            (b, (u >> (PHASH_BAND_BITS * b)) & mask)
+            for b in range(N_PHASH_BANDS)
+        }
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    expect = {}
+    for qk in (k for k in idx if k < N_IMG_QUERIES):
+        qb = bands(idx[qk])
+        cands = [ck for ck in idx if ck != qk and bands(idx[ck]) & qb]
+        scored = sorted((ham(idx[qk], idx[ck]), ck) for ck in cands)
+        expect[f"img{qk}"] = [
+            (f"img{ck}", h, r + 1) for r, (h, ck) in enumerate(scored[:IMG_TOP])
+        ]
+
+    df = mm_phash_topk(spark, SF)
+    assert_no_cartesian(df)
+    assert has_broadcast_join(df)
+    assert scan_read_schema(df) == [], scan_read_schema(df)
+
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["q_img"], []).append(
+            (r["image_id"], r["hamming"], r["rank"])
+        )
+    got = {q: sorted(v, key=lambda t: t[2]) for q, v in got.items()}
+    assert got == {q: v for q, v in expect.items() if v}, (got, expect)
