@@ -1722,28 +1722,33 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str,
     )
 
 
-def text_quality_classifier_frame(docs: DataFrame,
-                                  buckets: int = NBQ_BUCKETS,
-                                  target_mod: int = NBQ_TARGET_MOD
-                                  ) -> DataFrame:
-    """NB quality score over a pre-tokenized (doc_id, toks) frame."""
-    from .common import py_mlog2, spark_h32, spark_mlog2
+def _nbq_feats(docs: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, b) per feature occurrence — ONE explode of the
+    concatenated unigram+bigram feature array (a union of two explodes
+    costs a second full tokenize scan for the identical bag,
+    plan-asserted single documents scan in test_plans)."""
+    from .common import spark_h32
 
-    # ONE explode of the concatenated unigram+bigram feature array — a
-    # union of two explodes costs a second full tokenize scan for the
-    # identical bag (plan-asserted single documents scan in test_plans)
-    feats = docs.select(
+    return docs.select(
         "doc_id",
         F.explode(F.expr(f"concat(toks, {_spark_kgrams(2)})")).alias("feat"),
     ).select("doc_id", (F.expr(spark_h32("feat")) % buckets).alias("b"))
-    hist = feats.groupBy("b").agg(
+
+
+def _nbq_model(docs: DataFrame, buckets: int,
+               target_mod: int) -> tuple[DataFrame, int, int]:
+    """Train the NB model over a pre-tokenized (doc_id, toks) frame:
+    returns (hist checkpoint with per-bucket class counts, base, prior) —
+    base folds the two class-conditional denominators (add-one over the
+    bucket space), prior the class frequencies, both exact driver ints."""
+    from .common import py_mlog2
+
+    hist = _nbq_feats(docs, buckets).groupBy("b").agg(
         F.sum((F.col("doc_id") % target_mod == 0).cast("long")).alias("cnt_t"),
         F.sum((F.col("doc_id") % target_mod != 0).cast("long")).alias("cnt_b"),
     ).localCheckpoint(eager=True)
     tot = hist.agg(F.sum("cnt_t"), F.sum("cnt_b")).collect()[0]
     tot_t, tot_b = int(tot[0] or 0), int(tot[1] or 0)
-    # class-conditional denominators (add-one over the bucket space) and
-    # the class prior, all exact ints computed driver-side
     base = py_mlog2(tot_b + buckets) - py_mlog2(tot_t + buckets)
     n_docs = docs.select(
         F.sum((F.col("doc_id") % target_mod == 0).cast("long")),
@@ -1752,6 +1757,41 @@ def text_quality_classifier_frame(docs: DataFrame,
     prior = py_mlog2(max(int(n_docs[0] or 0), 1)) - py_mlog2(
         max(int(n_docs[1] or 0), 1)
     )
+    return hist, base, prior
+
+
+def nbq_train(docs: DataFrame, buckets: int = NBQ_BUCKETS,
+              target_mod: int = NBQ_TARGET_MOD) -> tuple[list, int]:
+    """Materialize the trained model driver-side: (weights, prior) with
+    weights[b] = the milli-bit log-odds of bucket b — the shippable model
+    artifact (<= buckets ints, ~32 KB) the streaming gate embeds as a
+    literal array. Buckets never seen in training get the smoothed NB
+    value for an all-zero count, mlog2(1)-mlog2(1)+base = base (the batch
+    scorer never meets such a bucket — its histogram is built from the
+    very features it scores — but a STREAM can hash a new document into
+    one, so the default is part of the model, not an edge case)."""
+    from .common import py_mlog2
+
+    hist, base, prior = _nbq_model(docs, buckets, target_mod)
+    weights = [base] * buckets
+    for r in hist.collect():
+        weights[int(r["b"])] = (
+            py_mlog2(int(r["cnt_t"]) + 1)
+            - py_mlog2(int(r["cnt_b"]) + 1)
+            + base
+        )
+    return weights, prior
+
+
+def text_quality_classifier_frame(docs: DataFrame,
+                                  buckets: int = NBQ_BUCKETS,
+                                  target_mod: int = NBQ_TARGET_MOD
+                                  ) -> DataFrame:
+    """NB quality score over a pre-tokenized (doc_id, toks) frame."""
+    from .common import spark_mlog2
+
+    feats = _nbq_feats(docs, buckets)
+    hist, base, prior = _nbq_model(docs, buckets, target_mod)
     weights = hist.select(
         "b",
         (

@@ -4,6 +4,7 @@ from .rounds import (  # noqa: F401
     stream_first_seen_rocksdb,
     stream_gopher_gate,
     stream_link_extract,
+    stream_nbq_gate,
     stream_quality_gate,
     stream_rollup,
     stream_sessionize,

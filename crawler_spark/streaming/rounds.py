@@ -239,6 +239,54 @@ def stream_gopher_gate(docs_stream: DataFrame) -> DataFrame:
     return text_gopher_rules_frame(docs_stream)
 
 
+def stream_nbq_gate(docs_stream: DataFrame, weights: list,
+                    prior: int, buckets: int | None = None) -> DataFrame:
+    """Ingest-time NB quality classifier — the train-offline /
+    serve-on-stream split production quality filters actually run:
+    `operators.text.nbq_train` fits the model on a batch corpus once, and
+    this gate scores arriving documents against it with ZERO state and
+    ZERO shuffle. The model ships as a LITERAL int64 array (<= NBQ_BUCKETS
+    entries, ~32 KB — the executors get it with the plan, no join at
+    all), and the per-document score is a per-row integer fold over the
+    concatenated unigram+bigram feature array:
+
+        score = prior + sum_f weights[h32(f) % buckets]
+
+    — the identical integers the batch scorer's broadcast-join + groupBy
+    produces (int addition is order-free), asserted stream == batch in
+    tests/test_streaming.py. Buckets unseen in training carry the model's
+    smoothed default (see nbq_train). Zero-feature documents carry no
+    evidence and are filtered (the batch convention). Columns match
+    text_quality_classifier exactly."""
+    from ..operators.text import NBQ_BUCKETS, SPARK_TOKENS, _spark_kgrams
+    from ..operators.common import spark_h32
+
+    n_buckets = len(weights) if buckets is None else buckets
+    assert n_buckets == len(weights), (n_buckets, len(weights))
+    toks = docs_stream.select(
+        "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+    ).select(
+        "doc_id",
+        F.expr(f"concat(toks, {_spark_kgrams(2)})").alias("feats"),
+    )
+    w_arr = F.lit(weights).cast("array<bigint>")
+    score = F.expr(
+        f"aggregate(transform(feats, f -> element_at(W, "
+        f"cast({spark_h32('f')} % {n_buckets} as int) + 1)), "
+        f"cast({int(prior)} as bigint), (acc, x) -> acc + x)"
+    )
+    return (
+        toks.withColumn("W", w_arr)
+        .filter(F.size("feats") > 0)
+        .select(
+            "doc_id",
+            F.size("feats").cast("long").alias("n_feats"),
+            score.alias("score_milli"),
+            (score > 0).alias("keep"),
+        )
+    )
+
+
 def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
                       watermark: str = "2 hours") -> DataFrame:
     """Streaming sessionization — the continuous twin of the batch

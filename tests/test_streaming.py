@@ -492,3 +492,56 @@ def test_stream_first_seen_rocksdb_cross_batch_state(spark, tmp_path):
     assert got["url_id"].is_unique
     assert set(got.loc[got["host_bucket"] == 0, "url_id"]) == {1, 2, 5}
     assert set(got.loc[got["host_bucket"] == 1, "url_id"]) == {3, 4, 6}
+
+
+def test_stream_nbq_gate_matches_batch(spark, tmp_path):
+    """Train-offline / serve-on-stream: nbq_train fits the model on the
+    batch corpus, stream_nbq_gate scores the same documents arriving in
+    two micro-batches with the model embedded as a literal array — every
+    row must equal the batch text_quality_classifier's (the per-row
+    integer fold and the broadcast-join + groupBy sum are the same
+    order-free int64 arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.text import (
+        SPARK_TOKENS,
+        nbq_train,
+        text_quality_classifier,
+    )
+    from crawler_spark.streaming import stream_nbq_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    weights, prior = nbq_train(
+        docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
+    )
+    src = str(tmp_path / "docs_nbq")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_nbq_gate(stream, weights, prior)
+        .writeStream.format("memory")
+        .queryName("nbq")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("select * from nbq")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        text_quality_classifier(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
