@@ -1680,6 +1680,140 @@ FROM ranked JOIN strings USING (h)
 BOILERPLATE_SQL = _boilerplate_sql()
 
 
+# -- winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) -----
+# Local document fingerprinting with a GUARANTEE: selecting, in every
+# window of WINNOW_W consecutive k-gram hashes, the minimal hash (leftmost
+# on ties — both engines' array_position/list_position return the FIRST
+# match, so the tie rule is the same expression) yields a ~2/(w+1)-density
+# sample such that any shared token run of length >= w + k - 1 between two
+# documents shares at least one SELECTED fingerprint. That is the
+# plagiarism-detection/overlap primitive: text_dup_grams ships every gram
+# occurrence into the shuffle; winnowing ships only the selected sample —
+# the density factor cuts the exploded row count BEFORE the exchange,
+# which is the entire point of the algorithm at 100 TB — while the
+# guarantee bounds what the sample can miss (no run of w+k-1 tokens, here
+# 8, escapes). Selection is a PURE ARRAY EXPRESSION per row (no window
+# function, no shuffle — the Gopher-gate shape); only the selected
+# (doc_id, h) rows reach the dup_grams-shaped frequency join, hash-
+# partitioned on h and correctly NOT broadcast (the table is
+# corpus-vocabulary sized). Documents shorter than one window form a
+# single truncated window (slice past the end truncates identically in
+# both engines); documents with no k-gram are dropped (no evidence, the
+# DSIR convention).
+WINNOW_K = 5   # gram width (matches DUP_GRAM_K's regime)
+WINNOW_W = 4   # window: guarantee threshold t = w + k - 1 = 8 tokens
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str,
+                             k: int = WINNOW_K,
+                             w: int = WINNOW_W) -> DataFrame:
+    return text_winnow_fingerprints_frame(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+        ),
+        k=k, w=w,
+    )
+
+
+def _spark_winnow_positions(w: int) -> str:
+    """1-based selected positions of `hs` (array<bigint>) — THE selection
+    rule, shared with the randomized-replica test."""
+    win = f"slice(hs, i, {w})"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {w} + 1, 1)), "
+        f"i -> i - 1 + array_position({win}, array_min({win}))))"
+    )
+
+
+def text_winnow_fingerprints_frame(docs: DataFrame, k: int = WINNOW_K,
+                                   w: int = WINNOW_W) -> DataFrame:
+    """Winnowing overlap stats over a pre-tokenized (doc_id, toks) frame.
+
+    The whole per-document computation lives inside ONE lambda binding:
+    `transform(array(<hs>), hs -> ...)[0]` is the SQL spelling of a LET —
+    without it, CollapseProject inlines the md5-transform definition of
+    `hs` into every reference inside the per-window lambdas, and the
+    O(n·w) slice references each re-hash the document: measured 245 s for
+    500 docs at sf0.001 (O(n²) md5 calls) vs sub-second with the binding.
+    The struct emits (n_grams, distinct selected hashes); raw hs never
+    escapes the lambda."""
+    from .common import spark_h60
+
+    hs_def = f"transform({_spark_kgrams(k)}, g -> {spark_h60('g')})"
+    let = (
+        f"transform(array({hs_def}), hs -> struct("
+        f"size(hs) as n_grams, "
+        f"array_distinct(transform({_spark_winnow_positions(w)}, "
+        f"p -> element_at(hs, cast(p as int)))) as fhs))[0]"
+    )
+    sel = (
+        docs.select("doc_id", F.expr(let).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.n_grams").cast("long").alias("n_grams"),
+            F.col("s.fhs").alias("fhs"),
+        )
+        .filter(F.col("n_grams") >= 1)
+    )
+    fp = sel.select(
+        "doc_id", "n_grams", F.explode("fhs").alias("h")
+    )
+    freq = fp.groupBy("h").agg(F.count("*").alias("n_docs"))
+    return (
+        fp.join(freq, "h")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fp",
+            "n_shared",
+            F.round(F.col("n_fp") / F.col("n_grams"), 6).alias("fp_density"),
+            F.round(F.col("n_shared") / F.col("n_fp"), 6).alias("shared_ratio"),
+        )
+    )
+
+
+def _winnow_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    from .common import duck_h60
+
+    win = f"hs[i:i+{w}-1]"
+    return f"""
+WITH toksd AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+),
+hsd AS (
+  SELECT doc_id, list_transform({_duck_kgrams(k)}, g -> {duck_h60('g')}) AS hs
+  FROM toksd
+),
+seld AS (
+  SELECT doc_id, len(hs)::bigint AS n_grams, hs,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {w} + 1, 1) + 1),
+           i -> i - 1 + list_position({win}, list_min({win})))) AS pos
+  FROM hsd WHERE len(hs) >= 1
+),
+fp AS (
+  SELECT DISTINCT doc_id, n_grams, hs[p::int] AS h
+  FROM (SELECT doc_id, n_grams, hs, unnest(pos) AS p FROM seld)
+),
+freq AS (SELECT h, count(*)::bigint AS n_docs FROM fp GROUP BY h)
+SELECT f.doc_id::bigint AS doc_id, f.n_grams,
+       count(*)::bigint AS n_fp,
+       sum((q.n_docs >= 2)::int)::bigint AS n_shared,
+       round(count(*)::double / f.n_grams, 6) AS fp_density,
+       round(sum((q.n_docs >= 2)::int)::double / count(*), 6) AS shared_ratio
+FROM fp f JOIN freq q USING (h)
+GROUP BY f.doc_id, f.n_grams
+"""
+
+
+WINNOW_SQL = _winnow_sql()
+
+
 # -- fastText-style quality classifier (hashed-feature Naive Bayes) ---------
 # The GPT-3/LLaMA webtext-quality archetype: a LINEAR classifier over
 # hashed unigram+bigram features (fastText's wordNgrams=2 hashing trick),

@@ -81,6 +81,7 @@ from crawler_spark.operators.text import (
     PII_SQL,
     REPETITION_SQL,
     STRATIFIED_SQL,
+    WINNOW_SQL,
     decontaminate,
     pack_sequences,
     sample_mixture,
@@ -92,6 +93,7 @@ from crawler_spark.operators.text import (
     text_fingerprint,
     text_ppl_buckets,
     text_quality_classifier,
+    text_winnow_fingerprints,
     text_dup_grams,
     text_gopher_rules,
     text_kmv_distinct,
@@ -158,6 +160,9 @@ def test_ungated_builders_match_oracle(spark):
         # micro-bits-per-token under the bigram model (the trilogy's
         # third leg next to text_line_dedup and the LM score)
         ("text_ppl_buckets", text_ppl_buckets, PPL_BUCKETS_SQL),
+        # winnowing fingerprints (MOSS): guaranteed-overlap sample, the
+        # shuffle-thrifty sibling of text_dup_grams
+        ("text_winnow_fingerprints", text_winnow_fingerprints, WINNOW_SQL),
         ("text_dup_grams", text_dup_grams, DUP_GRAMS_SQL),
         # CCNet-style span removal: globally-first occurrence of each
         # pseudo-line survives, every other copy is dropped and the
@@ -886,6 +891,7 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("text_bigram_surprisal", text_bigram_surprisal, BIGRAM_SURPRISAL_SQL),
         ("text_ppl_buckets", text_ppl_buckets, PPL_BUCKETS_SQL),
         ("mm_phash_topk", mm_phash_topk, PHASH_TOPK_SQL),
+        ("text_winnow_fingerprints", text_winnow_fingerprints, WINNOW_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -1236,3 +1242,78 @@ def test_phash_topk_matches_python_replica(spark):
         )
     got = {q: sorted(v, key=lambda t: t[2]) for q, v in got.items()}
     assert got == {q: v for q, v in expect.items() if v}, (got, expect)
+
+
+def test_winnow_selection_matches_python(spark):
+    """Randomized cross-check of THE selection rule (leftmost window
+    minimum) against a pure-Python replica, applied to literal hash
+    arrays — including repeated values (tie-break), strictly
+    increasing/decreasing runs, and arrays shorter than one window
+    (single truncated window)."""
+    import random
+
+    from crawler_spark.operators.text import (
+        WINNOW_W,
+        _spark_winnow_positions,
+    )
+
+    rng = random.Random(0x5EED)
+    cases = [
+        [5], [5, 5], [1, 2, 3], [3, 2, 1],
+        [7, 7, 7, 7, 7, 7], [9, 3, 7, 3, 5, 1, 8],
+    ]
+    for n in (4, 5, 9, 17, 40):
+        for _ in range(6):
+            cases.append([rng.randrange(0, 6) for _ in range(n)])
+            cases.append([rng.randrange(0, 1 << 40) for _ in range(n)])
+
+    def ref(hs: list, w: int = WINNOW_W) -> list:
+        out, seen = [], set()
+        for i in range(max(len(hs) - w + 1, 1)):
+            win = hs[i:i + w]
+            p = i + min(range(len(win)), key=lambda j: (win[j], j)) + 1
+            if p not in seen:
+                seen.add(p)
+                out.append(p)
+        return out
+
+    df = spark.createDataFrame(
+        list(enumerate(cases)), "i long, hs array<bigint>"
+    )
+    got = {
+        r["i"]: r["pos"]
+        for r in df.select(
+            "i", F.expr(_spark_winnow_positions(WINNOW_W)).alias("pos")
+        ).collect()
+    }
+    for i, hs in enumerate(cases):
+        assert got[i] == ref(hs), (hs, got[i], ref(hs))
+
+
+def test_winnow_guarantee_detects_shared_run(spark):
+    """The property winnowing exists for (Schleimer et al. Thm): any
+    shared token run of length >= w + k - 1 (= 8 here) between two
+    documents produces at least one SHARED selected fingerprint — even
+    though the sample keeps only ~2/(w+1) of the grams. Planted: docs 1
+    and 2 share an 8-token run embedded in otherwise disjoint text; doc 3
+    shares no k-gram with anyone and must report zero shared."""
+    from crawler_spark.operators.text import text_winnow_fingerprints_frame
+
+    shared = "the quick brown fox jumps over the lazy"  # 8 tokens
+    rows = [
+        (1, f"alpha beta gamma {shared} delta epsilon zeta eta theta"),
+        (2, f"one two three four {shared} five six seven eight nine"),
+        (3, "completely different words nowhere repeated anywhere at all"
+            " more unique filler text here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "split(text, ' ') as toks"
+    )
+    got = {
+        r["doc_id"]: (r["n_fp"], r["n_shared"])
+        for r in text_winnow_fingerprints_frame(docs).collect()
+    }
+    assert got[1][1] >= 1 and got[2][1] >= 1, got
+    assert got[3][1] == 0, got
+    for did in (1, 2, 3):
+        assert 1 <= got[did][0], got
