@@ -118,3 +118,37 @@ def duck_mlog2(expr: str) -> str:
 def py_mlog2(n: int) -> int:
     b = n.bit_length() - 1
     return 1000 * b + (1000 * (n - (1 << b))) // (1 << b)
+
+
+# exact integer square root twins: floor(sqrt(n)) for a nonnegative bigint.
+# Seeded from the double sqrt — within 1 of the true root for n < 2^52,
+# where a double still represents n exactly and sqrt is correctly rounded,
+# so ONE correction in each direction restores exactness — and guarded
+# loudly past that bound in both engines (the packed-key precedent: an
+# off-by-one here would silently skew every temperature weight). This is
+# the τ = 2 temperature-sampling primitive: n^(1/τ) = isqrt(n) keeps the
+# whole rate table in exact int64 arithmetic (the mlog2 philosophy —
+# float pow/sqrt folds diverge in the last ulp across engines).
+# Property-tested against math.isqrt in tests/test_ungated_oracles.py.
+_ISQRT_CAP = 1 << 52
+
+
+def spark_isqrt(expr: str) -> str:
+    s0 = f"cast(sqrt(cast(({expr}) as double)) as bigint)"
+    s1 = f"({s0} - (case when {s0} * {s0} > ({expr}) then 1 else 0 end))"
+    w = f"({s1} + (case when ({s1} + 1) * ({s1} + 1) <= ({expr}) then 1 else 0 end))"
+    return (
+        f"case when ({expr}) >= 0 and ({expr}) < {_ISQRT_CAP} then {w} "
+        f"else cast(raise_error('isqrt: n outside [0, 2^52) - the double "
+        f"seed is no longer within 1 of the true root') as bigint) end"
+    )
+
+
+def duck_isqrt(expr: str) -> str:
+    s0 = f"floor(sqrt(({expr})::double))::bigint"
+    s1 = f"({s0} - (CASE WHEN {s0} * {s0} > ({expr}) THEN 1 ELSE 0 END))"
+    w = f"({s1} + (CASE WHEN ({s1} + 1) * ({s1} + 1) <= ({expr}) THEN 1 ELSE 0 END))"
+    return (
+        f"CASE WHEN ({expr}) >= 0 AND ({expr}) < {_ISQRT_CAP} THEN {w} "
+        f"ELSE error('isqrt: n outside [0, 2^52)') END"
+    )

@@ -436,6 +436,139 @@ FROM ph LEFT JOIN agg ON ph.k = agg.ka
 """
 
 
+# -- admission-time image near-dup gate over a persisted phash index --------
+def mm_dedup_incremental_frames(
+    batch_idx: DataFrame, index_idx: DataFrame
+) -> DataFrame:
+    """Admission-time near-dup verdict for an INCOMING image batch against
+    an already-indexed corpus in O(batch + matched) — the image twin of
+    `dedup.dedup_incremental_frames`, and exactly the gate a crawl ingest
+    needs (the engine's verify stage already emits the phash per fetched
+    image; re-running the corpus-wide band join per ingest, what
+    mm_phash_groups does, is not an option at 100 TB).
+
+    Inputs: `index_idx` (k, phash) is the PERSISTED index table appended
+    per admitted batch; `batch_idx` the incoming batch's (k, phash) rows.
+    Output, one row per batch image: is_novel, dup_of = the MIN-id
+    verified neighbor among index images and SMALLER-id batch siblings
+    ('' when novel), hamming of that neighbor (-1 when novel). Greedy
+    min-id is deterministic and SQL-expressible; transitive grouping
+    stays mm_phash_groups' compaction-time job.
+
+    Scale shape: the batch is banded in O(batch); candidates come from
+    TWO equi-joins — batch bands × index bands (persist the index
+    bucketed by (band_no, band_val) so only the batch side shuffles) and
+    batch × batch for intra-batch dups. Unlike the minhash gate there is
+    NO second verification pass against a shingle store: the phash IS the
+    verifier (in-row popcount on the candidate pair), so no torn-store
+    mode exists — one table, one invariant. Replay safety: the index's
+    copies of the CURRENT batch (self-pairs and batch siblings alike) are
+    anti-joined out of cross candidates, so re-admitting an already-
+    appended batch reproduces the clean run's verdicts exactly (pinned in
+    tests/test_ungated_oracles.py::test_mm_incremental_replay_safe)."""
+    bb = _band_stack(batch_idx, "phash", "k")
+    ib = _band_stack(index_idx, "phash", "k")
+    cross = (
+        bb.select(
+            F.col("k").alias("ka"), F.col("phash").alias("pa"),
+            "band_no", "band_val",
+        )
+        .join(
+            ib.select(
+                F.col("k").alias("kb"), F.col("phash").alias("pb"),
+                "band_no", "band_val",
+            ),
+            ["band_no", "band_val"],
+        )
+        # replay: an index copy of a batch sibling must not shadow
+        # internal's smaller-id rule (the dedup_incremental lesson)
+        .join(
+            F.broadcast(batch_idx.select(F.col("k").alias("kb"))),
+            "kb",
+            "left_anti",
+        )
+        .select("ka", "kb", "pa", "pb")
+    )
+    internal = (
+        bb.select(
+            F.col("k").alias("ka"), F.col("phash").alias("pa"),
+            "band_no", "band_val",
+        )
+        .join(
+            bb.select(
+                F.col("k").alias("kb"), F.col("phash").alias("pb"),
+                "band_no", "band_val",
+            ),
+            ["band_no", "band_val"],
+        )
+        .filter(F.col("kb") < F.col("ka"))
+        .select("ka", "kb", "pa", "pb")
+    )
+    verified = (
+        cross.unionByName(internal)
+        .distinct()  # a pair sharing several bands (or replayed) is one candidate
+        .withColumn(
+            "ham", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long")
+        )
+        .filter(F.col("ham") <= PHASH_HAM_MAX)
+    )
+    # kb is unique per (ka, kb) pair, so the struct min picks the min-id
+    # neighbor deterministically and carries its hamming along
+    best = verified.groupBy("ka").agg(F.min(F.struct("kb", "ham")).alias("m"))
+    return (
+        batch_idx.join(best.select(F.col("ka").alias("k"), "m"), "k", "left")
+        .select(
+            F.concat(F.lit("img"), F.col("k").cast("string")).alias("image_id"),
+            "phash",
+            F.col("m").isNull().alias("is_novel"),
+            F.when(F.col("m").isNull(), F.lit("")).otherwise(
+                F.concat(F.lit("img"), F.col("m.kb").cast("string"))
+            ).alias("dup_of"),
+            F.coalesce(F.col("m.ham"), F.lit(-1)).cast("long").alias("hamming"),
+        )
+    )
+
+
+def mm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-corpus stand-in (the dedup_incremental / decontaminate trick):
+    images with k % 4 == 0 play the incoming batch, the rest the persisted
+    index. Phashes are per-image (corpus-independent), so the split
+    computes EXACTLY the verdicts the production frames API would emit for
+    this batch against that index. Both splits read the ONE _phash_index
+    checkpoint leaf — no second decode pass."""
+    idx = _phash_index(spark, sf_dir)
+    is_batch = F.col("k") % 4 == 0
+    return mm_dedup_incremental_frames(idx.filter(is_batch), idx.filter(~is_batch))
+
+
+MM_INCREMENTAL_SQL = f"""
+WITH {_PHASH_EDGE_CTES},
+cand AS (
+  SELECT DISTINCT a.k AS ka, b.k AS kb, a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val
+  WHERE a.k % 4 = 0 AND (b.k % 4 <> 0 OR b.k < a.k)
+),
+ver AS (
+  SELECT ka, kb, bit_count(xor(pa, pb))::bigint AS ham
+  FROM cand WHERE bit_count(xor(pa, pb)) <= {PHASH_HAM_MAX}
+),
+best AS (
+  SELECT ka, kb, ham FROM (
+    SELECT ka, kb, ham,
+           row_number() OVER (PARTITION BY ka ORDER BY kb) AS rn
+    FROM ver
+  ) WHERE rn = 1
+)
+SELECT 'img' || ph.k AS image_id, ph.phash,
+       best.kb IS NULL AS is_novel,
+       CASE WHEN best.kb IS NULL THEN '' ELSE 'img' || best.kb END AS dup_of,
+       coalesce(best.ham, -1)::bigint AS hamming
+FROM ph LEFT JOIN best ON ph.k = best.ka
+WHERE ph.k % 4 = 0
+"""
+
+
 def mm_phash_groups(spark: SparkSession, sf_dir: str,
                     max_iters: int = 16) -> DataFrame:
     """Transitive phash duplicate GROUPS — the image analog of

@@ -630,6 +630,113 @@ FROM ranked WHERE rk <= {quota}
 STRATIFIED_SQL = _stratified_sql()
 
 
+# -- temperature-balanced language sampling (the mT5 / XLM-R re-mix) --------
+# sample_mixture keeps per-language rates as FIXED inputs; real multilingual
+# pipelines DERIVE them from the corpus. τ-temperature sampling (Conneau &
+# Lample XLM, Conneau et al. XLM-R, Xue et al. mT5 — and the knob UniMax was
+# built to replace) sets a language's sampling share to q_s ∝ n_s^(1/τ),
+# boosting low-resource languages relative to their raw share. τ = 2 makes
+# the weight an EXACT integer — n_s^(1/2) = isqrt(n_s), the spark_isqrt /
+# duck_isqrt twins — so the whole rate table is int64 arithmetic both
+# engines compute bit-identically (the mlog2 philosophy: float pow folds
+# diverge in the last ulp):
+#   w_s       = isqrt(n_s)                       W = Σ_s w_s
+#   thr_bp(s) = min(10^4, (10^4 · B · w_s) div (W · n_s)),  B = N div 2
+# and a doc is kept iff its salted 32-bit hash coin mod 10^4 falls under
+# its language's threshold — sample_mixture's determinism property (re-runs
+# reproduce the sample exactly, making a 100 TB mixture auditable) with
+# rates that now come from the data. E[kept per lang] = n_s·thr_s/10^4 ≈
+# B·w_s/W, i.e. the budget splits ∝ √n_s: en (41% of this corpus) lands
+# under half the keep-RATE of the low-resource tail (pinned in the
+# python-twin test, which replays the exact integer math and md5 coins).
+# Dataflow at 100 TB: pass one is a groupBy(lang) whose map-side partial
+# agg shrinks the shuffle to ≤ |langs| rows; the rate table is a checkpoint
+# leaf broadcast BY CONSTRUCTION (|langs| rows, never corpus-sized); pass
+# two is ONE corpus scan + broadcast join + filter — no wide exchange
+# anywhere (plan-asserted). Overflow: 10^4·B·w ≤ 10^4·(N/2)·isqrt(N) stays
+# in int64 for N < 2^33 docs — guarded by raise_error in BOTH engines (the
+# packed-key precedent; past it, rescale TEMP_SCALE or widen to decimal —
+# never a silent wrap. The divisor W·n ≤ |langs|·N^1.5 also fits for any
+# plausible language count under the same cap).
+TEMP_SCALE = 10_000  # basis-point coin space, the sample_mixture convention
+_TEMP_N_CAP = 1 << 33  # 10^4 · (N div 2) · isqrt(N) stays in int64 below this
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_temperature_frame(
+        load(spark, sf_dir, "documents").select("doc_id", "lang")
+    )
+
+
+def sample_temperature_frame(docs: DataFrame, budget_den: int = 2) -> DataFrame:
+    from .common import spark_h32, spark_isqrt
+
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    weighted = counts.select("lang", "n", F.expr(spark_isqrt("n")).alias("w"))
+    tot = weighted.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("w").cast("long").alias("w_total"),
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(tot))  # one-row totals (lineage idiom)
+        .select(
+            "lang",
+            F.expr(
+                f"case when n_total < {_TEMP_N_CAP} then "
+                f"least(cast({TEMP_SCALE} as bigint), "
+                f"({TEMP_SCALE} * (n_total div {budget_den}) * w) "
+                f"div (w_total * n)) "
+                f"else cast(raise_error('sample_temperature: corpus exceeds "
+                f"2^33 docs - the basis-point rate product would overflow "
+                f"int64; rescale TEMP_SCALE or widen the rate math to "
+                f"decimal') as bigint) end"
+            ).alias("thr_bp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    h_coin = spark_h32("concat('temp:', cast(doc_id as string))")
+    return (
+        docs.select("doc_id", "lang", F.expr(f"{h_coin} % {TEMP_SCALE}").alias("coin"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("coin") < F.col("thr_bp"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("coin").cast("long").alias("coin"),
+            F.col("thr_bp").cast("long").alias("thr_bp"),
+        )
+    )
+
+
+def _temperature_sql(budget_den: int = 2) -> str:
+    from .common import duck_h32, duck_isqrt
+
+    h = duck_h32("'temp:' || d.doc_id::varchar")
+    coin = f"({h} % {TEMP_SCALE})"
+    return f"""
+WITH counts AS (SELECT lang, count(*)::bigint AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, {duck_isqrt('n')} AS w FROM counts),
+tot AS (SELECT sum(n)::bigint AS n_total, sum(w)::bigint AS w_total FROM w),
+rates AS (
+  SELECT lang,
+         CASE WHEN n_total < {_TEMP_N_CAP} THEN
+           least({TEMP_SCALE}::bigint,
+                 ({TEMP_SCALE} * (n_total // {budget_den}) * w) // (w_total * n))
+         ELSE error('sample_temperature: corpus exceeds 2^33 docs')
+         END AS thr_bp
+  FROM w, tot
+)
+SELECT d.doc_id::bigint AS doc_id, d.lang,
+       {coin}::bigint AS coin,
+       r.thr_bp::bigint AS thr_bp
+FROM documents d JOIN rates r USING (lang)
+WHERE {coin} < r.thr_bp
+"""
+
+
+TEMPERATURE_SQL = _temperature_sql()
+
+
 # -- unigram surprisal scoring (the CCNet-style LM quality signal) ----------
 # Real pipelines score documents with a KenLM perplexity and keep the
 # low-perplexity (fluent) tail. The deterministic analog: a unigram model

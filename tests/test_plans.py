@@ -608,3 +608,36 @@ def test_lm_ops_scan_budget(spark):
     assert lang_scans and all(
         set(s) <= {"doc_id", "lang"} for s in lang_scans
     ), lang_scans
+
+
+def test_temperature_sampling_plan_shape(spark):
+    """sample_temperature's scale contract: the |langs|-row rate table is a
+    checkpoint leaf BROADCAST into the serving join (broadcastable at ANY
+    corpus size by construction), the corpus side never shuffles — zero
+    hashpartitioning exchanges in the final plan — and the selection
+    touches parquet exactly once, reading doc_id and lang only."""
+    from crawler_spark.operators.text import sample_temperature
+    from crawler_spark.plans import explain_str
+
+    df = sample_temperature(spark, SF)
+    assert_no_cartesian(df)
+    assert has_broadcast_join(df)
+    plan = explain_str(df, "simple")
+    assert "hashpartitioning" not in plan, plan
+    schemas = scan_read_schema(df)
+    assert len(schemas) == 1, schemas
+    assert schemas[0] == ["doc_id", "lang"], schemas
+
+
+def test_mm_incremental_plan_shape(spark):
+    """The image admission gate bands both sides off the ONE (k, phash)
+    checkpoint leaf — zero MapInPandas decode stages downstream (the
+    mm_phash_neardup single-decode property) — and candidates come from
+    band equi-joins only, never a cartesian."""
+    from crawler_spark.operators.multimodal import mm_dedup_incremental
+
+    df = mm_dedup_incremental(spark, SF)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan

@@ -15,6 +15,7 @@ from crawler_spark.operators.multimodal import (
     AUDIO_FEATURES_SQL,
     AUDIO_NEARDUP_SQL,
     BINARY_STATS_SQL,
+    MM_INCREMENTAL_SQL,
     PAIR_CURATION_SQL,
     PHASH_GROUPS_SQL,
     PHASH_TOPK_SQL,
@@ -23,6 +24,7 @@ from crawler_spark.operators.multimodal import (
     mm_audio_features,
     mm_audio_neardup,
     mm_binary_stats,
+    mm_dedup_incremental,
     mm_pair_curation,
     mm_phash_groups,
     mm_phash_topk,
@@ -81,10 +83,12 @@ from crawler_spark.operators.text import (
     PII_SQL,
     REPETITION_SQL,
     STRATIFIED_SQL,
+    TEMPERATURE_SQL,
     WINNOW_SQL,
     decontaminate,
     pack_sequences,
     sample_mixture,
+    sample_temperature,
     SURPRISAL_SQL,
     sample_stratified,
     text_bigram_surprisal,
@@ -122,6 +126,10 @@ def test_ungated_builders_match_oracle(spark):
         ("dedup_best_rep", dedup_best_rep, BEST_REP_SQL),
         ("decontaminate", decontaminate, DECONTAM_SQL),
         ("sample_mixture", sample_mixture, MIXTURE_SQL),
+        # τ = 2 temperature language balancing: corpus-DERIVED integer-exact
+        # rates (isqrt weights), the mT5/XLM-R upgrade of sample_mixture's
+        # fixed rate table
+        ("sample_temperature", sample_temperature, TEMPERATURE_SQL),
         ("pack_sequences", pack_sequences, PACK_SQL),
         ("ann_multiprobe_topk", ann_multiprobe_topk, ANN_MULTIPROBE_SQL),
         # multi-round Lloyd training past the gated IVF_ITERS depth:
@@ -182,6 +190,9 @@ def test_ungated_builders_match_oracle(spark):
         # admission-time near-dup gate: batch (doc_id % 4 == 0) against the
         # indexed rest — O(batch), no corpus rescan
         ("dedup_incremental", dedup_incremental, INCREMENTAL_SQL),
+        # the image twin of that gate: incoming batch phashes vs the
+        # persisted band index, in-row popcount verification
+        ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
         # frame-phash video copy detection: temporal-shift-tolerant
         # containment over the sampled-frame phash index
         ("mm_video_neardup", mm_video_neardup, VIDEO_NEARDUP_SQL),
@@ -892,6 +903,8 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("text_ppl_buckets", text_ppl_buckets, PPL_BUCKETS_SQL),
         ("mm_phash_topk", mm_phash_topk, PHASH_TOPK_SQL),
         ("text_winnow_fingerprints", text_winnow_fingerprints, WINNOW_SQL),
+        ("sample_temperature", sample_temperature, TEMPERATURE_SQL),
+        ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -1317,3 +1330,179 @@ def test_winnow_guarantee_detects_shared_run(spark):
     assert got[3][1] == 0, got
     for did in (1, 2, 3):
         assert 1 <= got[did][0], got
+
+
+def test_isqrt_twin_parity(spark):
+    """Property-pin the isqrt twins (Spark expr / DuckDB expr) against
+    math.isqrt on edge cases and random ints up to the 2^52 cap — the
+    τ = 2 temperature-sampling weight primitive. The double-sqrt seed is
+    deliberately stressed around perfect squares (n², n²±1), where a
+    correctly-rounded float sqrt is most likely to land one off."""
+    import math
+    import random
+
+    import duckdb
+
+    from crawler_spark.operators.common import duck_isqrt, spark_isqrt
+
+    rng = random.Random(0x5147)
+    vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 17, (1 << 52) - 1]
+    for _ in range(200):
+        r = rng.randrange(1, 1 << 26)
+        vals += [r * r - 1, r * r, r * r + 1, rng.randrange(0, 1 << 52)]
+    vals = sorted(set(vals))
+    expect = {v: math.isqrt(v) for v in vals}
+
+    got_spark = {
+        r["n"]: r["s"]
+        for r in spark.createDataFrame([(v,) for v in vals], "n long")
+        .selectExpr("n", f"{spark_isqrt('n')} as s")
+        .collect()
+    }
+    assert got_spark == expect
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got_duck = dict(con.execute(f"SELECT n, {duck_isqrt('n')} FROM t").fetchall())
+    assert got_duck == expect
+
+
+def test_temperature_sampling_semantics(spark):
+    """Pin sample_temperature's math against an independent pure-Python
+    replica on a PLANTED skewed corpus (en 160 / fr 40 / de 10 — the real
+    corpus's lang skew is mild, so the semantics pin plants a sharp one):
+
+    1. EXACTNESS — the Spark output equals the Python replica row for row
+       (integer thresholds AND md5 coins), the ids.py twin treatment.
+    2. TEMPERATURE ORDER — keep-rate is anti-monotone in corpus share:
+       thr(de) > thr(fr) > thr(en); with these counts de saturates at the
+       10^4 cap, so the least() guard is load-bearing, not decorative.
+    3. DETERMINISM — a second run reproduces the sample exactly (the
+       auditability property sample_mixture established)."""
+    import hashlib
+
+    from crawler_spark.operators.text import (
+        TEMP_SCALE,
+        sample_temperature_frame,
+    )
+
+    counts = {"en": 160, "fr": 40, "de": 10}
+    rows, did = [], 0
+    for lang, n in counts.items():
+        for _ in range(n):
+            rows.append((did, lang))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    # pure-Python replica of the integer rate table + md5 coins
+    import math
+
+    w = {lg: math.isqrt(n) for lg, n in counts.items()}
+    big_w = sum(w.values())
+    n_total = sum(counts.values())
+    budget = n_total // 2
+    thr = {
+        lg: min(TEMP_SCALE, (TEMP_SCALE * budget * w[lg]) // (big_w * counts[lg]))
+        for lg in counts
+    }
+    assert thr["de"] == TEMP_SCALE, thr          # saturation: cap engaged
+    assert thr["de"] > thr["fr"] > thr["en"], thr  # anti-monotone in share
+
+    def coin(doc_id: int) -> int:
+        h = hashlib.md5(f"temp:{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % TEMP_SCALE
+
+    expect = sorted(
+        (d, lg, coin(d), thr[lg]) for d, lg in rows if coin(d) < thr[lg]
+    )
+    got1 = sorted(tuple(r) for r in sample_temperature_frame(docs).collect())
+    got2 = sorted(tuple(r) for r in sample_temperature_frame(docs).collect())
+    assert got1 == expect, (got1[:5], expect[:5])
+    assert got2 == got1
+
+
+def test_mm_incremental_matches_brute_force(spark):
+    """mm_dedup_incremental vs an all-pairs Python reference over the real
+    sf0.001 phash index (125 images): a batch image's eligible neighbors
+    are index images plus SMALLER-id batch siblings; a neighbor qualifies
+    iff it shares >= 1 of the 4 16-bit bands AND Hamming <= PHASH_HAM_MAX;
+    the verdict keeps the min-id qualifier and its hamming. Also asserts
+    the fixture is non-vacuous: both novel and dup verdicts occur, and at
+    least one matched pair has hamming > 0 (the popcount filter and the
+    tolerance are both load-bearing)."""
+    from crawler_spark.operators.multimodal import (
+        N_PHASH_BANDS,
+        PHASH_BAND_BITS,
+        PHASH_HAM_MAX,
+        _phash_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = {r["k"]: r["phash"] for r in _phash_index(spark, sf).collect()}
+    mask = (1 << 64) - 1
+    bmask = (1 << PHASH_BAND_BITS) - 1
+
+    def bands(p: int) -> list[int]:
+        u = p & mask
+        return [(u >> (b * PHASH_BAND_BITS)) & bmask for b in range(N_PHASH_BANDS)]
+
+    def ham(a: int, b: int) -> int:
+        return bin((a & mask) ^ (b & mask)).count("1")
+
+    expect = {}
+    for ka, pa in idx.items():
+        if ka % 4 != 0:
+            continue
+        cands = [
+            kb for kb, pb in idx.items()
+            if (kb % 4 != 0 or kb < ka)
+            and kb != ka
+            and any(x == y for x, y in zip(bands(pa), bands(pb)))
+            and ham(pa, pb) <= PHASH_HAM_MAX
+        ]
+        if cands:
+            kb = min(cands)
+            expect[f"img{ka}"] = (False, f"img{kb}", ham(pa, idx[kb]))
+        else:
+            expect[f"img{ka}"] = (True, "", -1)
+
+    from crawler_spark.operators.multimodal import mm_dedup_incremental
+
+    got = {
+        r["image_id"]: (r["is_novel"], r["dup_of"], r["hamming"])
+        for r in mm_dedup_incremental(spark, sf).collect()
+    }
+    assert got == expect
+    verdicts = {v[0] for v in got.values()}
+    assert verdicts == {True, False}, "fixture vacuous: one-sided verdicts"
+    assert any(v[2] > 0 for v in got.values()), "hamming tolerance never exercised"
+
+
+def test_mm_incremental_replay_safe(spark):
+    """Re-admitting an already-appended batch must reproduce the clean
+    run's verdicts exactly: the index's copies of the current batch
+    (self-pairs and siblings) are excluded from cross candidates, so a
+    sibling reached via its index copy cannot shadow internal's
+    smaller-id rule (the dedup_incremental replay contract, applied to
+    the image gate)."""
+    from pyspark.sql import functions as SF
+
+    from crawler_spark.operators.multimodal import (
+        _phash_index,
+        mm_dedup_incremental_frames,
+    )
+
+    idx = _phash_index(spark, "/root/testdata/sf0.001")
+    batch = idx.filter(SF.col("k") % 4 == 0)
+    index = idx.filter(SF.col("k") % 4 != 0)
+    clean = sorted(
+        tuple(r) for r in mm_dedup_incremental_frames(batch, index).collect()
+    )
+    replayed = sorted(
+        tuple(r)
+        for r in mm_dedup_incremental_frames(
+            batch, index.unionByName(batch)
+        ).collect()
+    )
+    assert replayed == clean
