@@ -737,6 +737,149 @@ WHERE {coin} < r.thr_bp
 TEMPERATURE_SQL = _temperature_sql()
 
 
+# -- UniMax language balancing (epoch-capped water-filling, the mT5 fix) ----
+# Temperature sampling still OVERSAMPLES the head and UNDERSAMPLES nothing
+# fully — every language is subsampled a bit. UniMax (Chung et al., ICLR
+# 2023) replaces the knob with a budget allocation: give each language as
+# uniform a share of the budget as possible WITHOUT repeating any language
+# past its epoch cap. At one epoch (UniMax-1, the paper's large-corpus
+# setting, and the only cap a no-repetition keep-gate can express) that is
+# exactly integer WATER-FILLING over the language sizes:
+#   alloc_s = min(n_s, t),  t maximal with Σ_s min(n_s, t) ≤ B
+# — the low-resource tail is kept VERBATIM (thr_bp = 10^4 exactly, zero
+# sampling noise, the paper's fairness claim) while every head language is
+# cut to the SAME absolute size t. Closed form instead of the paper's
+# greedy loop (they coincide: ascending-size greedy IS water-filling):
+# sort languages by (n, lang); lang j is fully affordable iff
+# cum_{j-1} + n_j·(k−j+1) ≤ B, a condition NONDECREASING in j (difference
+# telescopes to (n_{j+1}−n_j)(k−j) ≥ 0) so the full set is a prefix m*;
+# t = (B − cum_{m*}) div (k − m*). All int64 floor math over the ≤|langs|-
+# row count table — the window sort is over the RATE TABLE, never the
+# corpus (DuckDB runs the identical window SQL, so the engines agree
+# bit-for-bit; guards loud past 2^33 docs / 2^20 langs where
+# n·(k−rn+1) ≤ n_total·k could overflow). Serving is sample_temperature's
+# exact shape: checkpointed broadcast rate table, one corpus scan, hash
+# coins (salt 'umax:'), zero wide exchange — plan-asserted.
+_UMAX_K_CAP = 1 << 20  # language-count bound: n·(k−rn+1) ≤ n_total·k < 2^53
+
+
+def sample_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_unimax_frame(
+        load(spark, sf_dir, "documents").select("doc_id", "lang")
+    )
+
+
+def sample_unimax_frame(docs: DataFrame, budget_den: int = 2) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .common import spark_h32
+
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("k"),
+    )
+    w_ord = Window.orderBy("n", "lang")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()  # |langs| rows — never corpus-sized
+    lev = (
+        counts.select(
+            "lang",
+            "n",
+            F.row_number().over(w_ord).cast("long").alias("rn"),
+            F.sum("n").over(w_cum).cast("long").alias("cum"),
+        )
+        .crossJoin(F.broadcast(tot))  # one-row totals (lineage idiom)
+        .withColumn("budget", F.expr(f"n_total div {budget_den}"))
+        .withColumn("full_ok", F.expr("(cum - n) + n * (k - rn + 1) <= budget"))
+        .withColumn(
+            "m_star",
+            F.max(F.when(F.col("full_ok"), F.col("rn")).otherwise(F.lit(0)))
+            .over(w_all)
+            .cast("long"),
+        )
+        .withColumn(
+            "cum_m",
+            F.max(F.when(F.col("full_ok"), F.col("cum")).otherwise(F.lit(0)))
+            .over(w_all)
+            .cast("long"),
+        )
+    )
+    rates = lev.select(
+        "lang",
+        F.expr(
+            f"case when n_total < {_TEMP_N_CAP} and k <= {_UMAX_K_CAP} then "
+            f"least(cast({TEMP_SCALE} as bigint), ({TEMP_SCALE} * "
+            f"(case when full_ok then n else "
+            f"(case when m_star = k then cast(0 as bigint) "
+            f"else (budget - cum_m) div (k - m_star) end) end)) div n) "
+            f"else cast(raise_error('sample_unimax: corpus exceeds 2^33 docs "
+            f"or 2^20 languages - the water-fill products would overflow "
+            f"int64; widen the allocation math to decimal') as bigint) end"
+        ).alias("thr_bp"),
+    ).localCheckpoint(eager=True)
+    h_coin = spark_h32("concat('umax:', cast(doc_id as string))")
+    return (
+        docs.select("doc_id", "lang", F.expr(f"{h_coin} % {TEMP_SCALE}").alias("coin"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("coin") < F.col("thr_bp"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("coin").cast("long").alias("coin"),
+            F.col("thr_bp").cast("long").alias("thr_bp"),
+        )
+    )
+
+
+def _unimax_sql(budget_den: int = 2) -> str:
+    from .common import duck_h32
+
+    h = duck_h32("'umax:' || d.doc_id::varchar")
+    coin = f"({h} % {TEMP_SCALE})"
+    return f"""
+WITH counts AS (SELECT lang, count(*)::bigint AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(n)::bigint AS n_total, count(*)::bigint AS k FROM counts),
+ranked AS (
+  SELECT lang, n,
+         row_number() OVER (ORDER BY n, lang)::bigint AS rn,
+         (sum(n) OVER (ORDER BY n, lang ROWS UNBOUNDED PRECEDING))::bigint AS cum
+  FROM counts
+),
+lev AS (
+  SELECT r.*, t.n_total, t.k, (t.n_total // {budget_den}) AS budget,
+         ((r.cum - r.n) + r.n * (t.k - r.rn + 1))
+           <= (t.n_total // {budget_den}) AS full_ok
+  FROM ranked r, tot t
+),
+lev2 AS (
+  SELECT *,
+         (max(CASE WHEN full_ok THEN rn ELSE 0 END) OVER ())::bigint AS m_star,
+         (max(CASE WHEN full_ok THEN cum ELSE 0 END) OVER ())::bigint AS cum_m
+  FROM lev
+),
+rates AS (
+  SELECT lang,
+         CASE WHEN n_total < {_TEMP_N_CAP} AND k <= {_UMAX_K_CAP} THEN
+           least({TEMP_SCALE}::bigint, ({TEMP_SCALE} *
+             (CASE WHEN full_ok THEN n ELSE
+               (CASE WHEN m_star = k THEN 0
+                ELSE (budget - cum_m) // (k - m_star) END) END)) // n)
+         ELSE error('sample_unimax: corpus exceeds 2^33 docs or 2^20 languages')
+         END AS thr_bp
+  FROM lev2
+)
+SELECT d.doc_id::bigint AS doc_id, d.lang,
+       {coin}::bigint AS coin,
+       r.thr_bp::bigint AS thr_bp
+FROM documents d JOIN rates r USING (lang)
+WHERE {coin} < r.thr_bp
+"""
+
+
+UNIMAX_SQL = _unimax_sql()
+
+
 # -- unigram surprisal scoring (the CCNet-style LM quality signal) ----------
 # Real pipelines score documents with a KenLM perplexity and keep the
 # low-perplexity (fluent) tail. The deterministic analog: a unigram model

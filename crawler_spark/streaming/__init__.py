@@ -1,4 +1,5 @@
 from .rounds import (  # noqa: F401
+    serve_mm_ingest_gate,
     stream_decontaminate,
     stream_first_seen,
     stream_first_seen_rocksdb,

@@ -366,3 +366,51 @@ def stream_windowed_lineage(discovered: DataFrame, window: str = "10 seconds",
             "n_distinct_approx",
         )
     )
+
+
+def serve_mm_ingest_gate(images_stream: DataFrame, index_dir: str,
+                         verdict_dir: str):
+    """Admission-time image near-dup gating ON THE INGEST STREAM — the
+    serving shape for `operators.multimodal.mm_dedup_incremental_frames`
+    (state-in-storage, no model): each micro-batch IS one admission batch,
+    exactly the protocol a continuously-crawling fetcher needs (the
+    engine's verify stage already emits the phash per fetched image, so
+    the stream rows are free). Per trigger, against the PERSISTED phash
+    band index at `index_dir`:
+
+      1. verdict the batch (index images + smaller-id batch siblings),
+      2. write the verdicts partitioned by batch_id with dynamic-partition
+         OVERWRITE — a replayed micro-batch rewrites its own partition
+         instead of duplicating verdict rows,
+      3. append the batch to the index (admit-then-append, the
+         dedup_incremental protocol).
+
+    Replay safety end-to-end: a redelivered batch re-appends its index
+    rows, which is harmless by construction — the gate anti-joins index
+    copies of the current batch out of the candidates and dedups pairs
+    (pinned in tests/test_ungated_oracles.py::test_mm_incremental_replay_safe)
+    — and step 2's partition overwrite makes the verdict table converge to
+    the clean run's rows. `index_dir` must be seeded before the query
+    starts (an empty (k, phash) frame is a valid seed). Returns the
+    DataStreamWriter; the caller sets trigger/checkpoint and starts.
+    Stream == sequential batch admissions asserted in
+    tests/test_streaming.py."""
+    from ..operators.multimodal import mm_dedup_incremental_frames
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # the gate walks the batch several times (bands twice, the verdict
+        # join); pin one evaluation of the ephemeral micro-batch frame
+        batch = batch_df.select("k", "phash").localCheckpoint(eager=True)
+        index = spark.read.parquet(index_dir)
+        (
+            mm_dedup_incremental_frames(batch, index)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(verdict_dir)
+        )
+        batch.write.mode("append").parquet(index_dir)
+
+    return images_stream.writeStream.foreachBatch(_admit)

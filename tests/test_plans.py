@@ -629,6 +629,25 @@ def test_temperature_sampling_plan_shape(spark):
     assert schemas[0] == ["doc_id", "lang"], schemas
 
 
+def test_unimax_sampling_plan_shape(spark):
+    """sample_unimax shares sample_temperature's serving contract: the
+    water-fill windows run over the ≤|langs|-row count table BEFORE the
+    checkpoint, so the final plan is one pruned corpus scan + a broadcast
+    rate join — no window, no hashpartitioning exchange, no cartesian."""
+    from crawler_spark.operators.text import sample_unimax
+    from crawler_spark.plans import explain_str
+
+    df = sample_unimax(spark, SF)
+    assert_no_cartesian(df)
+    assert has_broadcast_join(df)
+    plan = explain_str(df, "simple")
+    assert "hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    schemas = scan_read_schema(df)
+    assert len(schemas) == 1, schemas
+    assert schemas[0] == ["doc_id", "lang"], schemas
+
+
 def test_mm_incremental_plan_shape(spark):
     """The image admission gate bands both sides off the ONE (k, phash)
     checkpoint leaf — zero MapInPandas decode stages downstream (the

@@ -545,3 +545,71 @@ def test_stream_nbq_gate_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_mm_ingest_gate_matches_sequential_batches(spark, tmp_path):
+    """serve_mm_ingest_gate across micro-batches == the batch admission
+    API applied sequentially (admit-then-append), verdict for verdict.
+    The expected side replays mm_dedup_incremental_frames over the ACTUAL
+    micro-batch compositions (recovered from the batch_id partitions), so
+    the assertion is order-robust no matter how the file source splits."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.multimodal import (
+        _phash_index,
+        mm_dedup_incremental_frames,
+    )
+    from crawler_spark.streaming import serve_mm_ingest_gate
+
+    idx = _phash_index(spark, "/root/testdata/sf0.001")
+    seed = idx.filter("k % 4 = 1")       # the pre-existing indexed corpus
+    arriving = idx.filter("k % 4 <> 1")  # ingest side, two micro-batches
+    index_dir = str(tmp_path / "index")
+    verdict_dir = str(tmp_path / "verdicts")
+    src = str(tmp_path / "arriving")
+    seed.write.parquet(index_dir)
+    arriving.filter("k % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    arriving.filter("k % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, phash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        serve_mm_ingest_gate(stream, index_dir, verdict_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(verdict_dir).toPandas()
+    assert sorted(got.batch_id.unique()) == [0, 1], got.batch_id.unique()
+    assert len(got) == arriving.count()
+
+    # replay the admissions batch-by-batch through the batch API
+    index = seed
+    for bid in (0, 1):
+        ks = sorted(
+            int(i[3:]) for i in got.loc[got.batch_id == bid, "image_id"]
+        )
+        batch = idx.filter(F.col("k").isin(ks))
+        assert batch.count() == len(ks)  # partitions tile the arrivals
+        want = (
+            mm_dedup_incremental_frames(batch, index)
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        have = (
+            got.loc[got.batch_id == bid]
+            .drop(columns=["batch_id"])
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(have[want.columns.tolist()], want)
+        index = index.unionByName(batch)
+
+    # the persisted index now holds seed + both batches, one row per image
+    assert spark.read.parquet(index_dir).count() == idx.count()

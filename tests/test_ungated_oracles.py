@@ -84,11 +84,13 @@ from crawler_spark.operators.text import (
     REPETITION_SQL,
     STRATIFIED_SQL,
     TEMPERATURE_SQL,
+    UNIMAX_SQL,
     WINNOW_SQL,
     decontaminate,
     pack_sequences,
     sample_mixture,
     sample_temperature,
+    sample_unimax,
     SURPRISAL_SQL,
     sample_stratified,
     text_bigram_surprisal,
@@ -130,6 +132,9 @@ def test_ungated_builders_match_oracle(spark):
         # rates (isqrt weights), the mT5/XLM-R upgrade of sample_mixture's
         # fixed rate table
         ("sample_temperature", sample_temperature, TEMPERATURE_SQL),
+        # UniMax-1 water-filling: tail languages kept verbatim, head cut to
+        # one absolute water level — the epoch-capped successor knob
+        ("sample_unimax", sample_unimax, UNIMAX_SQL),
         ("pack_sequences", pack_sequences, PACK_SQL),
         ("ann_multiprobe_topk", ann_multiprobe_topk, ANN_MULTIPROBE_SQL),
         # multi-round Lloyd training past the gated IVF_ITERS depth:
@@ -904,6 +909,7 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("mm_phash_topk", mm_phash_topk, PHASH_TOPK_SQL),
         ("text_winnow_fingerprints", text_winnow_fingerprints, WINNOW_SQL),
         ("sample_temperature", sample_temperature, TEMPERATURE_SQL),
+        ("sample_unimax", sample_unimax, UNIMAX_SQL),
         ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
@@ -1420,6 +1426,87 @@ def test_temperature_sampling_semantics(spark):
     got2 = sorted(tuple(r) for r in sample_temperature_frame(docs).collect())
     assert got1 == expect, (got1[:5], expect[:5])
     assert got2 == got1
+
+
+def test_unimax_sampling_semantics(spark):
+    """Pin sample_unimax's water-filling against an independent pure-Python
+    replica on a PLANTED sharp skew (en 400 / fr 30 / de 10 / zh 8 — the
+    real corpus's skew is too mild for any language to be fully affordable
+    at B = N div 2, so this fixture makes the full branch load-bearing):
+
+    1. EXACTNESS — Spark output equals the Python replica row for row
+       (closed-form water level AND md5 coins).
+    2. TAIL VERBATIM — the UniMax fairness claim: every language below the
+       water level keeps thr_bp = 10^4 EXACTLY, i.e. all of zh/fr/de's
+       docs appear with zero sampling noise, while en is cut to the
+       absolute level t (here t = (B − 48) div 1 = 176 docs → 4400 bp).
+    3. BUDGET EXHAUSTION vs TEMPERATURE — on this fixture UniMax's integer
+       allocation sums to B EXACTLY (48 tail + 176 head = 224), while
+       temperature's rate table loses budget: its tail thresholds saturate
+       at the 10^4 cap (isqrt boosts a tiny tail past rate 1) and the
+       excess is NOT reallocated — expected kept ≈ 197 < B. That silent
+       under-spend is the paper's motivating defect in the knob.
+    4. DETERMINISM — a second run reproduces the sample exactly."""
+    import hashlib
+
+    from crawler_spark.operators.text import (
+        TEMP_SCALE,
+        sample_temperature_frame,
+        sample_unimax_frame,
+    )
+
+    counts = {"en": 400, "fr": 30, "de": 10, "zh": 8}
+    rows, did = [], 0
+    for lang, n in counts.items():
+        for _ in range(n):
+            rows.append((did, lang))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    # pure-Python replica: ascending-size greedy == closed-form water-fill
+    n_total = sum(counts.values())
+    budget = n_total // 2
+    order = sorted(counts, key=lambda lg: (counts[lg], lg))
+    k = len(order)
+    thr, cum, m_star, cum_m = {}, 0, 0, 0
+    for j, lg in enumerate(order, start=1):
+        if cum + counts[lg] * (k - j + 1) <= budget:
+            m_star, cum_m = j, cum + counts[lg]
+        cum += counts[lg]
+    t = (budget - cum_m) // (k - m_star) if m_star < k else 0
+    for j, lg in enumerate(order, start=1):
+        alloc = counts[lg] if j <= m_star else t
+        thr[lg] = min(TEMP_SCALE, (TEMP_SCALE * alloc) // counts[lg])
+    assert thr["zh"] == thr["de"] == thr["fr"] == TEMP_SCALE, thr  # tail verbatim
+    assert thr["en"] == (TEMP_SCALE * 176) // 400 == 4400, thr     # head at t
+
+    def coin(doc_id: int) -> int:
+        h = hashlib.md5(f"umax:{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % TEMP_SCALE
+
+    expect = sorted(
+        (d, lg, coin(d), thr[lg]) for d, lg in rows if coin(d) < thr[lg]
+    )
+    got1 = sorted(tuple(r) for r in sample_unimax_frame(docs).collect())
+    got2 = sorted(tuple(r) for r in sample_unimax_frame(docs).collect())
+    assert got1 == expect, (got1[:5], expect[:5])
+    assert got2 == got1
+    # tail docs ALL present — no coin ever rejects a fully-kept language
+    kept_tail = sum(1 for _, lg, _, _ in got1 if lg != "en")
+    assert kept_tail == counts["fr"] + counts["de"] + counts["zh"], kept_tail
+
+    # 3. budget accounting vs temperature at the same budget (exact ints)
+    umax_alloc = cum_m + (k - m_star) * t
+    assert umax_alloc == budget == 224, (umax_alloc, budget)
+    temp_thr = {
+        lg: t2
+        for _, lg, _, t2 in sample_temperature_frame(docs).collect()
+    }
+    assert temp_thr["zh"] == TEMP_SCALE, temp_thr  # cap saturated on the tail
+    temp_expect_x4 = sum(
+        counts[lg] * temp_thr[lg] * 4 // TEMP_SCALE for lg in counts
+    )
+    assert temp_expect_x4 < 4 * budget, (temp_expect_x4, budget)  # under-spend
 
 
 def test_mm_incremental_matches_brute_force(spark):
