@@ -704,3 +704,82 @@ QUERIES = {
     "q5_join_chain": (q5_join_chain, Q5_SQL),
     "crawl_round_schedule": (crawl_round_schedule, CRAWL_ROUND_SQL),
 }
+
+
+# -- recrawl scheduling by estimated change rate (freshness policy) ---------
+# The crawl engine decides WHAT to fetch next (frontier priority); a real
+# crawler also decides WHEN to come BACK. Cho & Garcia-Molina (TOIT 2003)
+# estimate a page's Poisson change rate from n revisit observations of
+# which x saw a changed page — lambda ~ -ln((n - x + 1/2)/(n + 1/2)) per
+# inter-visit interval, their bias-corrected estimator — and schedule the
+# next fetch inversely to it. The events table plays the fetch-observation
+# log (user_id = page, ts = visit, event_type = 'click' marks "content
+# changed"; swap in the real verify-stage phash-diff verdict in
+# production). Integer-exact twin math (the BM25/surprisal discipline, no
+# float ln anywhere): the log ratio is the DIFFERENCE OF MILLI-BITS
+#   rate_mb = mlog2(2n + 1) - mlog2(2n - 2x + 1)   [= log2(1/r), x0.5 -> x2]
+# which is 0 exactly when x = 0 (never seen changing -> park the page) and
+# grows with the change fraction; ln-vs-log2 is a constant factor absorbed
+# into the interval scale. Mean inter-visit gap is span/(n-1) ~ span/n;
+# the next-visit interval is
+#   interval_ms = (span_ms * 1000) div (n * rate_mb + 1)
+# (+1 parks never-changing pages at the span*1000 horizon instead of
+# dividing by zero). Scale shape: ONE events scan, ONE page-keyed exchange
+# whose map-side partial agg collapses each page's history before the
+# shuffle — at 10^10 pages x 10^2 visits the shuffle carries one row per
+# page, and the schedule joins back to the frontier exactly like
+# host_rank's priority term. Overflow: span_ms * 1000 < 2^63 for any span
+# under ~292 years; mlog2 args are >= 1 by construction.
+def crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return crawl_recrawl_schedule_frame(load(spark, sf_dir, "events"))
+
+
+def crawl_recrawl_schedule_frame(events: DataFrame) -> DataFrame:
+    from .common import spark_mlog2
+
+    obs = (
+        events
+        .select(
+            F.col("user_id").alias("page_id"),
+            _event_ms().alias("ms"),
+            (F.col("event_type") == "click").cast("long").alias("chg"),
+        )
+        .groupBy("page_id")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum("chg").cast("long").alias("n_changed"),
+            (F.max("ms") - F.min("ms")).cast("long").alias("span_ms"),
+        )
+    )
+    rate = (
+        f"({spark_mlog2('2 * n_obs + 1')} "
+        f"- {spark_mlog2('2 * n_obs - 2 * n_changed + 1')})"
+    )
+    return obs.withColumn("rate_mb", F.expr(rate).cast("long")).withColumn(
+        "interval_ms",
+        F.expr("(span_ms * 1000) div (n_obs * rate_mb + 1)").cast("long"),
+    )
+
+
+def _recrawl_sql() -> str:
+    from .common import duck_mlog2
+
+    rate = (
+        f"({duck_mlog2('2 * n_obs + 1')} "
+        f"- {duck_mlog2('2 * n_obs - 2 * n_changed + 1')})"
+    )
+    return f"""
+WITH obs AS (
+  SELECT user_id AS page_id, count(*)::bigint AS n_obs,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint AS n_changed,
+         (max(epoch_ms(ts)) - min(epoch_ms(ts)))::bigint AS span_ms
+  FROM events GROUP BY user_id
+),
+rated AS (SELECT *, ({rate})::bigint AS rate_mb FROM obs)
+SELECT page_id, n_obs, n_changed, span_ms, rate_mb,
+       ((span_ms * 1000) // (n_obs * rate_mb + 1))::bigint AS interval_ms
+FROM rated
+"""
+
+
+RECRAWL_SQL = _recrawl_sql()

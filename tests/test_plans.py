@@ -660,3 +660,22 @@ def test_mm_incremental_plan_shape(spark):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "MapInPandas" not in plan
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_recrawl_schedule_plan_shape(spark):
+    """The freshness schedule is ONE events scan reading exactly the three
+    observation columns, collapsed by a single page-keyed exchange whose
+    map-side partial agg ships one row per page — no window, no join, no
+    second scan."""
+    from crawler_spark.operators.relational import crawl_recrawl_schedule
+    from crawler_spark.plans import explain_str
+
+    df = crawl_recrawl_schedule(spark, SF)
+    assert_no_cartesian(df)
+    plan = explain_str(df, "simple")
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    schemas = scan_read_schema(df)
+    assert len(schemas) == 1, schemas
+    assert schemas[0] == ["ts", "user_id", "event_type"], schemas

@@ -45,7 +45,9 @@ from crawler_spark.operators.relational import (
     F5_SQL,
     G1_SQL,
     RANGE_SQL,
+    RECRAWL_SQL,
     ROLLUP_SQL,
+    crawl_recrawl_schedule,
     f5_priority_range,
     g1_min_probe,
     x_asof_join,
@@ -135,6 +137,9 @@ def test_ungated_builders_match_oracle(spark):
         # UniMax-1 water-filling: tail languages kept verbatim, head cut to
         # one absolute water level — the epoch-capped successor knob
         ("sample_unimax", sample_unimax, UNIMAX_SQL),
+        # freshness policy: per-page change-rate estimate (exact milli-bits
+        # log ratio) -> next-revisit interval, one page-keyed exchange
+        ("crawl_recrawl_schedule", crawl_recrawl_schedule, RECRAWL_SQL),
         ("pack_sequences", pack_sequences, PACK_SQL),
         ("ann_multiprobe_topk", ann_multiprobe_topk, ANN_MULTIPROBE_SQL),
         # multi-round Lloyd training past the gated IVF_ITERS depth:
@@ -910,6 +915,7 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("text_winnow_fingerprints", text_winnow_fingerprints, WINNOW_SQL),
         ("sample_temperature", sample_temperature, TEMPERATURE_SQL),
         ("sample_unimax", sample_unimax, UNIMAX_SQL),
+        ("crawl_recrawl_schedule", crawl_recrawl_schedule, RECRAWL_SQL),
         ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
@@ -1593,3 +1599,55 @@ def test_mm_incremental_replay_safe(spark):
         ).collect()
     )
     assert replayed == clean
+
+
+def test_recrawl_schedule_semantics(spark):
+    """Pin the freshness estimator on a PLANTED fetch history (the real
+    events corpus has no designed change structure) against a pure-Python
+    replica of the exact integer math:
+
+    * page 1 changed on EVERY revisit, page 3 on half, page 2 NEVER —
+      rate_mb strictly orders 1 > 3 > 2 and the revisit interval inverts
+      it: interval(1) < interval(3) < interval(2).
+    * the never-changing page has rate_mb = 0 EXACTLY (mlog2 difference of
+      equal arguments) and parks at the span*1000 horizon — the +1 in the
+      divisor is load-bearing, not decorative.
+    * every row equals the py_mlog2 replica integer-for-integer."""
+    from datetime import datetime, timezone
+
+    from crawler_spark.operators.common import py_mlog2
+    from crawler_spark.operators.relational import crawl_recrawl_schedule_frame
+
+    def ts(minute):
+        return datetime(2024, 1, 1, 0, minute, tzinfo=timezone.utc)
+
+    # (page_id, visit minutes, changed flags)
+    hist = {
+        1: ([0, 10, 20, 30], [0, 1, 1, 1]),   # changes every revisit
+        2: ([0, 10, 20, 30], [0, 0, 0, 0]),   # never changes
+        3: ([0, 10, 20, 30], [0, 1, 0, 1]),   # half
+    }
+    rows = []
+    eid = 0
+    for pid, (mins, chgs) in hist.items():
+        for m, c in zip(mins, chgs):
+            rows.append((eid, ts(m), pid, "click" if c else "view"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r.page_id: (r.n_obs, r.n_changed, r.span_ms, r.rate_mb, r.interval_ms)
+        for r in crawl_recrawl_schedule_frame(ev).collect()
+    }
+
+    expect = {}
+    for pid, (mins, chgs) in hist.items():
+        n, x = len(mins), sum(chgs)
+        span = (mins[-1] - mins[0]) * 60_000
+        rate = py_mlog2(2 * n + 1) - py_mlog2(2 * n - 2 * x + 1)
+        expect[pid] = (n, x, span, rate, (span * 1000) // (n * rate + 1))
+    assert got == expect, (got, expect)
+    assert got[2][3] == 0 and got[2][4] == hist[2][0][-1] * 60_000 * 1000
+    assert got[1][3] > got[3][3] > got[2][3]
+    assert got[1][4] < got[3][4] < got[2][4]
