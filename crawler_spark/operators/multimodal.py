@@ -1549,3 +1549,139 @@ QUERIES = {
     "mm_frame_sample": (mm_frame_sample, FRAME_SAMPLE_SQL),
     "mm_sample_select": (mm_sample_select, SAMPLE_SQL),
 }
+
+
+# -- quality-argmax image representative (the image dedup_best_rep) ---------
+MM_NPIX = MM_SIDE * MM_SIDE
+
+
+def _k_phash_gray_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(k, phash, g_sum, g_ssq) in ONE decode pass — the phash rides the
+    corpus column, the gray moments are EXACT int64 sums (no float mean/var
+    anywhere: npix*g_ssq - g_sum^2 = npix^2 * variance is a total order
+    both engines compute bit-identically, the dedup_best_rep struct-max
+    requirement). Bounds: gray <= 765, so g_ssq <= 256*765^2 ~ 1.5e8 and
+    the score products stay far inside int64."""
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        full = np.stack([np.frombuffer(b, np.uint8) for b in pdf["bytes"].to_numpy()])
+        px = full[:, _MM_HDR:].reshape(n, MM_SIDE, MM_SIDE, 3).astype(np.int64)
+        gray = px.sum(axis=3)
+        yield pd.DataFrame(
+            {
+                "k": pdf["image_id"].str[3:].astype("int64"),
+                "phash": pdf["phash"].astype("int64"),
+                "g_sum": np.einsum("nij->n", gray),
+                "g_ssq": np.einsum("nij,nij->n", gray, gray),
+            }
+        )
+
+
+def _phash_quality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, phash, g_sum, g_ssq) materialized once — the _phash_index
+    discipline extended with the integer quality moments, still ONE corpus
+    generation + decode pass feeding both the band joins and the argmax."""
+    n = table_rows(sf_dir, "documents") // 5
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_pattern_corpus, schema=datagen.WORLD_SCHEMAS["corpus"]
+    )
+    return corpus.mapInPandas(
+        _k_phash_gray_sums, schema="k long, phash long, g_sum long, g_ssq long"
+    ).localCheckpoint(eager=True)
+
+
+def mm_best_rep(spark: SparkSession, sf_dir: str, max_iters: int = 16) -> DataFrame:
+    return mm_best_rep_frames(_phash_quality_index(spark, sf_dir), max_iters)
+
+
+def mm_best_rep_frames(idx: DataFrame, max_iters: int = 16) -> DataFrame:
+    """Quality-argmax image representative — the image twin of
+    `pipeline.dedup_best_rep` (SemDeDup keeps the most central member,
+    FineWeb keeps by quality; min-id is an accident of crawl order): per
+    phash duplicate GROUP (the mm_phash_groups transitive classes over the
+    shared `_phash_edges`), keep the member with the highest integer
+    variance score npix*g_ssq - g_sum^2 (a sharper image beats its re-
+    encodes), ties to the LOWEST k via an exact (score, -k) struct max.
+
+    Scale shape: groups ride the shared `min_label_components` kernel over
+    the edge subgraph only; the argmax runs ONLY over multi-member groups
+    (singletons self-represent and never enter the exchange); everything
+    downstream of the one checkpointed (k, phash, g_sum, g_ssq) leaf is
+    JVM expressions — zero Python past the decode, plan-asserted."""
+    from .dedup import min_label_components
+
+    edges = _phash_edges(idx.select("k", "phash")).select(
+        F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b")
+    )
+    labels = min_label_components(edges, max_iters)
+    sized = labels.join(
+        labels.groupBy("label").agg(F.count("*").alias("group_size")), "label"
+    )
+    scored = idx.select(
+        "k",
+        (F.lit(MM_NPIX) * F.col("g_ssq") - F.col("g_sum") * F.col("g_sum"))
+        .cast("long")
+        .alias("score"),
+    )
+    best = (
+        labels.join(scored, labels["doc_id"] == scored["k"])
+        .groupBy("label")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("k")).alias("nk"))).alias("m"))
+        .select("label", (-F.col("m.nk")).alias("rep_k"))
+    )
+    return (
+        idx.join(sized, idx["k"] == sized["doc_id"], "left")
+        .join(scored, "k")
+        .join(best, "label", "left")
+        .select(
+            F.concat(F.lit("img"), F.col("k").cast("string")).alias("image_id"),
+            F.concat(
+                F.lit("img"), F.coalesce("label", F.col("k")).cast("string")
+            ).alias("group_id"),
+            F.coalesce("group_size", F.lit(1)).cast("long").alias("group_size"),
+            F.concat(
+                F.lit("img"), F.coalesce("rep_k", F.col("k")).cast("string")
+            ).alias("rep_id"),
+            (F.col("k") == F.coalesce("rep_k", F.col("k"))).alias("is_rep"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
+MM_BEST_REP_SQL = f"""
+WITH RECURSIVE {_PHASH_EDGE_CTES},
+gi AS (
+  SELECT k, sum(gray)::bigint AS g_sum, sum(gray*gray)::bigint AS g_ssq
+  FROM g GROUP BY k
+),
+sc AS (SELECT k, ({MM_NPIX} * g_ssq - g_sum * g_sum)::bigint AS score FROM gi),
+sym AS (SELECT ka AS a, kb AS b FROM edges
+        UNION ALL SELECT kb AS a, ka AS b FROM edges),
+reach(v, r) AS (
+  SELECT k AS v, k AS r FROM ks
+  UNION
+  SELECT s.b AS v, reach.r FROM reach JOIN sym s ON s.a = reach.v
+),
+grp AS (SELECT v AS k, min(r) AS gid FROM reach GROUP BY v),
+gsz AS (SELECT gid, count(*)::bigint AS group_size FROM grp GROUP BY gid),
+r AS (
+  SELECT gid, k AS rep_k FROM (
+    SELECT grp.gid, grp.k,
+           row_number() OVER (
+             PARTITION BY gid ORDER BY score DESC, grp.k ASC) AS rn
+    FROM grp JOIN sc ON grp.k = sc.k
+  ) WHERE rn = 1
+)
+SELECT 'img' || grp.k AS image_id,
+       'img' || grp.gid AS group_id,
+       gsz.group_size,
+       'img' || r.rep_k AS rep_id,
+       (grp.k = r.rep_k) AS is_rep,
+       sc.score
+FROM grp
+JOIN gsz ON grp.gid = gsz.gid
+JOIN r ON grp.gid = r.gid
+JOIN sc ON grp.k = sc.k
+"""

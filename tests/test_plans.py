@@ -679,3 +679,16 @@ def test_recrawl_schedule_plan_shape(spark):
     schemas = scan_read_schema(df)
     assert len(schemas) == 1, schemas
     assert schemas[0] == ["ts", "user_id", "event_type"], schemas
+
+
+def test_mm_best_rep_plan_shape(spark):
+    """Everything downstream of the one checkpointed
+    (k, phash, g_sum, g_ssq) leaf is JVM expressions: no MapInPandas decode
+    stage in the serving plan, no parquet rescan, no cartesian."""
+    from crawler_spark.operators.multimodal import mm_best_rep
+
+    df = mm_best_rep(spark, SF)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in plan and "mapInPandas" not in plan
+    assert "parquet" not in plan.lower()

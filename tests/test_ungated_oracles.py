@@ -15,6 +15,7 @@ from crawler_spark.operators.multimodal import (
     AUDIO_FEATURES_SQL,
     AUDIO_NEARDUP_SQL,
     BINARY_STATS_SQL,
+    MM_BEST_REP_SQL,
     MM_INCREMENTAL_SQL,
     PAIR_CURATION_SQL,
     PHASH_GROUPS_SQL,
@@ -24,6 +25,7 @@ from crawler_spark.operators.multimodal import (
     mm_audio_features,
     mm_audio_neardup,
     mm_binary_stats,
+    mm_best_rep,
     mm_dedup_incremental,
     mm_pair_curation,
     mm_phash_groups,
@@ -203,6 +205,8 @@ def test_ungated_builders_match_oracle(spark):
         # the image twin of that gate: incoming batch phashes vs the
         # persisted band index, in-row popcount verification
         ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
+        # image dedup_best_rep: quality-argmax rep per phash group
+        ("mm_best_rep", mm_best_rep, MM_BEST_REP_SQL),
         # frame-phash video copy detection: temporal-shift-tolerant
         # containment over the sampled-frame phash index
         ("mm_video_neardup", mm_video_neardup, VIDEO_NEARDUP_SQL),
@@ -917,6 +921,8 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("sample_unimax", sample_unimax, UNIMAX_SQL),
         ("crawl_recrawl_schedule", crawl_recrawl_schedule, RECRAWL_SQL),
         ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
+        # image dedup_best_rep: quality-argmax rep per phash group
+        ("mm_best_rep", mm_best_rep, MM_BEST_REP_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -1651,3 +1657,38 @@ def test_recrawl_schedule_semantics(spark):
     assert got[2][3] == 0 and got[2][4] == hist[2][0][-1] * 60_000 * 1000
     assert got[1][3] > got[3][3] > got[2][3]
     assert got[1][4] < got[3][4] < got[2][4]
+
+
+def test_mm_best_rep_policy_differs_from_min_id(spark):
+    """The image quality-argmax policy must be a REAL policy change on the
+    actual corpus, and exactly the argmax:
+
+    * at least one multi-member group elects a non-min-id representative
+      (measured: 15 such images at sf0.001 — the lossy re-encode's
+      quantization does not monotonically lower the integer variance, so
+      the winner is NOT an id accident),
+    * every multi-group rep has the max score in its group with ties to
+      the lowest id (verified against the collected group scores),
+    * singletons self-represent with is_rep = true."""
+    from crawler_spark.operators.multimodal import mm_best_rep
+
+    rows = mm_best_rep(spark, "/root/testdata/sf0.001").collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    assert any(len(g) > 1 for g in by_group.values())
+    nonmin = 0
+    for gid, members in by_group.items():
+        reps = [m for m in members if m.is_rep]
+        if len(members) == 1:
+            m = members[0]
+            assert m.is_rep and m.rep_id == m.image_id and m.group_size == 1
+            continue
+        # exactly one rep per group, and it is the (score, -id) argmax
+        assert len(reps) == 1, (gid, reps)
+        best = max(members, key=lambda m: (m.score, -int(m.image_id[3:])))
+        assert reps[0].image_id == best.image_id == reps[0].rep_id
+        min_id = min(members, key=lambda m: int(m.image_id[3:]))
+        if best.image_id != min_id.image_id:
+            nonmin += 1
+    assert nonmin > 0, "policy never disagreed with min-id - vacuous fixture"
