@@ -1685,3 +1685,112 @@ JOIN gsz ON grp.gid = gsz.gid
 JOIN r ON grp.gid = r.gid
 JOIN sc ON grp.k = sc.k
 """
+
+
+# -- WebDataset-style shard packing (whole-sample byte-budget bins) ---------
+# Image training data ships as tar shards of WHOLE samples (WebDataset /
+# tfrecord layout): a sample (image payload + its text/caption member)
+# never splits across shards — the dual of pack_sequences, where token
+# bins split documents freely. Whole-sample greedy packing with a reset is
+# inherently SEQUENTIAL within a writer (the bin boundary depends on every
+# earlier reset — no prefix-sum closed form), which is also the physical
+# truth: a tar writer appends serially. So the operator keys samples into
+# n_streams independent writer streams by hash (the pack_sequences move)
+# and runs the exact greedy per stream in ONE applyInPandas kernel —
+# parallelism = stream count (set n_streams ~ writers at 100 TB), and the
+# per-stream state is two integers, never corpus-sized. Greedy rule: a
+# sample opens a new shard when it would overflow the byte budget; an
+# OVERSIZED sample (> budget) lands alone in its own shard (next sample
+# always overflows past it). Sample size here = the pair's tar-member
+# bytes: octet_length(text) + the fixed rendered-image payload
+# (_MM_NBYTES; the synthetic blobs are fixed-size, the text side carries
+# the variance). DuckDB twin replays the identical greedy as a recursive
+# CTE stepping rn -> rn+1 per stream.
+MM_SHARD_BUDGET = 4096
+MM_PACK_STREAMS = 8
+
+
+def _pack_writer(budget: int):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ns = pdf["n_bytes"].to_numpy()
+        shard = np.empty(len(ns), np.int64)
+        off = np.empty(len(ns), np.int64)
+        fill = 0
+        sh = 0
+        for i, s in enumerate(ns):
+            if i and fill + s > budget:
+                sh += 1
+                fill = 0
+            shard[i] = sh
+            off[i] = fill
+            fill += int(s)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "stream": pdf["stream"],
+                "n_bytes": ns,
+                "shard_no": shard,
+                "offset": off,
+            }
+        )
+
+    return fn
+
+
+def mm_shard_pack(spark: SparkSession, sf_dir: str,
+                  budget: int = MM_SHARD_BUDGET,
+                  n_streams: int = MM_PACK_STREAMS) -> DataFrame:
+    from .common import load, spark_h32
+
+    h = spark_h32("concat('wds:', cast(doc_id as string))")
+    samples = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"{h} % {n_streams}").cast("int").alias("stream"),
+        (F.expr("octet_length(text)") + F.lit(_MM_NBYTES))
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    return mm_shard_pack_frame(samples, budget)
+
+
+def mm_shard_pack_frame(samples: DataFrame, budget: int = MM_SHARD_BUDGET) -> DataFrame:
+    return samples.groupBy("stream").applyInPandas(
+        _pack_writer(budget),
+        schema="doc_id long, stream int, n_bytes long, shard_no long, offset long",
+    )
+
+
+def _shard_pack_sql(budget: int = MM_SHARD_BUDGET,
+                    n_streams: int = MM_PACK_STREAMS) -> str:
+    from .common import duck_h32
+
+    h = duck_h32("'wds:' || doc_id::varchar")
+    return f"""
+WITH RECURSIVE sized AS (
+  SELECT doc_id::bigint AS doc_id,
+         ({h} % {n_streams})::int AS stream,
+         (strlen(text) + {_MM_NBYTES})::bigint AS n_bytes,
+         row_number() OVER (
+           PARTITION BY ({h} % {n_streams}) ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed(stream, rn, doc_id, n_bytes, shard_no, off, fill) AS (
+  SELECT stream, rn, doc_id, n_bytes,
+         0::bigint, 0::bigint, n_bytes
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT n.stream, n.rn, n.doc_id, n.n_bytes,
+         CASE WHEN p.fill + n.n_bytes > {budget}
+              THEN p.shard_no + 1 ELSE p.shard_no END,
+         CASE WHEN p.fill + n.n_bytes > {budget}
+              THEN 0 ELSE p.fill END,
+         CASE WHEN p.fill + n.n_bytes > {budget}
+              THEN n.n_bytes ELSE p.fill + n.n_bytes END
+  FROM packed p JOIN sized n ON n.stream = p.stream AND n.rn = p.rn + 1
+)
+SELECT doc_id, stream, n_bytes, shard_no, off AS offset FROM packed
+"""
+
+
+MM_SHARD_PACK_SQL = _shard_pack_sql()

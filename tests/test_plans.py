@@ -692,3 +692,21 @@ def test_mm_best_rep_plan_shape(spark):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "MapInPandas" not in plan and "mapInPandas" not in plan
     assert "parquet" not in plan.lower()
+
+
+def test_shard_pack_plan_shape(spark):
+    """mm_shard_pack is ONE pruned documents scan keyed into writer streams
+    by exactly ONE exchange feeding the per-stream greedy kernel
+    (FlatMapGroupsInPandas) — no window, no join, no second scan."""
+    from crawler_spark.operators.multimodal import mm_shard_pack
+    from crawler_spark.plans import explain_str
+
+    df = mm_shard_pack(spark, SF)
+    assert_no_cartesian(df)
+    plan = explain_str(df, "simple")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    schemas = scan_read_schema(df)
+    assert len(schemas) == 1, schemas
+    assert schemas[0] == ["doc_id", "text"], schemas

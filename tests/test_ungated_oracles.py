@@ -16,6 +16,7 @@ from crawler_spark.operators.multimodal import (
     AUDIO_NEARDUP_SQL,
     BINARY_STATS_SQL,
     MM_BEST_REP_SQL,
+    MM_SHARD_PACK_SQL,
     MM_INCREMENTAL_SQL,
     PAIR_CURATION_SQL,
     PHASH_GROUPS_SQL,
@@ -26,6 +27,7 @@ from crawler_spark.operators.multimodal import (
     mm_audio_neardup,
     mm_binary_stats,
     mm_best_rep,
+    mm_shard_pack,
     mm_dedup_incremental,
     mm_pair_curation,
     mm_phash_groups,
@@ -207,6 +209,8 @@ def test_ungated_builders_match_oracle(spark):
         ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
         # image dedup_best_rep: quality-argmax rep per phash group
         ("mm_best_rep", mm_best_rep, MM_BEST_REP_SQL),
+        # WebDataset shard packing: whole-sample greedy bins per writer stream
+        ("mm_shard_pack", mm_shard_pack, MM_SHARD_PACK_SQL),
         # frame-phash video copy detection: temporal-shift-tolerant
         # containment over the sampled-frame phash index
         ("mm_video_neardup", mm_video_neardup, VIDEO_NEARDUP_SQL),
@@ -923,6 +927,8 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
         # image dedup_best_rep: quality-argmax rep per phash group
         ("mm_best_rep", mm_best_rep, MM_BEST_REP_SQL),
+        # WebDataset shard packing: whole-sample greedy bins per writer stream
+        ("mm_shard_pack", mm_shard_pack, MM_SHARD_PACK_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -1692,3 +1698,36 @@ def test_mm_best_rep_policy_differs_from_min_id(spark):
         if best.image_id != min_id.image_id:
             nonmin += 1
     assert nonmin > 0, "policy never disagreed with min-id - vacuous fixture"
+
+
+def test_shard_pack_greedy_semantics(spark):
+    """Pin the whole-sample greedy on PLANTED sizes that exercise every
+    branch the real corpus cannot (its samples are all ~1 kB < budget):
+    an exact-fit boundary (fill == budget admits), an overflow reset, and
+    an OVERSIZED sample (> budget) that lands alone in its own shard with
+    the next sample forced past it. Verified row-for-row against a pure-
+    Python replay of the greedy, all in one stream so the sequence is
+    fully determined."""
+    from crawler_spark.operators.multimodal import mm_shard_pack_frame
+
+    budget = 30
+    sizes = [10, 10, 25, 5, 30, 31, 1]
+    rows = [(i, 0, s) for i, s in enumerate(sizes)]
+    samples = spark.createDataFrame(rows, "doc_id long, stream int, n_bytes long")
+    got = sorted(
+        tuple(r) for r in mm_shard_pack_frame(samples, budget).collect()
+    )
+
+    expect, fill, sh = [], 0, 0
+    for i, s in enumerate(sizes):
+        if i and fill + s > budget:
+            sh, fill = sh + 1, 0
+        expect.append((i, 0, s, sh, fill))
+        fill += s
+    assert got == expect, (got, expect)
+    # the branch coverage the fixture exists for:
+    shard_of = {d: sh for d, _, _, sh, _ in got}
+    assert shard_of[3] == shard_of[2]            # 25+5 == budget: exact fit admits
+    assert shard_of[4] == shard_of[3] + 1        # overflow reset
+    assert [d for d, s in shard_of.items() if s == shard_of[5]] == [5]  # oversized isolated
+    assert shard_of[6] == shard_of[5] + 1        # and the next sample moves past it
