@@ -7,6 +7,7 @@ from .rounds import (  # noqa: F401
     stream_link_extract,
     stream_nbq_gate,
     stream_quality_gate,
+    stream_recrawl_schedule,
     stream_rollup,
     stream_sessionize,
     stream_windowed_lineage,

@@ -414,3 +414,72 @@ def serve_mm_ingest_gate(images_stream: DataFrame, index_dir: str,
         batch.write.mode("append").parquet(index_dir)
 
     return images_stream.writeStream.foreachBatch(_admit)
+
+
+def stream_recrawl_schedule(fetches: DataFrame) -> DataFrame:
+    """Freshness scheduling ON the fetch stream — the streaming twin of
+    `operators.relational.crawl_recrawl_schedule`: per-page Poisson
+    change-rate state (Cho & Garcia-Molina) maintained incrementally as
+    fetch observations arrive, emitting the page's UPDATED schedule row
+    each micro-batch that touches it. State per page is four int64s
+    (n, changed, first_ms, last_ms) — the sufficient statistics of the
+    estimator, O(1) per page forever, updated per key per batch (the
+    stream_first_seen_rocksdb argument: a micro-batch touches only its own
+    pages' entries). The rate/interval math is `py_mlog2` integer
+    arithmetic — the SAME twin the batch operator's SQL computes,
+    property-pinned in tests — so after any prefix of the stream the
+    latest emitted row per page EQUALS the batch operator run over the
+    observations so far (asserted across micro-batches in
+    tests/test_streaming.py). Input columns: user_id, ts, event_type
+    (the fetch log convention; 'click' marks content-changed)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.common import py_mlog2
+
+    def upd(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, x, mn, mx = state.get if state.exists else (0, 0, None, None)
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            n += len(pdf)
+            x += int((pdf["event_type"] == "click").sum())
+            bmn = int(pdf["ms"].min())
+            bmx = int(pdf["ms"].max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        if touched:
+            span = mx - mn
+            rate = py_mlog2(2 * n + 1) - py_mlog2(2 * n - 2 * x + 1)
+            yield pd.DataFrame(
+                {
+                    "page_id": [int(key[0])],
+                    "n_obs": [n],
+                    "n_changed": [x],
+                    "span_ms": [span],
+                    "rate_mb": [rate],
+                    "interval_ms": [(span * 1000) // (n * rate + 1)],
+                }
+            )
+        state.update((n, x, mn, mx))
+
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return (
+        fetches.select(
+            F.col("user_id").alias("page_id"), ms.alias("ms"), "event_type"
+        )
+        .groupBy("page_id")
+        .applyInPandasWithState(
+            upd,
+            outputStructType=(
+                "page_id long, n_obs long, n_changed long, span_ms long, "
+                "rate_mb long, interval_ms long"
+            ),
+            stateStructType="n long, x long, mn long, mx long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

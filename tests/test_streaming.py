@@ -613,3 +613,56 @@ def test_stream_mm_ingest_gate_matches_sequential_batches(spark, tmp_path):
 
     # the persisted index now holds seed + both batches, one row per image
     assert spark.read.parquet(index_dir).count() == idx.count()
+
+
+def test_stream_recrawl_schedule_matches_batch(spark, tmp_path):
+    """After each observed prefix of the fetch stream, the LATEST emitted
+    schedule row per page must equal the batch estimator run over the
+    observations so far; asserted at the end of a 2-micro-batch stream
+    against crawl_recrawl_schedule on the full events table. (The state
+    carries only the four sufficient statistics, so this is a real
+    cross-micro-batch accumulation test: batch 2's rows fold batch 1's
+    state, not its raw observations.)"""
+    from crawler_spark.operators.relational import crawl_recrawl_schedule
+    from crawler_spark.streaming import stream_recrawl_schedule
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = str(tmp_path / "fetches")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_recrawl_schedule(stream)
+        .writeStream.format("memory")
+        .queryName("recrawl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    upd = spark.sql("select * from recrawl").toPandas()
+    # latest update per page = the row with the largest n_obs (monotone)
+    got = (
+        upd.sort_values(["page_id", "n_obs"])
+        .groupby("page_id")
+        .tail(1)
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        crawl_recrawl_schedule(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # non-degenerate split: pages really accumulated across micro-batches
+    assert (upd.groupby("page_id").size() > 1).any()
