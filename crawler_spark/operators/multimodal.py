@@ -954,8 +954,9 @@ def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _containment_rollup(idx, edges, "vid", "video_id", "n_frames_sampled")
 
 
-VIDEO_NEARDUP_SQL = f"""
-WITH ks AS (
+# ONE definition of the sampled-frame phash band CTE chain for every
+# video oracle (closed-form frame pixels -> per-frame phash -> LSH bands)
+_VIDEO_BAND_CTES = f"""ks AS (
   SELECT k FROM (
     SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
   ) WHERE k < greatest((SELECT count(*) // 4 FROM documents), 1)
@@ -986,7 +987,11 @@ bands AS (
   SELECT k, f, fphash, b.range AS band_no,
          ((s >> ({PHASH_BAND_BITS} * b.range)::int) & {(1 << PHASH_BAND_BITS) - 1})::bigint AS band_val
   FROM ph, range(0, {N_PHASH_BANDS}) b
-),
+)"""
+
+
+VIDEO_NEARDUP_SQL = f"""
+WITH {_VIDEO_BAND_CTES},
 fmatch AS (
   SELECT DISTINCT a.k AS ka, a.f AS fa, b.k AS kb
   FROM bands a JOIN bands b
@@ -1794,3 +1799,119 @@ SELECT doc_id, stream, n_bytes, shard_no, off AS offset FROM packed
 
 
 MM_SHARD_PACK_SQL = _shard_pack_sql()
+
+
+# -- admission-time VIDEO near-dup gate (completes the modality matrix) -----
+def mm_video_dedup_incremental_frames(
+    batch_idx: DataFrame, index_idx: DataFrame, match_min: int = VID_MATCH_MIN
+) -> DataFrame:
+    """Admission-time near-dup verdict for an INCOMING clip batch against
+    an already-indexed corpus — the video leg of the admission-gate matrix
+    (text `dedup_incremental` / image `mm_dedup_incremental`), built on the
+    SAME shift-tolerant containment semantics as `mm_video_neardup`: a
+    batch clip is a duplicate of a neighbor when >= match_min of ITS
+    sampled frames have a Hamming-<=PHASH_HAM_MAX match ANYWHERE in the
+    neighbor (trims/re-muxes don't break alignment). Inputs are
+    (k, frame_no, fphash) frame-index frames — a few int64s per clip,
+    computed once at ingest. Candidates come from band equi-joins only:
+    batch x index (replay-safe: index copies of the current batch are
+    anti-joined out, the mm_dedup_incremental lesson) plus batch x
+    smaller-id batch siblings; one containment vote per (batch frame,
+    neighbor); verdict = the MIN-id neighbor clearing the containment
+    floor, its n_matched carried along. O(batch + matched) — the
+    persisted index is only ever touched through its band buckets."""
+    bb = _band_stack(batch_idx, "fphash", "k", "frame_no")
+    ib = _band_stack(index_idx, "fphash", "k", "frame_no")
+    left = bb.select(
+        F.col("k").alias("ka"), F.col("frame_no").alias("fa"),
+        F.col("fphash").alias("pa"), "band_no", "band_val",
+    )
+    cross = (
+        left.join(
+            ib.select(
+                F.col("k").alias("kb"), F.col("fphash").alias("pb"),
+                "band_no", "band_val",
+            ),
+            ["band_no", "band_val"],
+        )
+        .join(
+            F.broadcast(batch_idx.select(F.col("k").alias("kb")).distinct()),
+            "kb",
+            "left_anti",
+        )
+    )
+    internal = left.join(
+        bb.select(
+            F.col("k").alias("kb"), F.col("fphash").alias("pb"),
+            "band_no", "band_val",
+        ),
+        ["band_no", "band_val"],
+    ).filter(F.col("kb") < F.col("ka"))
+    pairs = (
+        cross.unionByName(internal)
+        .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= PHASH_HAM_MAX)
+        .select("ka", "fa", "kb")
+        .distinct()  # one vote per matched batch frame per neighbor
+        .groupBy("ka", "kb")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") >= match_min)
+    )
+    best = pairs.groupBy("ka").agg(
+        F.min(F.struct("kb", "n_matched")).alias("m")
+    )
+    clips = batch_idx.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_frames_sampled")
+    )
+    return clips.join(best.select(F.col("ka").alias("k"), "m"), "k", "left").select(
+        F.concat(F.lit("vid"), F.col("k").cast("string")).alias("video_id"),
+        "n_frames_sampled",
+        F.col("m").isNull().alias("is_novel"),
+        F.when(F.col("m").isNull(), F.lit("")).otherwise(
+            F.concat(F.lit("vid"), F.col("m.kb").cast("string"))
+        ).alias("dup_of"),
+        F.coalesce(F.col("m.n_matched"), F.lit(-1)).cast("long").alias("n_matched"),
+    )
+
+
+def mm_video_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-corpus stand-in (the mm_dedup_incremental convention): clips with
+    k % 4 == 0 play the incoming batch, the rest the persisted index; both
+    splits read the ONE _video_phash_index checkpoint leaf."""
+    idx = _video_phash_index(spark, sf_dir)
+    is_batch = F.col("k") % 4 == 0
+    return mm_video_dedup_incremental_frames(
+        idx.filter(is_batch), idx.filter(~is_batch)
+    )
+
+
+MM_VIDEO_INCREMENTAL_SQL = f"""
+WITH {_VIDEO_BAND_CTES},
+cand AS (
+  SELECT DISTINCT a.k AS ka, a.f AS fa, b.k AS kb
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val
+  WHERE a.k % 4 = 0 AND (b.k % 4 <> 0 OR b.k < a.k)
+    AND bit_count(xor(a.fphash, b.fphash)) <= {PHASH_HAM_MAX}
+),
+pairs AS (
+  SELECT ka, kb, count(*)::bigint AS n_matched
+  FROM cand GROUP BY ka, kb HAVING count(*) >= {VID_MATCH_MIN}
+),
+best AS (
+  SELECT ka, kb, n_matched FROM (
+    SELECT ka, kb, n_matched,
+           row_number() OVER (PARTITION BY ka ORDER BY kb) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+clips AS (
+  SELECT k, count(*)::bigint AS n_frames_sampled FROM ph
+  WHERE k % 4 = 0 GROUP BY k
+)
+SELECT 'vid' || clips.k AS video_id,
+       n_frames_sampled,
+       best.kb IS NULL AS is_novel,
+       CASE WHEN best.kb IS NULL THEN '' ELSE 'vid' || best.kb END AS dup_of,
+       coalesce(best.n_matched, -1)::bigint AS n_matched
+FROM clips LEFT JOIN best ON clips.k = best.ka
+"""

@@ -710,3 +710,16 @@ def test_shard_pack_plan_shape(spark):
     schemas = scan_read_schema(df)
     assert len(schemas) == 1, schemas
     assert schemas[0] == ["doc_id", "text"], schemas
+
+
+def test_mm_video_incremental_plan_shape(spark):
+    """The video admission gate bands both sides off the ONE
+    (k, frame_no, fphash) checkpoint leaf — no MapInPandas decode stage
+    downstream — and candidates come from band equi-joins only."""
+    from crawler_spark.operators.multimodal import mm_video_dedup_incremental
+
+    df = mm_video_dedup_incremental(spark, SF)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in plan and "mapInPandas" not in plan
+    assert "parquet" not in plan.lower()

@@ -18,6 +18,7 @@ from crawler_spark.operators.multimodal import (
     MM_BEST_REP_SQL,
     MM_SHARD_PACK_SQL,
     MM_INCREMENTAL_SQL,
+    MM_VIDEO_INCREMENTAL_SQL,
     PAIR_CURATION_SQL,
     PHASH_GROUPS_SQL,
     PHASH_TOPK_SQL,
@@ -29,6 +30,7 @@ from crawler_spark.operators.multimodal import (
     mm_best_rep,
     mm_shard_pack,
     mm_dedup_incremental,
+    mm_video_dedup_incremental,
     mm_pair_curation,
     mm_phash_groups,
     mm_phash_topk,
@@ -207,6 +209,8 @@ def test_ungated_builders_match_oracle(spark):
         # the image twin of that gate: incoming batch phashes vs the
         # persisted band index, in-row popcount verification
         ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
+        # video admission gate: containment verdict vs a persisted frame index
+        ("mm_video_dedup_incremental", mm_video_dedup_incremental, MM_VIDEO_INCREMENTAL_SQL),
         # image dedup_best_rep: quality-argmax rep per phash group
         ("mm_best_rep", mm_best_rep, MM_BEST_REP_SQL),
         # WebDataset shard packing: whole-sample greedy bins per writer stream
@@ -925,6 +929,8 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("sample_unimax", sample_unimax, UNIMAX_SQL),
         ("crawl_recrawl_schedule", crawl_recrawl_schedule, RECRAWL_SQL),
         ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
+        # video admission gate: containment verdict vs a persisted frame index
+        ("mm_video_dedup_incremental", mm_video_dedup_incremental, MM_VIDEO_INCREMENTAL_SQL),
         # image dedup_best_rep: quality-argmax rep per phash group
         ("mm_best_rep", mm_best_rep, MM_BEST_REP_SQL),
         # WebDataset shard packing: whole-sample greedy bins per writer stream
@@ -1731,3 +1737,72 @@ def test_shard_pack_greedy_semantics(spark):
     assert shard_of[4] == shard_of[3] + 1        # overflow reset
     assert [d for d, s in shard_of.items() if s == shard_of[5]] == [5]  # oversized isolated
     assert shard_of[6] == shard_of[5] + 1        # and the next sample moves past it
+
+
+def test_mm_video_incremental_matches_brute_force(spark):
+    """mm_video_dedup_incremental vs an all-pairs Python reference over the
+    real sf0.001 frame index (125 clips x 2 sampled frames): a batch
+    clip's eligible neighbors are index clips plus SMALLER-id batch
+    siblings; a neighbor qualifies iff >= VID_MATCH_MIN distinct frames of
+    the BATCH clip each have a band-sharing Hamming-<=PHASH_HAM_MAX match
+    anywhere among the neighbor's frames (shift-tolerant containment,
+    exactly mm_video_neardup's edge rule applied batch-side); the verdict
+    keeps the min-id qualifier and its matched-frame count. Non-vacuous:
+    both verdicts occur, and the containment floor DISCRIMINATES — at
+    least one candidate pair with a single matched frame is rejected (at
+    VID_MATCH_MIN = 1 it would be an edge, the mm_video_neardup lesson)."""
+    from crawler_spark.operators.multimodal import (
+        N_PHASH_BANDS,
+        PHASH_BAND_BITS,
+        PHASH_HAM_MAX,
+        VID_MATCH_MIN,
+        _video_phash_index,
+        mm_video_dedup_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = _video_phash_index(spark, sf).collect()
+    frames = {}
+    for r in rows:
+        frames.setdefault(r["k"], []).append((r["frame_no"], r["fphash"]))
+    mask = (1 << 64) - 1
+    bmask = (1 << PHASH_BAND_BITS) - 1
+
+    def bands(p):
+        u = p & mask
+        return [(u >> (b * PHASH_BAND_BITS)) & bmask for b in range(N_PHASH_BANDS)]
+
+    def hit(pa, pb):
+        return (
+            any(x == y for x, y in zip(bands(pa), bands(pb)))
+            and bin(((pa & mask) ^ (pb & mask))).count("1") <= PHASH_HAM_MAX
+        )
+
+    single_frame_rejected = 0
+    expect = {}
+    for ka, fa in frames.items():
+        if ka % 4 != 0:
+            continue
+        quals = {}
+        for kb, fb in frames.items():
+            if kb == ka or not (kb % 4 != 0 or kb < ka):
+                continue
+            matched = [f for f, pa in fa if any(hit(pa, pb) for _, pb in fb)]
+            if len(matched) >= VID_MATCH_MIN:
+                quals[kb] = len(matched)
+            elif matched:
+                single_frame_rejected += 1
+        if quals:
+            kb = min(quals)
+            expect[f"vid{ka}"] = (len(fa), False, f"vid{kb}", quals[kb])
+        else:
+            expect[f"vid{ka}"] = (len(fa), True, "", -1)
+
+    got = {
+        r["video_id"]: (r["n_frames_sampled"], r["is_novel"], r["dup_of"], r["n_matched"])
+        for r in mm_video_dedup_incremental(spark, sf).collect()
+    }
+    assert got == expect
+    verdicts = {v[1] for v in got.values()}
+    assert verdicts == {True, False}, "fixture vacuous: one-sided verdicts"
+    assert single_frame_rejected > 0, "containment floor never discriminated"
