@@ -1259,8 +1259,9 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _containment_rollup(idx, edges, "aud", "clip_id", "n_wins")
 
 
-AUDIO_NEARDUP_SQL = f"""
-WITH nn AS (SELECT greatest(count(*) // 4, 1) AS n FROM documents),
+# ONE definition of the audio window-fingerprint band CTE chain for every
+# audio oracle (dup-class corpus -> sign fingerprints -> LSH bands)
+_AUDIO_BAND_CTES = f"""nn AS (SELECT greatest(count(*) // 4, 1) AS n FROM documents),
 ks AS (
   SELECT k,
          k % greatest((n + {_AUD_DUP_OFFSETS - 1}) // {_AUD_DUP_OFFSETS}, 1) AS c,
@@ -1291,7 +1292,11 @@ bands AS (
   SELECT k, w, ahash, b.range AS band_no,
          ((s >> ({PHASH_BAND_BITS} * b.range)::int) & {(1 << PHASH_BAND_BITS) - 1})::bigint AS band_val
   FROM ah, range(0, {N_PHASH_BANDS}) b
-),
+)"""
+
+
+AUDIO_NEARDUP_SQL = f"""
+WITH {_AUDIO_BAND_CTES},
 wmatch AS (
   SELECT DISTINCT a.k AS ka, a.w AS wa, b.k AS kb
   FROM bands a JOIN bands b
@@ -1819,17 +1824,39 @@ def mm_video_dedup_incremental_frames(
     smaller-id batch siblings; one containment vote per (batch frame,
     neighbor); verdict = the MIN-id neighbor clearing the containment
     floor, its n_matched carried along. O(batch + matched) — the
-    persisted index is only ever touched through its band buckets."""
-    bb = _band_stack(batch_idx, "fphash", "k", "frame_no")
-    ib = _band_stack(index_idx, "fphash", "k", "frame_no")
+    persisted index is only ever touched through its band buckets.
+    Shares `_containment_gate` with the audio gate — one admission
+    kernel for both time-shifted modalities."""
+    v = _containment_gate(batch_idx, index_idx, "fphash", "frame_no", match_min)
+    return v.select(
+        F.concat(F.lit("vid"), F.col("k").cast("string")).alias("video_id"),
+        F.col("n_units").alias("n_frames_sampled"),
+        "is_novel",
+        F.when(F.col("dup_k").isNull(), F.lit("")).otherwise(
+            F.concat(F.lit("vid"), F.col("dup_k").cast("string"))
+        ).alias("dup_of"),
+        "n_matched",
+    )
+
+
+def _containment_gate(
+    batch_idx: DataFrame, index_idx: DataFrame,
+    hash_col: str, unit_col: str, match_min: int,
+) -> DataFrame:
+    """The generic admission-time containment verdict shared by the video
+    (sampled-frame phash) and audio (window-fingerprint) gates — the
+    incremental counterpart of `_containment_edges`. Returns one row per
+    batch item: (k, n_units, is_novel, dup_k nullable, n_matched)."""
+    bb = _band_stack(batch_idx, hash_col, "k", unit_col)
+    ib = _band_stack(index_idx, hash_col, "k", unit_col)
     left = bb.select(
-        F.col("k").alias("ka"), F.col("frame_no").alias("fa"),
-        F.col("fphash").alias("pa"), "band_no", "band_val",
+        F.col("k").alias("ka"), F.col(unit_col).alias("fa"),
+        F.col(hash_col).alias("pa"), "band_no", "band_val",
     )
     cross = (
         left.join(
             ib.select(
-                F.col("k").alias("kb"), F.col("fphash").alias("pb"),
+                F.col("k").alias("kb"), F.col(hash_col).alias("pb"),
                 "band_no", "band_val",
             ),
             ["band_no", "band_val"],
@@ -1842,7 +1869,7 @@ def mm_video_dedup_incremental_frames(
     )
     internal = left.join(
         bb.select(
-            F.col("k").alias("kb"), F.col("fphash").alias("pb"),
+            F.col("k").alias("kb"), F.col(hash_col).alias("pb"),
             "band_no", "band_val",
         ),
         ["band_no", "band_val"],
@@ -1851,7 +1878,7 @@ def mm_video_dedup_incremental_frames(
         cross.unionByName(internal)
         .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= PHASH_HAM_MAX)
         .select("ka", "fa", "kb")
-        .distinct()  # one vote per matched batch frame per neighbor
+        .distinct()  # one vote per matched batch unit per neighbor
         .groupBy("ka", "kb")
         .agg(F.count("*").cast("long").alias("n_matched"))
         .filter(F.col("n_matched") >= match_min)
@@ -1859,16 +1886,14 @@ def mm_video_dedup_incremental_frames(
     best = pairs.groupBy("ka").agg(
         F.min(F.struct("kb", "n_matched")).alias("m")
     )
-    clips = batch_idx.groupBy("k").agg(
-        F.count("*").cast("long").alias("n_frames_sampled")
+    items = batch_idx.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_units")
     )
-    return clips.join(best.select(F.col("ka").alias("k"), "m"), "k", "left").select(
-        F.concat(F.lit("vid"), F.col("k").cast("string")).alias("video_id"),
-        "n_frames_sampled",
+    return items.join(best.select(F.col("ka").alias("k"), "m"), "k", "left").select(
+        "k",
+        "n_units",
         F.col("m").isNull().alias("is_novel"),
-        F.when(F.col("m").isNull(), F.lit("")).otherwise(
-            F.concat(F.lit("vid"), F.col("m.kb").cast("string"))
-        ).alias("dup_of"),
+        F.col("m.kb").alias("dup_k"),
         F.coalesce(F.col("m.n_matched"), F.lit(-1)).cast("long").alias("n_matched"),
     )
 
@@ -1912,6 +1937,89 @@ SELECT 'vid' || clips.k AS video_id,
        n_frames_sampled,
        best.kb IS NULL AS is_novel,
        CASE WHEN best.kb IS NULL THEN '' ELSE 'vid' || best.kb END AS dup_of,
+       coalesce(best.n_matched, -1)::bigint AS n_matched
+FROM clips LEFT JOIN best ON clips.k = best.ka
+"""
+
+
+# -- admission-time AUDIO near-dup gate (the matrix's fourth modality) ------
+AUD_GATE_BATCH_CLASSES = 5  # dup classes admitted whole (novel + siblings)
+
+
+def mm_audio_dedup_incremental_frames(
+    batch_idx: DataFrame, index_idx: DataFrame, match_min: int = AUD_MATCH_MIN
+) -> DataFrame:
+    """Admission-time near-dup verdict for an INCOMING clip batch against a
+    persisted window-fingerprint index — the audio leg of the admission
+    gate matrix, riding the SAME `_containment_gate` kernel as the video
+    gate (one admission dataflow for both time-shifted modalities):
+    a batch clip is a duplicate when >= match_min of its sign-fingerprint
+    windows have a banded Hamming-<=PHASH_HAM_MAX match ANYWHERE in the
+    neighbor (trim/pad tolerant). Inputs are (k, win_no, ahash) frames."""
+    v = _containment_gate(batch_idx, index_idx, "ahash", "win_no", match_min)
+    return v.select(
+        F.concat(F.lit("aud"), F.col("k").cast("string")).alias("clip_id"),
+        F.col("n_units").alias("n_wins"),
+        "is_novel",
+        F.when(F.col("dup_k").isNull(), F.lit("")).otherwise(
+            F.concat(F.lit("aud"), F.col("dup_k").cast("string"))
+        ).alias("dup_of"),
+        "n_matched",
+    )
+
+
+def mm_audio_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-corpus stand-in. The audio corpus is dup-CLASS designed (every
+    same-class pair is an edge), so the image gate's k % 4 split would be
+    one-sided: class members cover every residue mod 4, making every batch
+    clip a dup. Instead: the batch is the FIRST trim-offset of every class
+    (o = 0) plus ALL members of the first AUD_GATE_BATCH_CLASSES classes —
+    so all three verdict paths occur by construction: the first member of
+    a batch-only class is NOVEL (its mates are larger-id siblings), its
+    mates are sibling dups, and the o = 0 member of every other class is a
+    CROSS dup of an index mate."""
+    idx = _audio_fp_index(spark, sf_dir)
+    n = max(table_rows(sf_dir, "documents") // 4, 1)
+    nc = max((n + _AUD_DUP_OFFSETS - 1) // _AUD_DUP_OFFSETS, 1)
+    is_batch = (F.col("k") % nc < AUD_GATE_BATCH_CLASSES) | (F.col("k") < nc)
+    return mm_audio_dedup_incremental_frames(
+        idx.filter(is_batch), idx.filter(~is_batch)
+    )
+
+
+MM_AUDIO_INCREMENTAL_SQL = f"""
+WITH {_AUDIO_BAND_CTES},
+nc AS (
+  SELECT greatest((n + {_AUD_DUP_OFFSETS - 1}) // {_AUD_DUP_OFFSETS}, 1) AS c
+  FROM nn
+),
+cand AS (
+  SELECT DISTINCT a.k AS ka, a.w AS wa, b.k AS kb
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val, nc
+  WHERE (a.k % nc.c < {AUD_GATE_BATCH_CLASSES} OR a.k < nc.c)
+    AND (NOT (b.k % nc.c < {AUD_GATE_BATCH_CLASSES} OR b.k < nc.c) OR b.k < a.k)
+    AND bit_count(xor(a.ahash, b.ahash)) <= {PHASH_HAM_MAX}
+),
+pairs AS (
+  SELECT ka, kb, count(*)::bigint AS n_matched
+  FROM cand GROUP BY ka, kb HAVING count(*) >= {AUD_MATCH_MIN}
+),
+best AS (
+  SELECT ka, kb, n_matched FROM (
+    SELECT ka, kb, n_matched,
+           row_number() OVER (PARTITION BY ka ORDER BY kb) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+clips AS (
+  SELECT k, count(*)::bigint AS n_wins FROM ah, nc
+  WHERE (k % nc.c < {AUD_GATE_BATCH_CLASSES} OR k < nc.c) GROUP BY k
+)
+SELECT 'aud' || clips.k AS clip_id,
+       n_wins,
+       best.kb IS NULL AS is_novel,
+       CASE WHEN best.kb IS NULL THEN '' ELSE 'aud' || best.kb END AS dup_of,
        coalesce(best.n_matched, -1)::bigint AS n_matched
 FROM clips LEFT JOIN best ON clips.k = best.ka
 """

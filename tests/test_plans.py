@@ -723,3 +723,16 @@ def test_mm_video_incremental_plan_shape(spark):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "MapInPandas" not in plan and "mapInPandas" not in plan
     assert "parquet" not in plan.lower()
+
+
+def test_mm_audio_incremental_plan_shape(spark):
+    """The audio admission gate bands both sides off the ONE
+    (k, win_no, ahash) checkpoint leaf — no Python stage downstream, no
+    parquet rescan, candidates from band equi-joins only."""
+    from crawler_spark.operators.multimodal import mm_audio_dedup_incremental
+
+    df = mm_audio_dedup_incremental(spark, SF)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in plan and "mapInPandas" not in plan
+    assert "parquet" not in plan.lower()

@@ -18,6 +18,7 @@ from crawler_spark.operators.multimodal import (
     MM_BEST_REP_SQL,
     MM_SHARD_PACK_SQL,
     MM_INCREMENTAL_SQL,
+    MM_AUDIO_INCREMENTAL_SQL,
     MM_VIDEO_INCREMENTAL_SQL,
     PAIR_CURATION_SQL,
     PHASH_GROUPS_SQL,
@@ -30,6 +31,7 @@ from crawler_spark.operators.multimodal import (
     mm_best_rep,
     mm_shard_pack,
     mm_dedup_incremental,
+    mm_audio_dedup_incremental,
     mm_video_dedup_incremental,
     mm_pair_curation,
     mm_phash_groups,
@@ -211,6 +213,8 @@ def test_ungated_builders_match_oracle(spark):
         ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
         # video admission gate: containment verdict vs a persisted frame index
         ("mm_video_dedup_incremental", mm_video_dedup_incremental, MM_VIDEO_INCREMENTAL_SQL),
+        # audio admission gate: same _containment_gate kernel, window units
+        ("mm_audio_dedup_incremental", mm_audio_dedup_incremental, MM_AUDIO_INCREMENTAL_SQL),
         # image dedup_best_rep: quality-argmax rep per phash group
         ("mm_best_rep", mm_best_rep, MM_BEST_REP_SQL),
         # WebDataset shard packing: whole-sample greedy bins per writer stream
@@ -931,6 +935,8 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("mm_dedup_incremental", mm_dedup_incremental, MM_INCREMENTAL_SQL),
         # video admission gate: containment verdict vs a persisted frame index
         ("mm_video_dedup_incremental", mm_video_dedup_incremental, MM_VIDEO_INCREMENTAL_SQL),
+        # audio admission gate: same _containment_gate kernel, window units
+        ("mm_audio_dedup_incremental", mm_audio_dedup_incremental, MM_AUDIO_INCREMENTAL_SQL),
         # image dedup_best_rep: quality-argmax rep per phash group
         ("mm_best_rep", mm_best_rep, MM_BEST_REP_SQL),
         # WebDataset shard packing: whole-sample greedy bins per writer stream
@@ -1757,7 +1763,8 @@ def test_mm_video_incremental_matches_brute_force(spark):
         PHASH_HAM_MAX,
         VID_MATCH_MIN,
         _video_phash_index,
-        mm_video_dedup_incremental,
+        mm_audio_dedup_incremental,
+    mm_video_dedup_incremental,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -1806,3 +1813,75 @@ def test_mm_video_incremental_matches_brute_force(spark):
     verdicts = {v[1] for v in got.values()}
     assert verdicts == {True, False}, "fixture vacuous: one-sided verdicts"
     assert single_frame_rejected > 0, "containment floor never discriminated"
+
+
+def test_mm_audio_incremental_matches_brute_force(spark):
+    """mm_audio_dedup_incremental vs an all-pairs Python reference over
+    the real sf0.001 fingerprint index (125 clips x 16 windows), with the
+    batch split recomputed independently (first trim-offset of every
+    class + all of the first AUD_GATE_BATCH_CLASSES classes). Asserts the
+    fixture produces all THREE verdict paths by construction: novel
+    (first member of a batch-only class), dup-of-batch-sibling, and
+    dup-of-index-clip."""
+    from crawler_spark.operators.common import table_rows
+    from crawler_spark.operators.multimodal import (
+        _AUD_DUP_OFFSETS,
+        AUD_GATE_BATCH_CLASSES,
+        AUD_MATCH_MIN,
+        N_PHASH_BANDS,
+        PHASH_BAND_BITS,
+        PHASH_HAM_MAX,
+        _audio_fp_index,
+        mm_audio_dedup_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = _audio_fp_index(spark, sf).collect()
+    wins = {}
+    for r in rows:
+        wins.setdefault(r["k"], []).append(r["ahash"])
+    n = max(table_rows(sf, "documents") // 4, 1)
+    nc = max((n + _AUD_DUP_OFFSETS - 1) // _AUD_DUP_OFFSETS, 1)
+
+    def in_batch(k):
+        return k % nc < AUD_GATE_BATCH_CLASSES or k < nc
+
+    mask = (1 << 64) - 1
+    bmask = (1 << PHASH_BAND_BITS) - 1
+
+    def bands(p):
+        u = p & mask
+        return [(u >> (b * PHASH_BAND_BITS)) & bmask for b in range(N_PHASH_BANDS)]
+
+    def hit(pa, pb):
+        return (
+            any(x == y for x, y in zip(bands(pa), bands(pb)))
+            and bin(((pa & mask) ^ (pb & mask))).count("1") <= PHASH_HAM_MAX
+        )
+
+    expect = {}
+    for ka, wa in wins.items():
+        if not in_batch(ka):
+            continue
+        quals = {}
+        for kb, wb in wins.items():
+            if kb == ka or not (not in_batch(kb) or kb < ka):
+                continue
+            matched = sum(1 for pa in wa if any(hit(pa, pb) for pb in wb))
+            if matched >= AUD_MATCH_MIN:
+                quals[kb] = matched
+        if quals:
+            kb = min(quals)
+            expect[f"aud{ka}"] = (len(wa), False, f"aud{kb}", quals[kb])
+        else:
+            expect[f"aud{ka}"] = (len(wa), True, "", -1)
+
+    got = {
+        r["clip_id"]: (r["n_wins"], r["is_novel"], r["dup_of"], r["n_matched"])
+        for r in mm_audio_dedup_incremental(spark, sf).collect()
+    }
+    assert got == expect
+    novel = {c for c, v in got.items() if v[1]}
+    sib = {c for c, v in got.items() if not v[1] and v[2] in got}
+    idx_dup = set(got) - novel - sib
+    assert novel and sib and idx_dup, (len(novel), len(sib), len(idx_dup))
