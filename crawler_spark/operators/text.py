@@ -14,8 +14,10 @@ from .common import (
     SPARK_TOKENS,
     duck_h32,
     duck_polyhash,
+    duck_tokens,
     load,
     spark_polyhash,
+    spark_tokens,
     table_rows,
 )
 
@@ -2477,6 +2479,113 @@ FROM ranked
 
 
 PPL_BUCKETS_SQL = _ppl_buckets_sql()
+
+
+# -- C4 cleaning gate (Raffel et al. 2020, §2.2 heuristics) ------------------
+# The LINE-level sibling of text_gopher_rules' document-level gate: C4 keeps
+# only lines that end in terminal punctuation AND have >= 5 words AND don't
+# mention javascript; a page survives only with >= 3 kept lines and no
+# "lorem ipsum" / curly brace anywhere (the scraped-template tells). Output
+# is the reassembled cleaned page plus the per-rule counters, so a pipeline
+# can audit WHICH rule fired (the FineWeb ablation practice) rather than
+# just seeing rows vanish.
+#
+# Non-vacuousness (the BM25 integer-idf lesson): the synthetic `documents`
+# corpus is one punctuation-free line per doc, so on testdata every line
+# fails the terminal-punctuation rule and `keep` is uniformly false — real
+# but degenerate. The twins therefore ALSO run on a planted multi-line
+# corpus where every rule fires both ways
+# (tests/test_ungated_oracles.py::test_c4_rules_twin_on_planted_corpus),
+# and the semantics pin asserts each rule's isolated effect.
+#
+# Scale shape: one `documents` scan, stateless per-line expressions, and
+# exactly ONE doc_id-keyed exchange to reassemble kept lines in position
+# order (the text_line_dedup rollup idiom, minus its global keeper shuffle —
+# C4's rules are per-line-local so no cross-document state exists at all).
+# Per-row state is bounded by lines-per-document, never corpus size.
+
+C4_TERMINALS = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_c4_rules_frame(load(spark, sf_dir, "documents"))
+
+
+def text_c4_rules_frame(docs: DataFrame) -> DataFrame:
+    lines = docs.select(
+        "doc_id",
+        F.col("text").contains("{").alias("has_brace"),
+        F.lower("text").contains("lorem ipsum").alias("has_lorem"),
+        F.posexplode(F.split("text", "\n")).alias("li", "line"),
+    )
+    term = F.substring(F.trim(F.col("line")), -1, 1).isin(*C4_TERMINALS)
+    n_words = F.size(F.expr(spark_tokens("line")))
+    no_js = ~F.lower("line").contains("javascript")
+    kept = term & (n_words >= C4_MIN_LINE_WORDS) & no_js
+    flagged = lines.withColumn("kept", kept)
+    agg = flagged.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws('\\n', transform(array_sort("
+            "collect_list(case when kept then struct(li, line) end)), s -> s.line))"
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.first("has_brace").alias("has_brace"),
+        F.first("has_lorem").alias("has_lorem"),
+    )
+    return agg.select(
+        "doc_id",
+        "text_clean",
+        "n_lines",
+        "n_kept",
+        "has_brace",
+        "has_lorem",
+        (
+            (F.col("n_kept") >= C4_MIN_KEPT_LINES)
+            & ~F.col("has_brace")
+            & ~F.col("has_lorem")
+        ).alias("keep"),
+    )
+
+
+def _c4_rules_sql() -> str:
+    terms = ", ".join("'" + t + "'" for t in C4_TERMINALS)
+    return f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         contains(text, '{{') AS has_brace,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM documents
+), idx AS (
+  SELECT doc_id, has_brace, has_lorem, ls,
+         unnest(range(1, len(ls) + 1)) AS i
+  FROM s
+), l AS (
+  SELECT doc_id, has_brace, has_lorem, (i - 1)::bigint AS li, ls[i] AS line
+  FROM idx
+), f AS (
+  SELECT *,
+         (trim(line)[-1:] IN ({terms})
+          AND len({duck_tokens('line')}) >= {C4_MIN_LINE_WORDS}
+          AND NOT contains(lower(line), 'javascript')) AS kept
+  FROM l
+)
+SELECT doc_id::bigint AS doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY li) FILTER (WHERE kept), '')
+         AS text_clean,
+       count(*)::bigint AS n_lines,
+       count(*) FILTER (WHERE kept)::bigint AS n_kept,
+       bool_or(has_brace) AS has_brace,
+       bool_or(has_lorem) AS has_lorem,
+       (count(*) FILTER (WHERE kept) >= {C4_MIN_KEPT_LINES}
+        AND NOT bool_or(has_brace) AND NOT bool_or(has_lorem)) AS keep
+FROM f GROUP BY doc_id
+"""
+
+
+C4_RULES_SQL = _c4_rules_sql()
 
 
 QUERIES = {

@@ -80,6 +80,7 @@ from crawler_spark.operators.text import (
     BIGRAM_SURPRISAL_SQL,
     BM25_SQL,
     BOILERPLATE_SQL,
+    C4_RULES_SQL,
     NBQ_SQL,
     PPL_BUCKETS_SQL,
     DECONTAM_SQL,
@@ -106,6 +107,7 @@ from crawler_spark.operators.text import (
     text_bigram_surprisal,
     text_bm25_topk,
     text_boilerplate_grams,
+    text_c4_rules,
     text_fingerprint,
     text_ppl_buckets,
     text_quality_classifier,
@@ -225,6 +227,11 @@ def test_ungated_builders_match_oracle(spark):
         # Gopher named-rule gate: per-rule booleans + conjunction,
         # all stateless per-row expressions on the shared tokenize
         ("text_gopher_rules", text_gopher_rules, GOPHER_RULES_SQL),
+        # C4 line-level cleaning gate: on this one-line punctuation-free
+        # corpus every line fails the terminal-punctuation rule (keep is
+        # uniformly false — real but degenerate); the discriminating twin
+        # runs on the planted multi-line corpus below
+        ("text_c4_rules", text_c4_rules, C4_RULES_SQL),
         # window-fingerprint audio copy detection: trim/pad-tolerant
         # containment over the sign-fingerprint index (the audio leg of
         # the image/video dedup matrix, same containment kernel)
@@ -941,6 +948,9 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("mm_best_rep", mm_best_rep, MM_BEST_REP_SQL),
         # WebDataset shard packing: whole-sample greedy bins per writer stream
         ("mm_shard_pack", mm_shard_pack, MM_SHARD_PACK_SQL),
+        # C4 line gate at bench scale (degenerate-but-hashed on this corpus;
+        # the discriminating verification is the planted-corpus twin)
+        ("text_c4_rules", text_c4_rules, C4_RULES_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -1885,3 +1895,76 @@ def test_mm_audio_incremental_matches_brute_force(spark):
     sib = {c for c, v in got.items() if not v[1] and v[2] in got}
     idx_dup = set(got) - novel - sib
     assert novel and sib and idx_dup, (len(novel), len(sib), len(idx_dup))
+
+
+def test_c4_rules_twin_on_planted_corpus(spark, tmp_path):
+    """C4 gate on a corpus where EVERY rule fires both ways (the synthetic
+    documents table is one punctuation-free line per doc, so the sf-dir twin
+    above is real but degenerate — the BM25 vacuous-idf lesson says verify
+    where the rules discriminate). Twin parity AND pinned per-rule
+    semantics:
+
+      doc 1: 3 qualifying lines + 1 short line -> page kept, line dropped
+      doc 2: exactly 3 kept lines (incl. a quote-terminated one) -> kept
+      doc 3: javascript LINE dropped but 3 others survive -> page kept
+             (C4 removes the line, not the page)
+      doc 4: 'Lorem Ipsum' page veto despite 4 good lines
+      doc 5: curly-brace page veto despite 4 good lines
+      doc 6: no terminal punctuation anywhere -> 0 kept lines
+      doc 7: empty text -> one empty line, nothing kept
+      doc 8: only 2 kept lines -> below the 3-sentence floor
+    """
+    import duckdb
+
+    from crawler_spark.operators.text import C4_RULES_SQL, text_c4_rules
+
+    rows = [
+        (1, "This line has five good words.\nAnother line with enough words here!"
+            "\nA third qualifying line right here?\nshort one."),
+        (2, 'Good line with many words here.\nSecond good line with words too.'
+            '\nThird "quoted" line of words indeed."'),
+        (3, "This page mentions javascript in a line with words."
+            "\nAnother ok line with enough words.\nThird fine line with plenty words."
+            "\nFourth fine line with plenty words."),
+        (4, "Lorem Ipsum dolor sit amet here.\nGood line with many more words."
+            "\nAnother good line with more words.\nThird good line with more words."),
+        (5, "Brace { in this page of words.\nGood line with many more words."
+            "\nAnother good line with more words.\nThird good line with more words."),
+        (6, "no terminal punctuation on this line\nnor on this second line here"
+            "\nnor the third one either"),
+        (7, ""),
+        (8, "Only two good lines are here.\nSecond and last good line here."
+            "\ntiny.\nno punct line"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    ok, msg = compare_one(spark, con, "text_c4_rules", text_c4_rules,
+                          C4_RULES_SQL, sf)
+    assert ok, msg
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["has_brace"],
+                      r["has_lorem"], r["keep"])
+        for r in text_c4_rules(spark, sf).collect()
+    }
+    assert got == {
+        1: (4, 3, False, False, True),
+        2: (3, 3, False, False, True),
+        3: (4, 3, False, False, True),
+        4: (4, 4, False, True, False),
+        5: (4, 4, True, False, False),
+        6: (3, 0, False, False, False),
+        7: (1, 0, False, False, False),
+        8: (4, 2, False, False, False),
+    }
+    clean3 = {
+        r["doc_id"]: r["text_clean"] for r in text_c4_rules(spark, sf).collect()
+    }[3]
+    assert "javascript" not in clean3 and clean3.count("\n") == 2
