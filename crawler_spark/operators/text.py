@@ -2498,11 +2498,14 @@ PPL_BUCKETS_SQL = _ppl_buckets_sql()
 # (tests/test_ungated_oracles.py::test_c4_rules_twin_on_planted_corpus),
 # and the semantics pin asserts each rule's isolated effect.
 #
-# Scale shape: one `documents` scan, stateless per-line expressions, and
-# exactly ONE doc_id-keyed exchange to reassemble kept lines in position
-# order (the text_line_dedup rollup idiom, minus its global keeper shuffle —
-# C4's rules are per-line-local so no cross-document state exists at all).
-# Per-row state is bounded by lines-per-document, never corpus size.
+# Scale shape: one `documents` scan and ZERO exchanges. C4's rules are
+# per-line-LOCAL, so the gate never needs to leave the row: the kept lines
+# are a `filter()` higher-order function over `split(text, '\n')` and the
+# cleaned page an `array_join` of that array — no explode, no reassembly
+# shuffle (first drafted as posexplode + doc_id groupBy before noticing the
+# rollup idiom buys nothing here). Stateless per-row shape also means the
+# gate serves on a stream unchanged (`streaming.stream_c4_gate`). Per-row
+# work is bounded by lines-per-document, never corpus size.
 
 C4_TERMINALS = (".", "!", "?", '"')
 C4_MIN_LINE_WORDS = 5
@@ -2514,39 +2517,25 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_c4_rules_frame(docs: DataFrame) -> DataFrame:
-    lines = docs.select(
+    terms = ", ".join("'" + t + "'" for t in C4_TERMINALS)
+    kept_arr = F.expr(
+        "filter(split(text, '\\n'), l -> "
+        f"substring(trim(l), -1, 1) IN ({terms})"
+        f" AND size({spark_tokens('l')}) >= {C4_MIN_LINE_WORDS}"
+        " AND NOT contains(lower(l), 'javascript'))"
+    )
+    return docs.select(
         "doc_id",
+        F.array_join(kept_arr, "\n").alias("text_clean"),
+        F.size(F.split("text", "\n")).cast("long").alias("n_lines"),
+        F.size(kept_arr).cast("long").alias("n_kept"),
         F.col("text").contains("{").alias("has_brace"),
         F.lower("text").contains("lorem ipsum").alias("has_lorem"),
-        F.posexplode(F.split("text", "\n")).alias("li", "line"),
-    )
-    term = F.substring(F.trim(F.col("line")), -1, 1).isin(*C4_TERMINALS)
-    n_words = F.size(F.expr(spark_tokens("line")))
-    no_js = ~F.lower("line").contains("javascript")
-    kept = term & (n_words >= C4_MIN_LINE_WORDS) & no_js
-    flagged = lines.withColumn("kept", kept)
-    agg = flagged.groupBy("doc_id").agg(
-        F.expr(
-            "concat_ws('\\n', transform(array_sort("
-            "collect_list(case when kept then struct(li, line) end)), s -> s.line))"
-        ).alias("text_clean"),
-        F.count("*").cast("long").alias("n_lines"),
-        F.sum(F.col("kept").cast("long")).alias("n_kept"),
-        F.first("has_brace").alias("has_brace"),
-        F.first("has_lorem").alias("has_lorem"),
-    )
-    return agg.select(
-        "doc_id",
-        "text_clean",
-        "n_lines",
-        "n_kept",
-        "has_brace",
-        "has_lorem",
-        (
-            (F.col("n_kept") >= C4_MIN_KEPT_LINES)
-            & ~F.col("has_brace")
-            & ~F.col("has_lorem")
-        ).alias("keep"),
+    ).withColumn(
+        "keep",
+        (F.col("n_kept") >= C4_MIN_KEPT_LINES)
+        & ~F.col("has_brace")
+        & ~F.col("has_lorem"),
     )
 
 

@@ -239,6 +239,18 @@ def stream_gopher_gate(docs_stream: DataFrame) -> DataFrame:
     return text_gopher_rules_frame(docs_stream)
 
 
+def stream_c4_gate(docs_stream: DataFrame) -> DataFrame:
+    """Ingest-time C4 line-level cleaning gate (`text_c4_rules_frame`):
+    the rules are per-line-LOCAL and the batch frame is already a zero-
+    exchange per-row projection (filter() HOF + array_join), so it runs
+    on a stream unchanged — no state store, no watermark — and each
+    micro-batch's verdicts equal the batch run's (asserted in
+    tests/test_streaming.py)."""
+    from ..operators.text import text_c4_rules_frame
+
+    return text_c4_rules_frame(docs_stream)
+
+
 def stream_nbq_gate(docs_stream: DataFrame, weights: list,
                     prior: int, buckets: int | None = None) -> DataFrame:
     """Ingest-time NB quality classifier — the train-offline /

@@ -739,10 +739,10 @@ def test_mm_audio_incremental_plan_shape(spark):
 
 
 def test_c4_rules_plan_shape(spark):
-    """text_c4_rules reads `documents` once and reassembles kept lines with
-    exactly ONE doc_id-keyed exchange (the line-rule booleans are stateless
-    per-line expressions, so nothing else may shuffle); no Python stage, no
-    window, no cartesian."""
+    """text_c4_rules reads `documents` once with ZERO exchanges: the rules
+    are per-line-local, so kept lines live in a per-row filter() HOF and
+    the page reassembles with array_join — nothing may explode or shuffle;
+    no Python stage, no window, no cartesian."""
     from crawler_spark.operators.text import text_c4_rules
     from crawler_spark.plans import assert_no_cartesian, explain_str
 
@@ -750,6 +750,6 @@ def test_c4_rules_plan_shape(spark):
     assert_no_cartesian(df)
     plan = explain_str(df)
     assert plan.count("Scan parquet  (") == 1, plan
-    assert plan.count("Exchange (") == 1, plan
-    assert "hashpartitioning(doc_id" in plan, plan
+    assert plan.count("Exchange (") == 0, plan
+    assert "Generate" not in plan, plan
     assert "BatchEvalPython" not in plan and "Window" not in plan, plan

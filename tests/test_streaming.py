@@ -7,6 +7,7 @@ import pandas as pd
 import pytest
 
 from crawler_spark.streaming import (
+    stream_c4_gate,
     stream_first_seen,
     stream_link_extract,
     stream_windowed_lineage,
@@ -266,6 +267,63 @@ def test_stream_gopher_gate_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_c4_gate_matches_batch(spark, tmp_path):
+    """The per-row C4 cleaning gate must produce the batch
+    text_c4_rules_frame rows exactly, across micro-batches. Runs on a
+    planted multi-line corpus (the synthetic documents table is one
+    punctuation-free line per doc, so its verdicts are uniformly false —
+    the planted docs make every rule fire both ways; see
+    test_ungated_oracles.py::test_c4_rules_twin_on_planted_corpus for the
+    per-doc semantics)."""
+    from crawler_spark.operators.text import text_c4_rules_frame
+
+    rows = [
+        (1, "This line has five good words.\nAnother line with enough "
+            "words here!\nA third qualifying line right here?\nshort one."),
+        (2, "This page mentions javascript in a line with words."
+            "\nAnother ok line with enough words.\nThird fine line with "
+            "plenty words.\nFourth fine line with plenty words."),
+        (3, "Lorem Ipsum dolor sit amet here.\nGood line with many more "
+            "words.\nAnother good line with more words.\nThird good line "
+            "with more words."),
+        (4, "Brace { in this page of words.\nGood line with many more "
+            "words.\nAnother good line with more words."),
+        (5, "no terminal punctuation on this line\nnor on this second one"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs_c4")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_c4_gate(stream)
+        .writeStream.format("memory")
+        .queryName("c4gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("select * from c4gate")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        text_c4_rules_frame(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["keep"].tolist() == [True, True, False, False, False, False]
 
 
 def test_stream_rollup_chained_aggs_match_batch(spark, tmp_path):
