@@ -171,6 +171,12 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--sf-dir", required=True, help="dir of documents/embeddings parquet")
     pp.add_argument("--out", required=True, help="manifest parquet output dir")
     pp.add_argument("--cores", type=int, default=toml_defaults.get("cores"))
+    pp.add_argument(
+        "--c4",
+        action="store_true",
+        help="additionally gate train_keep on the C4 line-cleaning page "
+        "verdict (aggressive on corpora without terminal punctuation)",
+    )
     pr = sub.add_parser(
         "recall",
         help="measure ANN recall@k (band/multiprobe/IVF/SQ8 vs exact "
@@ -268,7 +274,7 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.pipeline import pipeline_clean_corpus
 
         spark = get_spark(cores=args.cores)
-        pipeline_clean_corpus(spark, args.sf_dir).coalesce(8).write.mode(
+        pipeline_clean_corpus(spark, args.sf_dir, c4=args.c4).coalesce(8).write.mode(
             "overwrite"
         ).parquet(args.out)
         manifest = spark.read.parquet(args.out)

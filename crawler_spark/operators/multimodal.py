@@ -619,6 +619,55 @@ FROM grp JOIN gs USING (gid)
 """
 
 
+# -- leakage-safe image split (the pipeline_split image leg) -----------------
+# Train/val/test assignment keyed by the phash duplicate CLASS: hashing
+# image_id would put a re-encode of a training image into the eval set
+# (the image-retrieval leakage channel — LAION dedup practice). Unlike
+# pipeline_split's text side there is NO singleton escape hatch to build:
+# byte-identical images decode to the identical phash, share every LSH
+# band, and therefore ALWAYS get a Hamming-0 edge into one group — the
+# sub-shingle-length leak has no image analog, so the group label alone is
+# a complete key. Bucket = the shared h32 md5-slice twins % 100 on the
+# 'imgNN' group label (already namespace-prefixed), same 80/10/10 rule as
+# pipeline_split so the two sides of an interleaved corpus split
+# consistently. Scale: the audited phash-groups dataflow + one stateless
+# per-row bucket — no new exchange.
+
+def mm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    g = mm_phash_groups(spark, sf_dir)
+    bucket = F.expr(spark_h32("group_id")) % 100
+    return g.select(
+        "image_id",
+        "group_id",
+        "group_size",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _mm_split_sql() -> str:
+    from .pipeline import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    b = f"({duck_h32('group_id')} % 100)"
+    return f"""
+WITH g AS (SELECT * FROM ({PHASH_GROUPS_SQL}) gg)
+SELECT image_id, group_id, group_size,
+       {b}::bigint AS bucket,
+       CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {b} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+"""
+
+
+MM_SPLIT_SQL = _mm_split_sql()
+
+
 # -- query-by-image retrieval (phash Hamming top-k) --------------------------
 # The image-axis retrieval leg, completing the matrix next to the dedup
 # views: given a small query set of images, return each query's k nearest

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import SPARK_TOKENS, load
+from .common import SPARK_TOKENS, duck_h32, load, spark_h32
 from .dedup import (
     GROUPS_SQL,
     dedup_exact_frame,
@@ -32,6 +32,7 @@ from .dedup import (
     shingle_rows_from_toks,
 )
 from .text import (
+    C4_RULES_SQL,
     DECONTAM_EVAL_MOD,
     DECONTAM_SQL,
     GOPHER_RULES_SQL,
@@ -42,6 +43,7 @@ from .text import (
     SURPRISAL_SQL,
     decontaminate_frame,
     gram_hashes,
+    text_c4_rules_frame,
     text_gopher_rules_frame,
     text_line_dedup_frame,
     text_metrics_frame,
@@ -125,7 +127,10 @@ def _quality_rep_r_sql(src: str, mt: str | None = None) -> str:
 
 
 def pipeline_clean_corpus(
-    spark: SparkSession, sf_dir: str, rep_policy: str = "quality"
+    spark: SparkSession,
+    sf_dir: str,
+    rep_policy: str = "quality",
+    c4: bool = False,
 ) -> DataFrame:
     """train_keep = good quality AND passes the Gopher named rules AND not
     repetitive AND fluent under the unigram LM AND not mostly duplicated
@@ -148,6 +153,16 @@ def pipeline_clean_corpus(
     byte-identical short documents are both singleton `is_rep` — the hash
     representative still drops the copy. Missing metrics (a token-less
     document) fail their gates — junk never trains by omission.
+
+    The C4 line-cleaning verdict (`text_c4_rules_frame`'s page-level
+    `keep`) rides the manifest as the `c4_keep` audit column always, and
+    gates train_keep only when `c4=True`. Opt-in because the verdict is
+    HONEST but maximally aggressive on the synthetic corpus: every
+    document is one punctuation-free line, so C4's terminal-punctuation
+    rule fails every line and c4=True keeps nothing here (on real web
+    text C4 keeps a large fraction; the discriminating semantics are
+    pinned on a planted corpus in test_ungated_oracles). Zero extra cost
+    either way: the gate is a per-row map on the same checkpoint.
 
     Scan discipline: at 100 TB the tokenizer pass IS the pipeline's
     dominant cost, so `documents` is read ONCE into a checkpointed
@@ -191,6 +206,11 @@ def pipeline_clean_corpus(
     sd = text_substring_dedup_frame(base).select(
         "doc_id", F.col("removed_ratio").alias("substr_dup_ratio")
     )
+    # per-row map on the checkpoint (zero exchanges of its own); the inner
+    # join through `m` keeps it one row per document
+    c4g = text_c4_rules_frame(base).select(
+        "doc_id", F.col("keep").alias("c4_keep")
+    )
     sh = shingle_rows_from_toks(base).localCheckpoint(eager=True)
     g = dedup_groups_from_shingles(sh, base.select("doc_id"))
     if rep_policy == "quality":
@@ -216,6 +236,7 @@ def pipeline_clean_corpus(
         .join(cont, "doc_id", "left")
         .join(ld, "doc_id", "left")
         .join(sd, "doc_id", "left")
+        .join(c4g, "doc_id", "left")
         .join(g, "doc_id")
         .join(ex, "doc_id", "left")
         .join(emb, "doc_id", "left")
@@ -227,6 +248,7 @@ def pipeline_clean_corpus(
         "bits_per_token",
         "span_dup_ratio",
         "substr_dup_ratio",
+        "c4_keep",
         "group_id",
         "group_size",
         # the manifest carries the rep verdict itself (not just its effect
@@ -242,6 +264,7 @@ def pipeline_clean_corpus(
             & F.coalesce(F.col("bits_per_token") <= SURPRISAL_MAX, F.lit(False))
             & F.coalesce(F.col("span_dup_ratio") <= SPAN_DUP_MAX, F.lit(False))
             & F.coalesce(F.col("substr_dup_ratio") <= SUBSTR_DUP_MAX, F.lit(False))
+            & (F.coalesce("c4_keep", F.lit(False)) if c4 else F.lit(True))
             & F.expr(f"doc_id % {DECONTAM_EVAL_MOD} <> 0")
             & ~F.coalesce("contaminated", F.lit(False))
             & F.col("is_rep")
@@ -407,7 +430,13 @@ FROM j LEFT JOIN r USING (group_id)
 """
 
 
-PIPELINE_SQL = f"""
+def pipeline_sql(c4: bool = False) -> str:
+    """Composed DuckDB twin of `pipeline_clean_corpus`, generated from the
+    same `c4` parameter (the ivf_sql precedent: widths and flags used by a
+    builder always generate the oracle, never a second hand-written
+    constant)."""
+    c4_gate = "\n        AND coalesce(c4g.c4_keep, false)" if c4 else ""
+    return f"""
 WITH m AS ({METRICS_SQL}),
 gr AS (SELECT doc_id, keep AS gopher_keep FROM ({GOPHER_RULES_SQL}) qq),
 rep AS (SELECT doc_id, repetitive FROM ({REPETITION_SQL}) rr),
@@ -421,6 +450,7 @@ ld AS (
   FROM ({LINE_DEDUP_SQL}) ll
 ),
 sd AS (SELECT doc_id, removed_ratio AS substr_dup_ratio FROM ({SUBSTR_DEDUP_SQL}) sdd),
+c4g AS (SELECT doc_id, keep AS c4_keep FROM ({C4_RULES_SQL}) c4q),
 g AS (SELECT * FROM ({GROUPS_SQL}) gg),
 r AS ({_quality_rep_r_sql('g', 'm')}),
 ex AS (
@@ -429,14 +459,15 @@ ex AS (
 ),
 e AS (SELECT vec_id AS doc_id, true AS has_embedding FROM embeddings)
 SELECT m.doc_id, m.n_tokens, m.quality_score, srp.bits_per_token,
-       ld.span_dup_ratio, sd.substr_dup_ratio, g.group_id, g.group_size,
+       ld.span_dup_ratio, sd.substr_dup_ratio, c4g.c4_keep,
+       g.group_id, g.group_size,
        coalesce(g.doc_id = r.rep_doc_id, true) AS is_rep,
        (m.keep
         AND coalesce(gr.gopher_keep, false)
         AND NOT coalesce(rep.repetitive, true)
         AND coalesce(srp.bits_per_token <= {SURPRISAL_MAX}, false)
         AND coalesce(ld.span_dup_ratio <= {SPAN_DUP_MAX}, false)
-        AND coalesce(sd.substr_dup_ratio <= {SUBSTR_DUP_MAX}, false)
+        AND coalesce(sd.substr_dup_ratio <= {SUBSTR_DUP_MAX}, false){c4_gate}
         AND m.doc_id % {DECONTAM_EVAL_MOD} <> 0
         AND NOT coalesce(cont.contaminated, false)
         AND coalesce(g.doc_id = r.rep_doc_id, true)
@@ -449,8 +480,95 @@ LEFT JOIN srp ON srp.doc_id = m.doc_id
 LEFT JOIN cont ON cont.doc_id = m.doc_id
 LEFT JOIN ld ON ld.doc_id = m.doc_id
 LEFT JOIN sd ON sd.doc_id = m.doc_id
+LEFT JOIN c4g ON c4g.doc_id = m.doc_id
 JOIN g ON g.doc_id = m.doc_id
 LEFT JOIN r ON r.group_id = g.group_id
 LEFT JOIN ex ON ex.doc_id = m.doc_id
 LEFT JOIN e ON e.doc_id = m.doc_id
+"""
+
+
+PIPELINE_SQL = pipeline_sql()
+
+
+# -- Leakage-safe train/val/test split ---------------------------------------
+# Deterministic corpus splitting keyed by the DUPLICATE CLASS, not the
+# document: hashing doc_id (the naive split) puts two near-duplicate
+# documents on opposite sides of the train/eval boundary, so the eval set
+# silently overlaps training — the leakage channel decontamination papers
+# (Lee et al. 2022 §6.2; Dolma/FineWeb split practice) call out. Here every
+# member of a near-dup GROUP shares the group's bucket by construction
+# (split_key = the group label), so a group can never straddle splits.
+#
+# Exact duplicates too short to shingle (< 3 tokens) never get a near-dup
+# edge and sit in distinct singleton groups — hashing THEIR group_id would
+# reopen the leak for byte-identical short docs. Singletons therefore key on
+# md5(text) instead: byte-identical singletons collide into one bucket, and
+# a singleton can never be byte-identical to a multi-group member (identical
+# text >= 3 tokens shingles identically -> same group; < 3 tokens -> both
+# singletons). The 'g'/'t' prefixes keep the two key namespaces disjoint.
+#
+# Scale shape: the groups dataflow is the already-audited LSH -> verified
+# edges -> label propagation over the edge SUBGRAPH; on top of it the split
+# adds one doc_id equi-join back to the checkpoint (for singleton text
+# hashes) and a stateless per-row md5-slice bucket — no new shuffle pattern.
+# The bucket is h32(split_key) % 100, the same md5-prefix integer both
+# engines compute bit-identically, so the assignment is a pure function of
+# the key: stable across engines, runs, and partitionings. (NOT frozen
+# under corpus growth in general — a new member with a smaller doc_id
+# re-labels its group and can move the whole group's bucket; an
+# incremental corpus that needs a frozen split should persist the
+# assignment, dedup_incremental-style, rather than recompute it.)
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test takes the remaining 10
+
+
+def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.expr(SPARK_TOKENS).alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    sh = shingle_rows_from_toks(base).localCheckpoint(eager=True)
+    g = dedup_groups_from_shingles(sh, base.select("doc_id"))
+    keyed = g.join(base.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "group_id",
+        "group_size",
+        F.when(
+            F.col("group_size") > 1,
+            F.concat(F.lit("g"), F.col("group_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("t"), F.md5(F.col("text"))))
+        .alias("split_key"),
+    )
+    bucket = F.expr(spark_h32("split_key")) % 100
+    return keyed.select(
+        "doc_id",
+        "group_id",
+        "group_size",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SPLIT_SQL = f"""
+WITH g AS (SELECT * FROM ({GROUPS_SQL}) gg),
+k AS (
+  SELECT g.doc_id, g.group_id, g.group_size,
+         CASE WHEN g.group_size > 1 THEN 'g' || g.group_id::varchar
+              ELSE 't' || md5(d.text) END AS split_key
+  FROM g JOIN documents d USING (doc_id)
+)
+SELECT doc_id, group_id, group_size,
+       ({duck_h32('split_key')} % 100)::bigint AS bucket,
+       CASE WHEN {duck_h32('split_key')} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {duck_h32('split_key')} % 100
+                 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM k
 """

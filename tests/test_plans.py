@@ -335,9 +335,21 @@ def test_pipeline_single_documents_scan(spark):
     df = pipeline_clean_corpus(spark, SF)
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "documents" not in plan.lower(), plan
-    # the tokenizer's regex literal appears nowhere downstream of the leaf
+    # the whole-document tokenize ran exactly once, inside the checkpoint:
+    # the tokenizer's regex literal appears in the plan only inside the C4
+    # gate's per-LINE word count (a lambda over split lines — it cannot
+    # reuse whole-document toks by construction), never over `text`
     tokenizer_regex = SPARK_TOKENS.split("'")[1]
-    assert tokenizer_regex not in plan
+    # two occurrences, both the C4 kept-lines array (projected once for
+    # text_clean, once for n_kept); a third would mean a whole-document
+    # re-tokenize crept in
+    assert plan.count(tokenizer_regex) == 2, plan.count(tokenizer_regex)
+    import re as _re
+
+    assert not _re.search(
+        r"split\(lower\(text#\d+\), \[\^a-z0-9\]\+", plan
+    ), "tokenizer regex applied to whole-document text outside the checkpoint"
+    assert "lower(lambda l#" in plan, plan
     # exactly one parquet relation survives: the embeddings coverage probe
     assert plan.lower().count("parquet") == 1, plan
 
@@ -736,6 +748,21 @@ def test_mm_audio_incremental_plan_shape(spark):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "MapInPandas" not in plan and "mapInPandas" not in plan
     assert "parquet" not in plan.lower()
+
+
+def test_split_plan_shape(spark):
+    """pipeline_split rides the checkpointed tokenize leaf: the final plan
+    has ZERO parquet scans (both the shingle frame and the text join read
+    the checkpoint), no Python stage, no window, no cartesian — the only
+    new work over the audited groups dataflow is a per-row md5 bucket."""
+    from crawler_spark.operators.pipeline import pipeline_split
+    from crawler_spark.plans import assert_no_cartesian, explain_str
+
+    df = pipeline_split(spark, SF)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "Scan parquet" not in plan, plan
+    assert "BatchEvalPython" not in plan and "Window" not in plan, plan
 
 
 def test_c4_rules_plan_shape(spark):

@@ -21,6 +21,7 @@ from crawler_spark.operators.multimodal import (
     MM_AUDIO_INCREMENTAL_SQL,
     MM_VIDEO_INCREMENTAL_SQL,
     PAIR_CURATION_SQL,
+    MM_SPLIT_SQL,
     PHASH_GROUPS_SQL,
     PHASH_TOPK_SQL,
     QUALITY_SQL,
@@ -36,6 +37,7 @@ from crawler_spark.operators.multimodal import (
     mm_pair_curation,
     mm_phash_groups,
     mm_phash_topk,
+    mm_split,
     mm_quality_filter,
     mm_video_neardup,
 )
@@ -44,8 +46,10 @@ from crawler_spark.operators.pipeline import (
     BEST_REP_SQL,
     PIPELINE_SQL,
     SOURCE_ROLLUP_SQL,
+    SPLIT_SQL,
     dedup_best_rep,
     pipeline_clean_corpus,
+    pipeline_split,
     source_rollup,
 )
 from crawler_spark.operators.relational import (
@@ -138,6 +142,10 @@ def test_ungated_builders_match_oracle(spark):
         # quality-aware cluster representative: keep the best-quality
         # member per near-dup group (argmax over multi-groups only)
         ("dedup_best_rep", dedup_best_rep, BEST_REP_SQL),
+        # leakage-safe split: train/val/test keyed by the duplicate CLASS
+        # (group label; singletons by md5(text)) so near-dups never
+        # straddle the train/eval boundary
+        ("pipeline_split", pipeline_split, SPLIT_SQL),
         ("decontaminate", decontaminate, DECONTAM_SQL),
         ("sample_mixture", sample_mixture, MIXTURE_SQL),
         # τ = 2 temperature language balancing: corpus-DERIVED integer-exact
@@ -204,6 +212,10 @@ def test_ungated_builders_match_oracle(spark):
         ("mm_quality_filter", mm_quality_filter, QUALITY_SQL),
         ("mm_pair_curation", mm_pair_curation, PAIR_CURATION_SQL),
         ("mm_phash_groups", mm_phash_groups, PHASH_GROUPS_SQL),
+        # leakage-safe image split: train/val/test keyed by the phash
+        # duplicate class (no singleton escape hatch needed — identical
+        # bytes => identical phash => Hamming-0 edge => one group)
+        ("mm_split", mm_split, MM_SPLIT_SQL),
         # query-by-image retrieval: banded-LSH candidates, exact popcount
         # rerank, per-query top-k page (the image-axis ann_bucket_rerank)
         ("mm_phash_topk", mm_phash_topk, PHASH_TOPK_SQL),
@@ -918,6 +930,127 @@ def test_best_rep_changes_pipeline_output(spark):
     assert not q.loc[sorted(flips & set(q.index[~q["is_rep"]])), "train_keep"].any()
 
 
+def test_c4_gate_consumed_by_pipeline(spark):
+    """text_c4_rules is CONSUMED by the pipeline, not computed on the
+    side: the manifest always carries the `c4_keep` audit column, and
+    `pipeline_clean_corpus(c4=True)` gates train_keep on it — verified
+    against the twin GENERATED from the same flag (pipeline_sql(c4=True),
+    the ivf_sql precedent). On this synthetic corpus the C4 verdict is
+    uniformly false (one punctuation-free line per doc — every line fails
+    the terminal-punctuation rule), so the pin is exact: default keeps a
+    nonzero set, c4=True keeps nothing, and the flipped-off set is
+    precisely the default keepers. The gate's DISCRIMINATING semantics
+    are pinned on the planted corpus in
+    test_c4_rules_twin_on_planted_corpus."""
+    from crawler_spark.operators.pipeline import (
+        pipeline_clean_corpus,
+        pipeline_sql,
+    )
+
+    con = duck_connect(SF)
+    ok, msg = compare_one(
+        spark, con, "pipeline_c4",
+        lambda s, d: pipeline_clean_corpus(s, d, c4=True),
+        pipeline_sql(c4=True), SF,
+    )
+    assert ok, msg
+    q = pipeline_clean_corpus(spark, SF).toPandas().set_index("doc_id")
+    qc = pipeline_clean_corpus(spark, SF, c4=True).toPandas().set_index("doc_id")
+    assert not q["c4_keep"].any() and not qc["c4_keep"].any()
+    assert q["train_keep"].sum() > 0 and qc["train_keep"].sum() == 0
+    flipped = set(q.index[q["train_keep"] != qc.loc[q.index, "train_keep"]])
+    assert flipped == set(q.index[q["train_keep"]])
+
+
+def test_split_leakage_safe(spark, tmp_path):
+    """pipeline_split's whole reason to exist: no duplicate class may
+    straddle the train/eval boundary. Three pins:
+
+    1. REAL corpora (sf0.001 and the bench scale sf0.1): every multi-member
+       near-dup group lands in exactly one split, and all three splits are
+       non-empty with the bucket split roughly 80/10/10.
+    2. Planted byte-identical SHORT docs (< 3 tokens — no shingles, so they
+       sit in distinct singleton groups and group-keying alone would leak):
+       the md5(text) singleton key must put them in the SAME split.
+    3. Twin parity on the planted corpus (the group-vs-text key branch
+       fires both ways there).
+    """
+    import duckdb
+
+    from crawler_spark.operators.pipeline import SPLIT_SQL, pipeline_split
+
+    for sf in (SF, "/root/testdata/sf0.1"):
+        df = pipeline_split(spark, sf).toPandas()
+        multi = df[df.group_size > 1]
+        assert len(multi) > 0, sf
+        assert (multi.groupby("group_id")["split"].nunique() == 1).all(), sf
+        counts = df.split.value_counts()
+        assert set(counts.index) == {"train", "val", "test"}, sf
+        assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+    # planted: 2 byte-identical 2-token docs (ids 10/11), one near-dup pair
+    # with >= 3 shared tokens (ids 1/2), one unique doc (id 3)
+    dup_text = "tiny pair"
+    near = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, near),
+        (2, near + " iota"),
+        (3, "completely different words entirely here now today folks"),
+        (10, dup_text),
+        (11, dup_text),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    ok, msg = compare_one(spark, con, "pipeline_split", pipeline_split,
+                          SPLIT_SQL, sf)
+    assert ok, msg
+    got = pipeline_split(spark, sf).toPandas().set_index("doc_id")
+    # the near-dup pair shares a group AND a split
+    assert got.loc[1, "group_id"] == got.loc[2, "group_id"]
+    assert got.loc[1, "split"] == got.loc[2, "split"]
+    # the byte-identical short docs are singleton GROUPS (the leak the
+    # text key closes) yet share a bucket and split
+    assert got.loc[10, "group_size"] == got.loc[11, "group_size"] == 1
+    assert got.loc[10, "group_id"] != got.loc[11, "group_id"]
+    assert got.loc[10, "bucket"] == got.loc[11, "bucket"]
+    assert got.loc[10, "split"] == got.loc[11, "split"]
+
+
+def test_mm_split_leakage_safe(spark):
+    """mm_split (the image leg): no phash duplicate class straddles the
+    train/eval boundary, and the group-label hash genuinely spreads
+    (every singleton's bucket is distinct at this scale — 7 singletons, 7
+    buckets). NO balance assertion on the real corpus: the synthetic
+    image corpus is dup-heavy BY DESIGN (a few giant re-encode groups
+    hold most images — 16 multi-groups cover 93/100 at sf0.001), so
+    split balance is bounded by atom size there; at web scale groups are
+    tiny relative to the corpus and the uniform bucket hash yields
+    80/10/10 (the text-side planted corpus pins the same hash's
+    spread)."""
+    from crawler_spark.operators.multimodal import mm_split
+
+    for sf in (SF, "/root/testdata/sf0.1"):
+        df = mm_split(spark, sf).toPandas()
+        multi = df[df.group_size > 1]
+        assert len(multi) > 0, sf
+        assert (multi.groupby("group_id")["split"].nunique() == 1).all(), sf
+        assert df.bucket.between(0, 99).all(), sf
+        singles = df[df.group_size == 1]
+        assert singles.bucket.nunique() == len(singles), sf
+        # split is a pure function of bucket
+        want = singles.bucket.map(
+            lambda b: "train" if b < 80 else ("val" if b < 90 else "test")
+        )
+        assert (singles.split == want).all(), sf
+
+
 def test_round4_ops_twin_at_bench_scale(spark):
     """Every round-4 op gets a green twin at the BENCH scale factor
     (VERDICT r4 task 6): dedup_best_rep and mm_audio_neardup previously
@@ -951,6 +1084,10 @@ def test_round4_ops_twin_at_bench_scale(spark):
         # C4 line gate at bench scale (degenerate-but-hashed on this corpus;
         # the discriminating verification is the planted-corpus twin)
         ("text_c4_rules", text_c4_rules, C4_RULES_SQL),
+        # leakage-safe split at bench scale (5000 docs, real multi-groups)
+        ("pipeline_split", pipeline_split, SPLIT_SQL),
+        # its image leg at bench scale (1000 images, giant dup groups)
+        ("mm_split", mm_split, MM_SPLIT_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
