@@ -55,9 +55,14 @@ def _ungated_headline() -> dict:
         mm_audio_neardup,
         mm_pair_curation,
         mm_phash_groups,
+        mm_split,
         mm_video_neardup,
     )
-    from crawler_spark.operators.pipeline import dedup_best_rep, source_rollup
+    from crawler_spark.operators.pipeline import (
+        dedup_best_rep,
+        pipeline_split,
+        source_rollup,
+    )
     from crawler_spark.operators.similarity import dedup_semantic
     from crawler_spark.operators.relational import (
         x_asof_join,
@@ -65,6 +70,7 @@ def _ungated_headline() -> dict:
         x_rollup_hier,
     )
     from crawler_spark.operators.text import (
+        text_c4_rules,
         text_dup_grams,
         text_gopher_rules,
         text_kmv_distinct,
@@ -82,6 +88,9 @@ def _ungated_headline() -> dict:
         "text_kmv_distinct": text_kmv_distinct,
         "source_rollup": source_rollup,
         "dedup_best_rep": dedup_best_rep,
+        "text_c4_rules": text_c4_rules,
+        "pipeline_split": pipeline_split,
+        "mm_split": mm_split,
         "mm_pair_curation": mm_pair_curation,
         "mm_phash_groups": mm_phash_groups,
         "mm_video_neardup": mm_video_neardup,
