@@ -177,6 +177,21 @@ def main(argv: list[str] | None = None) -> int:
         help="additionally gate train_keep on the C4 line-cleaning page "
         "verdict (aggressive on corpora without terminal punctuation)",
     )
+    ps = sub.add_parser(
+        "split",
+        help="write the leakage-safe train/val/test assignment (near-dup "
+        "classes never straddle the boundary) for the document corpus, or "
+        "the image corpus with --images",
+    )
+    ps.add_argument("--config", default=None)
+    ps.add_argument("--sf-dir", required=True, help="dir of documents parquet")
+    ps.add_argument("--out", required=True, help="split parquet output dir")
+    ps.add_argument("--cores", type=int, default=toml_defaults.get("cores"))
+    ps.add_argument(
+        "--images",
+        action="store_true",
+        help="split the image corpus by phash duplicate class instead",
+    )
     pr = sub.add_parser(
         "recall",
         help="measure ANN recall@k (band/multiprobe/IVF/SQ8 vs exact "
@@ -289,6 +304,37 @@ def main(argv: list[str] | None = None) -> int:
                     "out": args.out,
                     "n_docs": int(row["n_docs"]),
                     "n_keep": int(row["n_keep"]),
+                }
+            )
+        )
+        spark.stop()
+        return 0
+
+    if args.cmd == "split":
+        from pyspark.sql import functions as F
+
+        from .operators.multimodal import mm_split
+        from .operators.pipeline import pipeline_split
+
+        spark = get_spark(cores=args.cores)
+        fn = mm_split if args.images else pipeline_split
+        fn(spark, args.sf_dir).coalesce(8).write.mode("overwrite").parquet(
+            args.out
+        )
+        counts = {
+            r["split"]: int(r["n"])
+            for r in spark.read.parquet(args.out)
+            .groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "cmd": "split",
+                    "out": args.out,
+                    "images": bool(args.images),
+                    "counts": counts,
                 }
             )
         )

@@ -1367,6 +1367,125 @@ FROM wins LEFT JOIN agg ON wins.k = agg.ka
 """
 
 
+# -- query-by-clip retrieval (video + audio containment top-k) ---------------
+# The retrieval legs completing the modality matrix: text has BM25, images
+# have mm_phash_topk, and the multi-unit modalities now rank by CONTAINMENT
+# instead of a single Hamming distance — for each query clip, a candidate
+# scores (n_matched, sum_ham): how many of the query's units (sampled
+# frames / fingerprint windows) have ANY banded Hamming match in the
+# candidate, and the sum of each unit's best (min) Hamming. Order is
+# n_matched DESC then sum_ham ASC then id — more of the query contained
+# wins, closer containment breaks ties, total per query by construction.
+# Like mm_phash_topk, retrieval does NOT threshold at PHASH_HAM_MAX (that
+# is the near-dup views' admission job) and does not demand
+# VID/AUD_MATCH_MIN units — partial containment is exactly what a
+# copy-triage UI wants surfaced, graded, not hidden.
+#
+# ONE kernel serves both modalities (the _containment_edges discipline:
+# one dataflow, two instantiations), and each twin composes the SAME band
+# CTE chain as its near-dup sibling, so the fingerprint math cannot drift
+# between the dedup and retrieval views. Scale shape: the query side is
+# n_queries x units x bands rows — broadcast by construction — so the
+# band equi-join is an index probe (|queries| x corpus-band fraction),
+# never all-pairs; the per-unit min and per-pair count collapse map-side;
+# the final page is one |queries|-keyed window over <= candidates rows.
+N_CLIP_QUERIES = 8
+CLIP_TOP = 5
+
+
+def _containment_topk(idx: DataFrame, hash_col: str, unit_col: str,
+                      prefix: str, q_name: str, id_name: str,
+                      n_queries: int, top: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    bands = _band_stack(idx, hash_col, "k", unit_col)
+    q = bands.filter(F.col("k") < n_queries).select(
+        F.col("k").alias("qk"), F.col(unit_col).alias("fa"),
+        F.col(hash_col).alias("pa"), "band_no", "band_val",
+    )
+    c = bands.select(
+        F.col("k").alias("ck"), F.col(hash_col).alias("pb"),
+        "band_no", "band_val",
+    )
+    per_unit = (
+        c.join(F.broadcast(q), ["band_no", "band_val"])
+        .filter(F.col("ck") != F.col("qk"))
+        .groupBy("qk", "fa", "ck")
+        .agg(F.min(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))).alias("ham"))
+    )
+    pair = per_unit.groupBy("qk", "ck").agg(
+        F.count("*").alias("n_matched"), F.sum("ham").alias("sum_ham")
+    )
+    w = Window.partitionBy("qk").orderBy(
+        F.desc("n_matched"), F.asc("sum_ham"), F.asc("ck")
+    )
+    return (
+        pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            F.concat(F.lit(prefix), F.col("qk").cast("string")).alias(q_name),
+            F.concat(F.lit(prefix), F.col("ck").cast("string")).alias(id_name),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("sum_ham").cast("long").alias("sum_ham"),
+        )
+    )
+
+
+def mm_video_topk(spark: SparkSession, sf_dir: str,
+                  n_queries: int = N_CLIP_QUERIES,
+                  top: int = CLIP_TOP) -> DataFrame:
+    idx = _video_phash_index(spark, sf_dir)
+    return _containment_topk(idx, "fphash", "frame_no", "vid",
+                             "q_video", "video_id", n_queries, top)
+
+
+def mm_audio_topk(spark: SparkSession, sf_dir: str,
+                  n_queries: int = N_CLIP_QUERIES,
+                  top: int = CLIP_TOP) -> DataFrame:
+    idx = _audio_fp_index(spark, sf_dir)
+    return _containment_topk(idx, "ahash", "win_no", "aud",
+                             "q_clip", "clip_id", n_queries, top)
+
+
+def _containment_topk_sql(band_ctes: str, hash_col: str, unit_col: str,
+                          prefix: str, q_name: str, id_name: str,
+                          n_queries: int, top: int) -> str:
+    return f"""
+WITH {band_ctes},
+pu AS (
+  SELECT a.k AS qk, a.{unit_col} AS fa, b.k AS ck,
+         min(bit_count(xor(a.{hash_col}, b.{hash_col})))::bigint AS ham
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val
+  WHERE a.k < {n_queries} AND b.k <> a.k
+  GROUP BY a.k, a.{unit_col}, b.k
+),
+pair AS (
+  SELECT qk, ck, count(*)::bigint AS n_matched, sum(ham)::bigint AS sum_ham
+  FROM pu GROUP BY qk, ck
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qk ORDER BY n_matched DESC, sum_ham ASC, ck ASC) AS rank
+  FROM pair
+)
+SELECT '{prefix}' || qk AS {q_name}, '{prefix}' || ck AS {id_name},
+       rank::bigint AS rank, n_matched, sum_ham
+FROM ranked WHERE rank <= {top}
+"""
+
+
+VIDEO_TOPK_SQL = _containment_topk_sql(
+    _VIDEO_BAND_CTES, "fphash", "f", "vid", "q_video", "video_id",
+    N_CLIP_QUERIES, CLIP_TOP,
+)
+AUDIO_TOPK_SQL = _containment_topk_sql(
+    _AUDIO_BAND_CTES, "ahash", "w", "aud", "q_clip", "clip_id",
+    N_CLIP_QUERIES, CLIP_TOP,
+)
+
+
 # -- image quality gate (the LAION-style pre-training filter) ---------------
 #
 # Drop decoded images that are near-constant (no signal), too dark, or too

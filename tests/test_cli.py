@@ -100,6 +100,40 @@ def test_cli_pipeline_manifest(tmp_path):
     assert got == (out["n_docs"], out["n_keep"])
 
 
+def test_cli_split(tmp_path):
+    """`split` subcommand: write the leakage-safe assignment and verify the
+    summary counts against the parquet, plus the leakage invariant (no
+    multi-member group straddles splits) on the written file."""
+    import duckdb
+
+    out_dir = str(tmp_path / "split")
+    p = subprocess.run(
+        [
+            sys.executable, "-m", "crawler_spark.cli", "split",
+            "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir,
+            "--cores", "8",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    assert line, p.stderr[-800:]
+    out = json.loads(line[-1])
+    assert out["cmd"] == "split" and not out["images"]
+    assert sum(out["counts"].values()) == 500
+    assert set(out["counts"]) == {"train", "val", "test"}
+    got = dict(duckdb.sql(
+        f"select split, count(*) from read_parquet('{out_dir}/*.parquet') "
+        "group by 1"
+    ).fetchall())
+    assert got == out["counts"]
+    straddle = duckdb.sql(
+        f"select count(*) from (select group_id from "
+        f"read_parquet('{out_dir}/*.parquet') where group_size > 1 "
+        "group by group_id having count(distinct split) > 1)"
+    ).fetchone()[0]
+    assert straddle == 0
+
+
 def test_cli_rank(tmp_path):
     """`rank` subcommand: deterministic host authority over a world's link
     graph; re-running must print the identical JSON (integer-space rank)."""

@@ -750,6 +750,29 @@ def test_mm_audio_incremental_plan_shape(spark):
     assert "parquet" not in plan.lower()
 
 
+def test_clip_topk_plan_shape(spark):
+    """The containment retrieval kernel is an index PROBE: the query side
+    (n_queries x units x bands rows) broadcasts into the band equi-join —
+    the corpus fingerprint index must never shuffle to meet it — and the
+    only exchanges are the per-pair aggregate and the |queries|-keyed
+    ranking window; no cartesian, no Python stage past the checkpointed
+    fingerprint leaf."""
+    from crawler_spark.operators.multimodal import mm_audio_topk, mm_video_topk
+    from crawler_spark.plans import (
+        assert_no_cartesian,
+        explain_str,
+        has_broadcast_join,
+    )
+
+    for fn in (mm_video_topk, mm_audio_topk):
+        df = fn(spark, SF)
+        assert_no_cartesian(df)
+        assert has_broadcast_join(df), fn.__name__
+        plan = explain_str(df)
+        assert "Scan parquet" not in plan, fn.__name__  # checkpoint leaf
+        assert "BatchEvalPython" not in plan, fn.__name__
+
+
 def test_split_plan_shape(spark):
     """pipeline_split rides the checkpointed tokenize leaf: the final plan
     has ZERO parquet scans (both the shingle frame and the text join read

@@ -21,8 +21,10 @@ from crawler_spark.operators.multimodal import (
     MM_AUDIO_INCREMENTAL_SQL,
     MM_VIDEO_INCREMENTAL_SQL,
     PAIR_CURATION_SQL,
+    AUDIO_TOPK_SQL,
     MM_SPLIT_SQL,
     PHASH_GROUPS_SQL,
+    VIDEO_TOPK_SQL,
     PHASH_TOPK_SQL,
     QUALITY_SQL,
     VIDEO_NEARDUP_SQL,
@@ -35,9 +37,11 @@ from crawler_spark.operators.multimodal import (
     mm_audio_dedup_incremental,
     mm_video_dedup_incremental,
     mm_pair_curation,
+    mm_audio_topk,
     mm_phash_groups,
     mm_phash_topk,
     mm_split,
+    mm_video_topk,
     mm_quality_filter,
     mm_video_neardup,
 )
@@ -219,6 +223,10 @@ def test_ungated_builders_match_oracle(spark):
         # query-by-image retrieval: banded-LSH candidates, exact popcount
         # rerank, per-query top-k page (the image-axis ann_bucket_rerank)
         ("mm_phash_topk", mm_phash_topk, PHASH_TOPK_SQL),
+        # query-by-clip retrieval: containment (n_matched, sum_ham) rank
+        # over the same band CTEs as the near-dup siblings
+        ("mm_video_topk", mm_video_topk, VIDEO_TOPK_SQL),
+        ("mm_audio_topk", mm_audio_topk, AUDIO_TOPK_SQL),
         # admission-time near-dup gate: batch (doc_id % 4 == 0) against the
         # indexed rest — O(batch), no corpus rescan
         ("dedup_incremental", dedup_incremental, INCREMENTAL_SQL),
@@ -1051,6 +1059,68 @@ def test_mm_split_leakage_safe(spark):
         assert (singles.split == want).all(), sf
 
 
+def test_clip_topk_retrieval_semantics(spark):
+    """The containment-ranked retrieval legs surface the DESIGNED dup
+    structure at sf0.001, not just hash-equal twins:
+
+    - audio: every query's rank-1 is a SAME-CLASS clip (the trim-offset
+      copies) containing >= 15 of its 16 fingerprint windows — and
+      retrieval agrees with the admission view (mm_audio_neardup marks
+      the same clips dup-connected).
+    - video: a query WITH a near-dup edge (n_near > 0) must have a
+      full-containment rank-1 within the admission threshold (both
+      matched frames <= PHASH_HAM_MAX, so sum_ham <= 2*PHASH_HAM_MAX);
+      a query WITHOUT an edge may still surface a 2-frame candidate —
+      that is retrieval's whole point (graded, not hidden) — but then at
+      least one frame must sit BEYOND the threshold (sum_ham >
+      PHASH_HAM_MAX, else the near-dup view would have admitted the
+      edge), or it falls back to the best single-frame match (Hamming 0
+      on this corpus). Ordering is pinned total: (n_matched DESC,
+      sum_ham ASC, id ASC) within each query.
+    """
+    from crawler_spark.operators.multimodal import (
+        _AUD_DUP_OFFSETS,
+        mm_audio_neardup,
+        mm_audio_topk,
+        mm_video_neardup,
+        mm_video_topk,
+    )
+
+    a = mm_audio_topk(spark, SF).toPandas()
+    n = 125  # sf0.001: documents//4 clips
+    n_cls = (n + _AUD_DUP_OFFSETS - 1) // _AUD_DUP_OFFSETS
+    a1 = a[a["rank"] == 1]
+    assert len(a1) == 8
+    assert all(
+        int(q[3:]) % n_cls == int(c[3:]) % n_cls
+        for q, c in zip(a1.q_clip, a1.clip_id)
+    )
+    assert (a1.n_matched >= 15).all()
+
+    v = mm_video_topk(spark, SF).toPandas()
+    nd = mm_video_neardup(spark, SF).toPandas().set_index("video_id")
+    v1 = v[v["rank"] == 1].set_index("q_video")
+    assert len(v1) == 8
+    from crawler_spark.operators.multimodal import PHASH_HAM_MAX
+
+    for q in v1.index:
+        has_edge = nd.loc[q, "n_near"] > 0
+        if has_edge:
+            assert v1.loc[q, "n_matched"] == 2, q
+            assert v1.loc[q, "sum_ham"] <= 2 * PHASH_HAM_MAX, q
+        elif v1.loc[q, "n_matched"] == 2:
+            assert v1.loc[q, "sum_ham"] > PHASH_HAM_MAX, q
+        else:
+            assert v1.loc[q, "n_matched"] == 1 and v1.loc[q, "sum_ham"] == 0, q
+    # ordering is the composite containment order within every query
+    for df, qcol, idcol in ((v, "q_video", "video_id"), (a, "q_clip", "clip_id")):
+        for _, grp in df.groupby(qcol):
+            g = grp.sort_values("rank")
+            ids = [int(x[3:]) for x in g[idcol]]  # numeric k, not lexical
+            keys = list(zip(-g.n_matched, g.sum_ham, ids))
+            assert keys == sorted(keys), qcol
+
+
 def test_round4_ops_twin_at_bench_scale(spark):
     """Every round-4 op gets a green twin at the BENCH scale factor
     (VERDICT r4 task 6): dedup_best_rep and mm_audio_neardup previously
@@ -1088,6 +1158,9 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("pipeline_split", pipeline_split, SPLIT_SQL),
         # its image leg at bench scale (1000 images, giant dup groups)
         ("mm_split", mm_split, MM_SPLIT_SQL),
+        # clip-retrieval legs at bench scale (1250 clips each)
+        ("mm_video_topk", mm_video_topk, VIDEO_TOPK_SQL),
+        ("mm_audio_topk", mm_audio_topk, AUDIO_TOPK_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
