@@ -633,13 +633,17 @@ FROM grp JOIN gs USING (gid)
 # consistently. Scale: the audited phash-groups dataflow + one stateless
 # per-row bucket — no new exchange.
 
-def mm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _group_split(g: DataFrame, id_name: str) -> DataFrame:
+    """Bucket a (id, group_id, group_size) frame into train/val/test by the
+    group label — ONE definition of the assignment shared by mm_split and
+    the video/audio clip splits (same h32 twins, same 80/10/10 thresholds
+    as pipeline_split, so every modality of an interleaved corpus splits
+    consistently)."""
     from .pipeline import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
 
-    g = mm_phash_groups(spark, sf_dir)
     bucket = F.expr(spark_h32("group_id")) % 100
     return g.select(
-        "image_id",
+        id_name,
         "group_id",
         "group_size",
         bucket.alias("bucket"),
@@ -650,19 +654,27 @@ def mm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mm_split_sql() -> str:
+def _group_split_sql(groups_sql: str, id_name: str) -> str:
     from .pipeline import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
 
     b = f"({duck_h32('group_id')} % 100)"
     return f"""
-WITH g AS (SELECT * FROM ({PHASH_GROUPS_SQL}) gg)
-SELECT image_id, group_id, group_size,
+WITH g AS (SELECT * FROM ({groups_sql}) gg)
+SELECT {id_name}, group_id, group_size,
        {b}::bigint AS bucket,
        CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
             WHEN {b} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
             ELSE 'test' END AS split
 FROM g
 """
+
+
+def mm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _group_split(mm_phash_groups(spark, sf_dir), "image_id")
+
+
+def _mm_split_sql() -> str:
+    return _group_split_sql(PHASH_GROUPS_SQL, "image_id")
 
 
 MM_SPLIT_SQL = _mm_split_sql()
@@ -1484,6 +1496,106 @@ AUDIO_TOPK_SQL = _containment_topk_sql(
     _AUDIO_BAND_CTES, "ahash", "w", "aud", "q_clip", "clip_id",
     N_CLIP_QUERIES, CLIP_TOP,
 )
+
+
+# -- transitive clip duplicate groups + leakage-safe clip splits -------------
+# The groups and split rows of the modality matrix for the multi-unit
+# modalities (text: dedup_groups/pipeline_split; image: mm_phash_groups/
+# mm_split): a re-encode chain A~B~C whose ends drift past the pairwise
+# containment bound is ONE duplicate class with one representative, which
+# the neighborhood rollup (mm_video/audio_neardup's min-neighbor rep)
+# cannot express. Components come from the shared
+# `dedup.min_label_components` propagation over the containment-edge
+# subgraph — a clip with no edge never rides an iteration — and the twins
+# run the identical recursive reachability closure over the identical edge
+# CTEs as the near-dup siblings.
+#
+# The split needs no singleton escape hatch here either (mm_split's
+# argument, one modality over): byte-identical clips have identical unit
+# fingerprints, match on every unit at Hamming 0 (>= MATCH_MIN), and land
+# in one group by construction — the group label is a complete key.
+
+def _containment_groups(idx: DataFrame, hash_col: str, unit_col: str,
+                        match_min: int, prefix: str, id_name: str,
+                        max_iters: int = 16) -> DataFrame:
+    from .dedup import min_label_components
+
+    edges = _containment_edges(idx, hash_col, unit_col, match_min).select(
+        F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b")
+    )
+    labels = min_label_components(edges, max_iters)
+    sized = labels.join(
+        labels.groupBy("label").agg(F.count("*").alias("group_size")), "label"
+    )
+    items = idx.select("k").distinct()
+    return items.join(sized, items["k"] == sized["doc_id"], "left").select(
+        F.concat(F.lit(prefix), F.col("k").cast("string")).alias(id_name),
+        F.concat(
+            F.lit(prefix), F.coalesce("label", F.col("k")).cast("string")
+        ).alias("group_id"),
+        F.coalesce("group_size", F.lit(1)).cast("long").alias("group_size"),
+        (F.col("k") == F.coalesce("label", F.col("k"))).alias("is_rep"),
+    )
+
+
+def mm_video_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _video_phash_index(spark, sf_dir)
+    return _containment_groups(idx, "fphash", "frame_no", VID_MATCH_MIN,
+                               "vid", "video_id")
+
+
+def mm_audio_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _audio_fp_index(spark, sf_dir)
+    return _containment_groups(idx, "ahash", "win_no", AUD_MATCH_MIN,
+                               "aud", "clip_id")
+
+
+def mm_video_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _group_split(mm_video_groups(spark, sf_dir), "video_id")
+
+
+def mm_audio_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _group_split(mm_audio_groups(spark, sf_dir), "clip_id")
+
+
+def _containment_groups_sql(band_ctes: str, hash_col: str, unit_col: str,
+                            match_min: int, prefix: str, id_name: str,
+                            src_cte: str) -> str:
+    return f"""
+WITH RECURSIVE {band_ctes},
+um AS (
+  SELECT DISTINCT a.k AS ka, a.{unit_col} AS ua, b.k AS kb
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.k < b.k
+  WHERE bit_count(xor(a.{hash_col}, b.{hash_col})) <= {PHASH_HAM_MAX}
+),
+edges AS (SELECT ka, kb FROM um GROUP BY ka, kb HAVING count(*) >= {match_min}),
+sym AS (SELECT ka AS a, kb AS b FROM edges
+        UNION ALL SELECT kb AS a, ka AS b FROM edges),
+kk AS (SELECT DISTINCT k FROM {src_cte}),
+reach(v, r) AS (
+  SELECT k AS v, k AS r FROM kk
+  UNION
+  SELECT s.b AS v, reach.r FROM reach JOIN sym s ON s.a = reach.v
+),
+grp AS (SELECT v AS k, min(r) AS gid FROM reach GROUP BY v),
+gs AS (SELECT gid, count(*)::bigint AS group_size FROM grp GROUP BY gid)
+SELECT '{prefix}' || grp.k AS {id_name},
+       '{prefix}' || gid AS group_id,
+       gs.group_size,
+       (grp.k = gid) AS is_rep
+FROM grp JOIN gs USING (gid)
+"""
+
+
+VIDEO_GROUPS_SQL = _containment_groups_sql(
+    _VIDEO_BAND_CTES, "fphash", "f", VID_MATCH_MIN, "vid", "video_id", "ph"
+)
+AUDIO_GROUPS_SQL = _containment_groups_sql(
+    _AUDIO_BAND_CTES, "ahash", "w", AUD_MATCH_MIN, "aud", "clip_id", "ah"
+)
+VIDEO_SPLIT_SQL = _group_split_sql(VIDEO_GROUPS_SQL, "video_id")
+AUDIO_SPLIT_SQL = _group_split_sql(AUDIO_GROUPS_SQL, "clip_id")
 
 
 # -- image quality gate (the LAION-style pre-training filter) ---------------

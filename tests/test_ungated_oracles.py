@@ -21,9 +21,13 @@ from crawler_spark.operators.multimodal import (
     MM_AUDIO_INCREMENTAL_SQL,
     MM_VIDEO_INCREMENTAL_SQL,
     PAIR_CURATION_SQL,
+    AUDIO_GROUPS_SQL,
+    AUDIO_SPLIT_SQL,
     AUDIO_TOPK_SQL,
     MM_SPLIT_SQL,
     PHASH_GROUPS_SQL,
+    VIDEO_GROUPS_SQL,
+    VIDEO_SPLIT_SQL,
     VIDEO_TOPK_SQL,
     PHASH_TOPK_SQL,
     QUALITY_SQL,
@@ -37,10 +41,14 @@ from crawler_spark.operators.multimodal import (
     mm_audio_dedup_incremental,
     mm_video_dedup_incremental,
     mm_pair_curation,
+    mm_audio_groups,
+    mm_audio_split,
     mm_audio_topk,
     mm_phash_groups,
     mm_phash_topk,
     mm_split,
+    mm_video_groups,
+    mm_video_split,
     mm_video_topk,
     mm_quality_filter,
     mm_video_neardup,
@@ -227,6 +235,12 @@ def test_ungated_builders_match_oracle(spark):
         # over the same band CTEs as the near-dup siblings
         ("mm_video_topk", mm_video_topk, VIDEO_TOPK_SQL),
         ("mm_audio_topk", mm_audio_topk, AUDIO_TOPK_SQL),
+        # transitive clip dup groups (CC over containment edges) and the
+        # leakage-safe clip splits keyed on them
+        ("mm_video_groups", mm_video_groups, VIDEO_GROUPS_SQL),
+        ("mm_audio_groups", mm_audio_groups, AUDIO_GROUPS_SQL),
+        ("mm_video_split", mm_video_split, VIDEO_SPLIT_SQL),
+        ("mm_audio_split", mm_audio_split, AUDIO_SPLIT_SQL),
         # admission-time near-dup gate: batch (doc_id % 4 == 0) against the
         # indexed rest — O(batch), no corpus rescan
         ("dedup_incremental", dedup_incremental, INCREMENTAL_SQL),
@@ -1121,6 +1135,54 @@ def test_clip_topk_retrieval_semantics(spark):
             assert keys == sorted(keys), qcol
 
 
+def test_clip_groups_and_split_semantics(spark):
+    """The transitive clip groups agree with their pairwise near-dup
+    siblings and the clip splits inherit the leakage guarantee:
+
+    - every clip the near-dup view marks dup (a smaller neighbor exists)
+      is a non-representative in the groups view, and group_size == 1
+      exactly when n_near == 0 (an edgeless clip is its own class);
+    - the groups are TRANSITIVE: each clip's near-dup rep_id lands in the
+      same group (the chain the neighborhood rollup cannot close);
+    - no multi-member group straddles splits, and split is the pure
+      80/10/10 function of bucket.
+    """
+    from crawler_spark.operators.multimodal import (
+        mm_audio_groups,
+        mm_audio_neardup,
+        mm_audio_split,
+        mm_video_groups,
+        mm_video_neardup,
+        mm_video_split,
+    )
+
+    for g_fn, nd_fn, s_fn, idc in (
+        (mm_video_groups, mm_video_neardup, mm_video_split, "video_id"),
+        (mm_audio_groups, mm_audio_neardup, mm_audio_split, "clip_id"),
+    ):
+        g = g_fn(spark, SF).toPandas().set_index(idc)
+        nd = nd_fn(spark, SF).toPandas().set_index(idc)
+        assert set(g.index) == set(nd.index)
+        assert len(g[g.group_size > 1]) > 0, idc  # non-vacuous
+        # pairwise-dup => not the component representative
+        assert not g.loc[nd.index[nd.is_dup], "is_rep"].any(), idc
+        # singleton <=> edgeless
+        assert (
+            (g["group_size"] == 1) == (nd.loc[g.index, "n_near"] == 0)
+        ).all(), idc
+        # transitivity: the neighborhood rep is in the same component
+        rep_groups = g.loc[nd["rep_id"].to_numpy(), "group_id"].to_numpy()
+        assert (rep_groups == g.loc[nd.index, "group_id"].to_numpy()).all(), idc
+
+        s = s_fn(spark, SF).toPandas()
+        multi = s[s.group_size > 1]
+        assert (multi.groupby("group_id")["split"].nunique() == 1).all(), idc
+        want = s.bucket.map(
+            lambda b: "train" if b < 80 else ("val" if b < 90 else "test")
+        )
+        assert (s.split == want).all(), idc
+
+
 def test_round4_ops_twin_at_bench_scale(spark):
     """Every round-4 op gets a green twin at the BENCH scale factor
     (VERDICT r4 task 6): dedup_best_rep and mm_audio_neardup previously
@@ -1161,6 +1223,12 @@ def test_round4_ops_twin_at_bench_scale(spark):
         # clip-retrieval legs at bench scale (1250 clips each)
         ("mm_video_topk", mm_video_topk, VIDEO_TOPK_SQL),
         ("mm_audio_topk", mm_audio_topk, AUDIO_TOPK_SQL),
+        # transitive clip duplicate groups + their leakage-safe splits
+        # (recursive reachability twins over the same edge CTEs)
+        ("mm_video_groups", mm_video_groups, VIDEO_GROUPS_SQL),
+        ("mm_audio_groups", mm_audio_groups, AUDIO_GROUPS_SQL),
+        ("mm_video_split", mm_video_split, VIDEO_SPLIT_SQL),
+        ("mm_audio_split", mm_audio_split, AUDIO_SPLIT_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
