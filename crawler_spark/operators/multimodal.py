@@ -1075,6 +1075,93 @@ FROM vids LEFT JOIN agg ON vids.k = agg.ka
 """
 
 
+# -- video quality gate (the video leg of the quality row) ------------------
+# Static-content / exposure verdicts from per-frame integer gray sums over
+# ALL MM_FRAMES frames (one decode pass, whole-batch numpy): a clip whose
+# frame sums barely move is static filler (the video-specific failure mode
+# image gates can't see — every frame individually looks fine), and the
+# whole-clip gray total bounds catch under/over-exposed clips. Both
+# signals are exact int64 sums of the uint8 pattern, so the DuckDB twin
+# recomputes the verdicts bit-identically from the closed form. Thresholds
+# at the measured distribution so every rule fires both ways at every sf
+# (sf0.001: 53/125 static, 17 dark, 17 bright, keep 48; proportions hold
+# at 10x) — the mm_quality_filter convention.
+
+VID_SPREAD_MIN = 1536     # max-min frame gray sum below this = static
+VID_TOTAL_LO = 781_000    # whole-clip gray total below = too dark
+VID_TOTAL_HI = 786_000    # above = too bright
+
+VIDEO_QUALITY_SCHEMA = (
+    "video_id string, frame_spread long, total_gray long, "
+    "too_static boolean, too_dark boolean, too_bright boolean, keep boolean"
+)
+
+
+def _video_quality_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    side = MM_SIDE
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        full = np.stack([np.frombuffer(b, np.uint8) for b in pdf["bytes"].to_numpy()])
+        px = full[:, _MM_HDR:].reshape(n, MM_FRAMES, side, side, 3).astype(np.int64)
+        fsum = px.sum(axis=(2, 3, 4))          # (n, MM_FRAMES) int gray sums
+        spread = fsum.max(1) - fsum.min(1)
+        total = fsum.sum(1)
+        static = spread < VID_SPREAD_MIN
+        dark = total < VID_TOTAL_LO
+        bright = total > VID_TOTAL_HI
+        yield pd.DataFrame(
+            {
+                "video_id": pdf["video_id"].to_numpy(),
+                "frame_spread": spread,
+                "total_gray": total,
+                "too_static": static,
+                "too_dark": dark,
+                "too_bright": bright,
+                "keep": ~static & ~dark & ~bright,
+            }
+        )
+
+
+def mm_video_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = max(table_rows(sf_dir, "documents") // 4, 1)
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_video_corpus, schema=VIDEO_SCHEMA
+    )
+    return corpus.mapInPandas(_video_quality_rows, schema=VIDEO_QUALITY_SCHEMA)
+
+
+VIDEO_QUALITY_SQL = f"""
+WITH ks AS (
+  SELECT k FROM (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
+  ) WHERE k < greatest((SELECT count(*) // 4 FROM documents), 1)
+),
+g AS (
+  SELECT k, f.range AS f,
+         sum((k*7919 + f.range*523 + i.range*131 + j.range*17) % 256
+           + (k*7919 + f.range*523 + i.range*131 + j.range*17 + 101) % 256
+           + (k*7919 + f.range*523 + i.range*131 + j.range*17 + 202) % 256
+         )::bigint AS fsum
+  FROM ks, range(0, {MM_FRAMES}) f, range(0, {MM_SIDE}) i, range(0, {MM_SIDE}) j
+  GROUP BY k, f.range
+),
+a AS (
+  SELECT k, (max(fsum) - min(fsum))::bigint AS frame_spread,
+         sum(fsum)::bigint AS total_gray
+  FROM g GROUP BY k
+)
+SELECT 'vid' || k AS video_id, frame_spread, total_gray,
+       frame_spread < {VID_SPREAD_MIN} AS too_static,
+       total_gray < {VID_TOTAL_LO} AS too_dark,
+       total_gray > {VID_TOTAL_HI} AS too_bright,
+       (frame_spread >= {VID_SPREAD_MIN} AND total_gray >= {VID_TOTAL_LO}
+        AND total_gray <= {VID_TOTAL_HI}) AS keep
+FROM a
+"""
+
+
 # -- audio feature extraction over PCM binary payloads ----------------------
 #
 # The audio analog of the image/video kernels (not a catalog slot — the
@@ -1178,6 +1265,95 @@ SELECT 'aud' || k AS clip_id, {N_AUDIO_SAMPLES} AS n_samples,
        round(sqrt(sum(v*v)::double / {N_AUDIO_SAMPLES}), 6) AS rms,
        sum(CASE WHEN v * nxt < 0 THEN 1 ELSE 0 END)::bigint AS n_zero_cross
 FROM w GROUP BY k
+"""
+
+
+# -- audio quality gate (the audio leg of the quality row) ------------------
+# Clipping / silence / noisiness verdicts BEFORE a clip reaches expensive
+# downstream stages — the audio sibling of mm_quality_filter (image),
+# text_metrics' keep (text), and mm_video_quality below. All three signals
+# are exact int64s decoded from the PCM payload (peak = max |v|, energy =
+# Σv² — NOT the features view's rounded rms — and the zero-crossing count),
+# so the DuckDB twin recomputes every verdict bit-identically from the
+# closed-form samples. Thresholds sit at the measured corpus distribution
+# so every rule fires BOTH ways at every sf (the mm_quality_filter
+# convention, documented not hidden: peak>=2048 trims 32%, the energy
+# floor trims ~45%, the zc ceiling trims ~35%, keep lands ~25-30% at
+# sf0.001/0.01/0.1). One decode pass, stateless per-clip math, zero joins.
+
+AUD_CLIP_PEAK = 2048          # |sample| at int16-ish full scale = clipped
+AUD_ENERGY_MIN = 1_420_000_000  # Σv² below this = too quiet (corpus median)
+AUD_ZC_MAX = 18               # zero-crossings above this = too noisy
+
+AUDIO_QUALITY_SCHEMA = (
+    "clip_id string, peak long, energy long, n_zero_cross long, "
+    "clipped boolean, too_quiet boolean, too_noisy boolean, keep boolean"
+)
+
+
+def _audio_quality_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        pcm = np.stack([
+            np.frombuffer(b, "<i2", N_AUDIO_SAMPLES, _MM_HDR).astype(np.int64)
+            for b in pdf["bytes"].to_numpy()
+        ])
+        peak = np.abs(pcm).max(1)
+        energy = (pcm * pcm).sum(1)
+        zc = ((pcm[:, :-1] * pcm[:, 1:]) < 0).sum(1)
+        clipped = peak >= AUD_CLIP_PEAK
+        quiet = energy < AUD_ENERGY_MIN
+        noisy = zc > AUD_ZC_MAX
+        yield pd.DataFrame(
+            {
+                "clip_id": pdf["clip_id"].to_numpy(),
+                "peak": peak,
+                "energy": energy,
+                "n_zero_cross": zc.astype(np.int64),
+                "clipped": clipped,
+                "too_quiet": quiet,
+                "too_noisy": noisy,
+                "keep": ~clipped & ~quiet & ~noisy,
+            }
+        )
+
+
+def mm_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = max(table_rows(sf_dir, "documents") // 20, 1)
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_audio_corpus, schema=AUDIO_SCHEMA
+    )
+    return corpus.mapInPandas(_audio_quality_rows, schema=AUDIO_QUALITY_SCHEMA)
+
+
+AUDIO_QUALITY_SQL = f"""
+WITH ks AS (
+  SELECT k FROM (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS k FROM documents
+  ) WHERE k < greatest((SELECT count(*) // 20 FROM documents), 1)
+),
+s AS (
+  SELECT k, t.range AS t,
+         ((k*7919 + t.range*37) % 4096 - 2048)::bigint AS v
+  FROM ks, range(0, {N_AUDIO_SAMPLES}) t
+),
+w AS (
+  SELECT k, v, lead(v) OVER (PARTITION BY k ORDER BY t) AS nxt FROM s
+),
+a AS (
+  SELECT k, max(abs(v))::bigint AS peak, sum(v*v)::bigint AS energy,
+         sum(CASE WHEN v * nxt < 0 THEN 1 ELSE 0 END)::bigint AS n_zero_cross
+  FROM w GROUP BY k
+)
+SELECT 'aud' || k AS clip_id, peak, energy, n_zero_cross,
+       peak >= {AUD_CLIP_PEAK} AS clipped,
+       energy < {AUD_ENERGY_MIN} AS too_quiet,
+       n_zero_cross > {AUD_ZC_MAX} AS too_noisy,
+       (peak < {AUD_CLIP_PEAK} AND energy >= {AUD_ENERGY_MIN}
+        AND n_zero_cross <= {AUD_ZC_MAX}) AS keep
+FROM a
 """
 
 

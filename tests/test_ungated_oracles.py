@@ -22,11 +22,13 @@ from crawler_spark.operators.multimodal import (
     MM_VIDEO_INCREMENTAL_SQL,
     PAIR_CURATION_SQL,
     AUDIO_GROUPS_SQL,
+    AUDIO_QUALITY_SQL,
     AUDIO_SPLIT_SQL,
     AUDIO_TOPK_SQL,
     MM_SPLIT_SQL,
     PHASH_GROUPS_SQL,
     VIDEO_GROUPS_SQL,
+    VIDEO_QUALITY_SQL,
     VIDEO_SPLIT_SQL,
     VIDEO_TOPK_SQL,
     PHASH_TOPK_SQL,
@@ -42,12 +44,14 @@ from crawler_spark.operators.multimodal import (
     mm_video_dedup_incremental,
     mm_pair_curation,
     mm_audio_groups,
+    mm_audio_quality,
     mm_audio_split,
     mm_audio_topk,
     mm_phash_groups,
     mm_phash_topk,
     mm_split,
     mm_video_groups,
+    mm_video_quality,
     mm_video_split,
     mm_video_topk,
     mm_quality_filter,
@@ -241,6 +245,10 @@ def test_ungated_builders_match_oracle(spark):
         ("mm_audio_groups", mm_audio_groups, AUDIO_GROUPS_SQL),
         ("mm_video_split", mm_video_split, VIDEO_SPLIT_SQL),
         ("mm_audio_split", mm_audio_split, AUDIO_SPLIT_SQL),
+        # quality row of the modality matrix: static/exposure (video) and
+        # clipping/silence/noisiness (audio) verdicts on exact int sums
+        ("mm_video_quality", mm_video_quality, VIDEO_QUALITY_SQL),
+        ("mm_audio_quality", mm_audio_quality, AUDIO_QUALITY_SQL),
         # admission-time near-dup gate: batch (doc_id % 4 == 0) against the
         # indexed rest — O(batch), no corpus rescan
         ("dedup_incremental", dedup_incremental, INCREMENTAL_SQL),
@@ -1183,6 +1191,41 @@ def test_clip_groups_and_split_semantics(spark):
         assert (s.split == want).all(), idc
 
 
+def test_clip_quality_gate_semantics(spark):
+    """The audio/video quality rows are LOAD-BEARING, not vacuous: every
+    rule fires both ways at sf0.001 AND the bench scale, the keep verdict
+    is exactly the conjunction of the negated rules, and the sf0.001
+    verdict counts are pinned to the measured distribution (deterministic
+    corpus — a drifted threshold or kernel change shows up as a count
+    change, not a silent pass)."""
+    from crawler_spark.operators.multimodal import (
+        mm_audio_quality,
+        mm_video_quality,
+    )
+
+    a = mm_audio_quality(spark, SF).toPandas()
+    assert a[["clipped", "too_quiet", "too_noisy", "keep"]].sum().to_dict() == {
+        "clipped": 8, "too_quiet": 11, "too_noisy": 9, "keep": 6,
+    }
+    assert (
+        a.keep == (~a.clipped & ~a.too_quiet & ~a.too_noisy)
+    ).all()
+
+    v = mm_video_quality(spark, SF).toPandas()
+    assert v[["too_static", "too_dark", "too_bright", "keep"]].sum().to_dict() == {
+        "too_static": 53, "too_dark": 17, "too_bright": 17, "keep": 48,
+    }
+    assert (v.keep == (~v.too_static & ~v.too_dark & ~v.too_bright)).all()
+
+    for fn, rules in (
+        (mm_audio_quality, ["clipped", "too_quiet", "too_noisy"]),
+        (mm_video_quality, ["too_static", "too_dark", "too_bright"]),
+    ):
+        df = fn(spark, "/root/testdata/sf0.1").toPandas()
+        for r in rules + ["keep"]:
+            assert 0 < df[r].sum() < len(df), (fn.__name__, r)
+
+
 def test_round4_ops_twin_at_bench_scale(spark):
     """Every round-4 op gets a green twin at the BENCH scale factor
     (VERDICT r4 task 6): dedup_best_rep and mm_audio_neardup previously
@@ -1229,6 +1272,10 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("mm_audio_groups", mm_audio_groups, AUDIO_GROUPS_SQL),
         ("mm_video_split", mm_video_split, VIDEO_SPLIT_SQL),
         ("mm_audio_split", mm_audio_split, AUDIO_SPLIT_SQL),
+        # quality row of the modality matrix: static/exposure (video) and
+        # clipping/silence/noisiness (audio) verdicts on exact int sums
+        ("mm_video_quality", mm_video_quality, VIDEO_QUALITY_SQL),
+        ("mm_audio_quality", mm_audio_quality, AUDIO_QUALITY_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
