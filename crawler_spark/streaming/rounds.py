@@ -380,6 +380,32 @@ def stream_windowed_lineage(discovered: DataFrame, window: str = "10 seconds",
     )
 
 
+def stream_video_quality_gate(videos_stream: DataFrame) -> DataFrame:
+    """Ingest-time video quality gate (`multimodal._video_quality_rows`):
+    static-content and exposure verdicts per arriving clip payload. The
+    kernel is a stateless whole-batch mapInPandas over the decoded frames
+    — no state store, no watermark — so each micro-batch's verdicts equal
+    the batch run's (asserted in tests/test_streaming.py), completing the
+    at-ingest quality serving across modalities (text: quality/gopher/
+    C4/NBQ gates; image: mm admission gate's phash leg; now video+audio)."""
+    from ..operators.multimodal import VIDEO_QUALITY_SCHEMA, _video_quality_rows
+
+    return videos_stream.mapInPandas(
+        _video_quality_rows, schema=VIDEO_QUALITY_SCHEMA
+    )
+
+
+def stream_audio_quality_gate(clips_stream: DataFrame) -> DataFrame:
+    """Ingest-time audio quality gate (`multimodal._audio_quality_rows`):
+    clipping/silence/noisiness verdicts per arriving PCM payload, same
+    stateless shape as the video gate above."""
+    from ..operators.multimodal import AUDIO_QUALITY_SCHEMA, _audio_quality_rows
+
+    return clips_stream.mapInPandas(
+        _audio_quality_rows, schema=AUDIO_QUALITY_SCHEMA
+    )
+
+
 def serve_mm_ingest_gate(images_stream: DataFrame, index_dir: str,
                          verdict_dir: str):
     """Admission-time image near-dup gating ON THE INGEST STREAM — the

@@ -326,6 +326,62 @@ def test_stream_c4_gate_matches_batch(spark, tmp_path):
     assert got["keep"].tolist() == [True, True, False, False, False, False]
 
 
+def test_stream_clip_quality_gates_match_batch(spark, tmp_path):
+    """The stateless video/audio quality gates must produce the batch
+    kernels' verdicts exactly, across micro-batches of payload rows."""
+    from crawler_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        VIDEO_SCHEMA,
+        _gen_audio_corpus,
+        _gen_video_corpus,
+        mm_audio_quality,
+        mm_video_quality,
+    )
+    from crawler_spark.streaming import (
+        stream_audio_quality_gate,
+        stream_video_quality_gate,
+    )
+
+    for tag, gen, schema, gate, batch_fn, idc, n in (
+        ("vid", _gen_video_corpus, VIDEO_SCHEMA, stream_video_quality_gate,
+         mm_video_quality, "video_id", 125),
+        ("aud", _gen_audio_corpus, AUDIO_SCHEMA, stream_audio_quality_gate,
+         mm_audio_quality, "clip_id", 25),
+    ):
+        corpus = spark.range(0, n, 1, 4).mapInPandas(gen, schema=schema)
+        src = str(tmp_path / f"payload_{tag}")
+        corpus.filter(f"cast(substring({idc}, 4) as long) % 2 = 0") \
+            .coalesce(1).write.mode("append").parquet(src)
+        corpus.filter(f"cast(substring({idc}, 4) as long) % 2 = 1") \
+            .coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            gate(stream)
+            .writeStream.format("memory")
+            .queryName(f"q_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = (
+            spark.sql(f"select * from q_{tag}")
+            .toPandas()
+            .sort_values(idc)
+            .reset_index(drop=True)
+        )
+        want = (
+            batch_fn(spark, "/root/testdata/sf0.001")
+            .toPandas()
+            .sort_values(idc)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
 def test_stream_rollup_chained_aggs_match_batch(spark, tmp_path):
     """Chained stateful aggregations (fine window -> coarse window of
     window_time): coarse buckets closed by the watermark must emit exactly
