@@ -52,10 +52,13 @@ def _ungated_headline() -> dict:
     outside the 50-entry gated catalog, so they are referenced directly)."""
     from crawler_spark.operators.dedup import dedup_incremental
     from crawler_spark.operators.multimodal import (
+        mm_audio_decontaminate,
         mm_audio_neardup,
+        mm_decontaminate,
         mm_pair_curation,
         mm_phash_groups,
         mm_split,
+        mm_video_decontaminate,
         mm_video_neardup,
     )
     from crawler_spark.operators.pipeline import (
@@ -95,6 +98,11 @@ def _ungated_headline() -> dict:
         "mm_phash_groups": mm_phash_groups,
         "mm_video_neardup": mm_video_neardup,
         "mm_audio_neardup": mm_audio_neardup,
+        # decontamination row: eval-overlap scrub per modality (broadcast
+        # eval bands through the near-dup kernels)
+        "mm_decontaminate": mm_decontaminate,
+        "mm_video_decontaminate": mm_video_decontaminate,
+        "mm_audio_decontaminate": mm_audio_decontaminate,
         "x_asof_join": x_asof_join,
         "x_range_join": x_range_join,
         "x_rollup_hier": x_rollup_hier,

@@ -2479,3 +2479,189 @@ SELECT 'aud' || clips.k AS clip_id,
        coalesce(best.n_matched, -1)::bigint AS n_matched
 FROM clips LEFT JOIN best ON clips.k = best.ka
 """
+
+
+# -- eval-overlap decontamination (the decontamination row of the matrix) ----
+#
+# `text.decontaminate` (the GPT-3/C4-style n-gram overlap scrub) gets its
+# three multimodal siblings here: benchmarks leak through IMAGES and CLIPS
+# too (an eval image re-encoded into the crawl, a benchmark clip trimmed
+# into a montage), so a training pipeline must run the scrub per modality.
+# The contamination criterion is each modality's OWN near-dup criterion,
+# made asymmetric — a TRAIN item is contaminated when it would near-dup-
+# match some EVAL item:
+#
+#   image: phash Hamming <= PHASH_HAM_MAX             (mm_phash_neardup)
+#   video: >= VID_MATCH_MIN sampled frames matched
+#          anywhere in an eval clip                   (mm_video_neardup)
+#   audio: >= AUD_MATCH_MIN fingerprint windows
+#          matched anywhere in an eval clip           (mm_audio_neardup)
+#
+# through the SAME `_band_stack` LSH layout and the same verified-match
+# math as the near-dup views, so the fingerprint and the threshold cannot
+# drift between the dedup and decontamination views of one corpus.
+#
+# 100 TB shape (the text.decontaminate lesson, unchanged by modality): the
+# eval side is a benchmark suite — thousands of items, not billions — so
+# its banded fingerprints BROADCAST, the train corpus pays exactly one
+# fingerprint scan with NO shuffle before the join survivors, and the
+# per-item aggregates key on the contaminated fraction only (state is
+# O(contamination), not O(corpus)). Because the eval index is STATIC, the
+# probe is stateless row-local work and serves on an ingest stream
+# unchanged (`streaming.stream_mm_decontaminate`). The eval split here is
+# the deterministic in-corpus stand-in the text scrub uses (k % eval_mod
+# == 0); a real pipeline reads a benchmark table — the dataflow is
+# identical.
+MM_DECONTAM_EVAL_MOD = 10  # the text scrub's DECONTAM_EVAL_MOD convention
+
+
+def mm_decontaminate_frames(idx: DataFrame, eval_mod: int = MM_DECONTAM_EVAL_MOD) -> DataFrame:
+    """Back half over a materialized (k, phash) index: band-probe train
+    phashes against the BROADCAST eval bands, verify Hamming, aggregate
+    per contaminated train image — (k, n_eval_imgs, min_ham)."""
+    bands = _band_stack(idx, "phash", "k")
+    ev = bands.filter(F.col("k") % eval_mod == 0).select(
+        F.col("k").alias("ke"), F.col("phash").alias("pe"), "band_no", "band_val"
+    )
+    tr = bands.filter(F.col("k") % eval_mod != 0)
+    hits = (
+        tr.join(F.broadcast(ev), ["band_no", "band_val"])
+        .select("k", "phash", "ke", "pe")
+        .distinct()  # a pair sharing several bands is one candidate
+        .withColumn("ham", F.bit_count(F.col("phash").bitwiseXOR(F.col("pe"))))
+        .filter(F.col("ham") <= PHASH_HAM_MAX)
+    )
+    return hits.groupBy("k").agg(
+        F.countDistinct("ke").alias("n_eval_imgs"),
+        F.min("ham").cast("long").alias("min_ham"),
+    )
+
+
+def mm_decontaminate(spark: SparkSession, sf_dir: str,
+                     eval_mod: int = MM_DECONTAM_EVAL_MOD) -> DataFrame:
+    """Image decontamination: flag every train image whose phash is within
+    PHASH_HAM_MAX of some eval-split image, with the distinct eval images
+    hit and the closest Hamming distance."""
+    out = mm_decontaminate_frames(_phash_index(spark, sf_dir), eval_mod)
+    return out.select(
+        F.concat(F.lit("img"), F.col("k").cast("string")).alias("image_id"),
+        "n_eval_imgs",
+        "min_ham",
+    )
+
+
+def _mm_decontam_sql(eval_mod: int = MM_DECONTAM_EVAL_MOD) -> str:
+    """Twin GENERATED from the same eval_mod so a non-default split in a
+    test keeps the engines in lockstep (the ivf_sql precedent). DuckDB
+    prunes the unreferenced trailing `edges` CTE of the shared chain."""
+    return f"""
+WITH {_PHASH_EDGE_CTES},
+ev AS (SELECT k AS ke, phash AS pe, band_no, band_val FROM bands WHERE k % {eval_mod} = 0),
+tr AS (SELECT k, phash, band_no, band_val FROM bands WHERE k % {eval_mod} <> 0),
+hits AS (
+  SELECT k, ke, bit_count(xor(phash, pe)) AS ham FROM (
+    SELECT DISTINCT t.k, t.phash, e.ke, e.pe
+    FROM tr t JOIN ev e ON t.band_no = e.band_no AND t.band_val = e.band_val)
+  WHERE bit_count(xor(phash, pe)) <= {PHASH_HAM_MAX}
+)
+SELECT 'img' || k AS image_id, count(DISTINCT ke)::bigint AS n_eval_imgs,
+       min(ham)::bigint AS min_ham
+FROM hits GROUP BY k
+"""
+
+
+MM_DECONTAM_SQL = _mm_decontam_sql()
+
+
+def _containment_decontam(idx: DataFrame, hash_col: str, unit_col: str,
+                          match_min: int, eval_mod: int) -> DataFrame:
+    """The clip-modality decontamination kernel shared by the video and
+    audio scrubs (the asymmetric counterpart of `_containment_edges`, as
+    `_containment_gate` is for admission): a train clip is contaminated by
+    an eval clip when >= match_min of its DISTINCT units (sampled frames /
+    fingerprint windows) have a Hamming-<=PHASH_HAM_MAX match anywhere in
+    that eval clip. Eval bands broadcast; the eval unit number is dropped
+    before the join (match-anywhere, the trim/shift tolerance), so the
+    probe ships only (band_val, ke, hash) tuples. Output per contaminated
+    train clip: (k, n_eval_clips, max_matched)."""
+    bands = _band_stack(idx, hash_col, "k", unit_col)
+    ev = bands.filter(F.col("k") % eval_mod == 0).select(
+        F.col("k").alias("ke"), F.col(hash_col).alias("pe"), "band_no", "band_val"
+    )
+    tr = bands.filter(F.col("k") % eval_mod != 0)
+    matched = (
+        tr.join(F.broadcast(ev), ["band_no", "band_val"])
+        .filter(F.bit_count(F.col(hash_col).bitwiseXOR(F.col("pe"))) <= PHASH_HAM_MAX)
+        .select("k", unit_col, "ke")
+        .distinct()  # one vote per matched unit, however many hits in ke
+    )
+    pairs = (
+        matched.groupBy("k", "ke")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") >= match_min)
+    )
+    return pairs.groupBy("k").agg(
+        F.countDistinct("ke").alias("n_eval_clips"),
+        F.max("n_matched").alias("max_matched"),
+    )
+
+
+def mm_video_decontaminate(spark: SparkSession, sf_dir: str,
+                           eval_mod: int = MM_DECONTAM_EVAL_MOD) -> DataFrame:
+    """Video decontamination: train clips sharing >= VID_MATCH_MIN sampled
+    frames (phash-matched, position-free) with some eval-split clip."""
+    idx = _video_phash_index(spark, sf_dir)
+    out = _containment_decontam(idx, "fphash", "frame_no", VID_MATCH_MIN, eval_mod)
+    return out.select(
+        F.concat(F.lit("vid"), F.col("k").cast("string")).alias("video_id"),
+        "n_eval_clips",
+        "max_matched",
+    )
+
+
+def mm_audio_decontaminate(spark: SparkSession, sf_dir: str,
+                           eval_mod: int = MM_DECONTAM_EVAL_MOD) -> DataFrame:
+    """Audio decontamination: train clips sharing >= AUD_MATCH_MIN
+    fingerprint windows (sign-hash-matched, offset-free) with some
+    eval-split clip."""
+    idx = _audio_fp_index(spark, sf_dir)
+    out = _containment_decontam(idx, "ahash", "win_no", AUD_MATCH_MIN, eval_mod)
+    return out.select(
+        F.concat(F.lit("aud"), F.col("k").cast("string")).alias("clip_id"),
+        "n_eval_clips",
+        "max_matched",
+    )
+
+
+def _containment_decontam_sql(band_ctes: str, hash_col: str, unit_col: str,
+                              match_min: int, eval_mod: int,
+                              prefix: str, id_name: str) -> str:
+    """ONE twin generator for both clip modalities, composing the same band
+    CTE chain as the near-dup/groups/topk siblings of that modality."""
+    return f"""
+WITH {band_ctes},
+ev AS (SELECT k AS ke, {hash_col} AS pe, band_no, band_val FROM bands WHERE k % {eval_mod} = 0),
+tr AS (SELECT k, {unit_col} AS u, {hash_col} AS p, band_no, band_val FROM bands WHERE k % {eval_mod} <> 0),
+umatch AS (
+  SELECT DISTINCT t.k, t.u, e.ke
+  FROM tr t JOIN ev e ON t.band_no = e.band_no AND t.band_val = e.band_val
+  WHERE bit_count(xor(t.p, e.pe)) <= {PHASH_HAM_MAX}
+),
+pairs AS (
+  SELECT k, ke, count(*)::bigint AS n_matched FROM umatch GROUP BY k, ke
+  HAVING count(*) >= {match_min}
+)
+SELECT '{prefix}' || k AS {id_name}, count(DISTINCT ke)::bigint AS n_eval_clips,
+       max(n_matched)::bigint AS max_matched
+FROM pairs GROUP BY k
+"""
+
+
+VIDEO_DECONTAM_SQL = _containment_decontam_sql(
+    _VIDEO_BAND_CTES, "fphash", "f", VID_MATCH_MIN, MM_DECONTAM_EVAL_MOD,
+    "vid", "video_id",
+)
+AUDIO_DECONTAM_SQL = _containment_decontam_sql(
+    _AUDIO_BAND_CTES, "ahash", "w", AUD_MATCH_MIN, MM_DECONTAM_EVAL_MOD,
+    "aud", "clip_id",
+)

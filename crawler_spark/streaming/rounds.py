@@ -406,6 +406,48 @@ def stream_audio_quality_gate(clips_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_mm_decontaminate(images_stream: DataFrame,
+                            eval_index: DataFrame) -> DataFrame:
+    """Streaming twin of `operators.multimodal.mm_decontaminate` — image
+    benchmark decontamination for crawled images as they land (the
+    ingest-time scrub next to `stream_decontaminate`'s text leg; the
+    engine's verify stage already emits the phash per fetched image, so
+    the stream rows are free).
+
+    `images_stream` (streaming): (k long, phash long) of arriving TRAIN
+    images. `eval_index` (STATIC batch): (k, phash) of the benchmark
+    images — thousands of rows, so its banded fingerprints ride the
+    stream-static join as a broadcast and the per-image path is STATELESS
+    (band-stack → broadcast-probe → popcount, no shuffle) up to the join
+    survivors. State exists only past the join and only for CONTAMINATED
+    images: dropDuplicates(k, ke) makes at-least-once redelivery
+    idempotent (ham is a function of the pair, so the kept row is exact),
+    and the per-image aggregate counts surviving distinct eval hits
+    (streaming forbids countDistinct; after the dedup, count IS distinct).
+    Run with outputMode("update"); the latest row per k is its current
+    (n_eval_imgs, min_ham). Stream == batch asserted in
+    tests/test_streaming.py."""
+    from ..operators.multimodal import PHASH_HAM_MAX, _band_stack
+
+    evb = _band_stack(eval_index.select("k", "phash"), "phash", "k").select(
+        F.col("k").alias("ke"), F.col("phash").alias("pe"), "band_no", "band_val"
+    )
+    trb = _band_stack(images_stream.select("k", "phash"), "phash", "k")
+    hits = (
+        trb.join(F.broadcast(evb), ["band_no", "band_val"])
+        .withColumn("ham", F.bit_count(F.col("phash").bitwiseXOR(F.col("pe"))))
+        .filter(F.col("ham") <= PHASH_HAM_MAX)
+    )
+    return (
+        hits.dropDuplicates(["k", "ke"])
+        .groupBy("k")
+        .agg(
+            F.count("ke").alias("n_eval_imgs"),
+            F.min("ham").cast("long").alias("min_ham"),
+        )
+    )
+
+
 def serve_mm_ingest_gate(images_stream: DataFrame, index_dir: str,
                          verdict_dir: str):
     """Admission-time image near-dup gating ON THE INGEST STREAM — the

@@ -803,3 +803,24 @@ def test_c4_rules_plan_shape(spark):
     assert plan.count("Exchange (") == 0, plan
     assert "Generate" not in plan, plan
     assert "BatchEvalPython" not in plan and "Window" not in plan, plan
+
+
+def test_decontam_broadcast_probe_plan(spark):
+    """The decontamination row's scale contract: the eval side enters as a
+    BROADCAST (the train corpus never shuffles to meet the benchmark
+    suite), no cartesian anywhere, and zero Python stages past the
+    checkpointed fingerprint leaf — all three modalities."""
+    from crawler_spark.operators.multimodal import (
+        mm_audio_decontaminate,
+        mm_decontaminate,
+        mm_video_decontaminate,
+    )
+    from crawler_spark.plans import assert_no_cartesian, has_broadcast_join
+
+    for fn in (mm_decontaminate, mm_video_decontaminate, mm_audio_decontaminate):
+        df = fn(spark, SF)
+        assert has_broadcast_join(df), fn.__name__
+        assert_no_cartesian(df)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "MapInPandas" not in plan, fn.__name__
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan  # checkpoint leaf

@@ -780,3 +780,57 @@ def test_stream_recrawl_schedule_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
     # non-degenerate split: pages really accumulated across micro-batches
     assert (upd.groupby("page_id").size() > 1).any()
+
+
+def test_stream_mm_decontaminate_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The image leg of the streaming overlap scrub: (a) per-image
+    (n_eval_imgs, min_ham) across micro-batches must equal the batch
+    operator's, (b) redelivered rows change nothing (dropDuplicates
+    idempotence)."""
+    from crawler_spark.operators.multimodal import (
+        MM_DECONTAM_EVAL_MOD,
+        _phash_index,
+        mm_decontaminate,
+    )
+    from crawler_spark.streaming import stream_mm_decontaminate
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _phash_index(spark, sf_dir)
+    eval_index = idx.filter(f"k % {MM_DECONTAM_EVAL_MOD} = 0")
+
+    # training stream in two micro-batches + a REDELIVERY of batch 1
+    train = idx.filter(f"k % {MM_DECONTAM_EVAL_MOD} <> 0")
+    src = str(tmp_path / "imgs")
+    b1 = train.filter("k % 3 = 1")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    train.filter("k % 3 <> 1").coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)  # duplicate delivery
+
+    stream = (
+        spark.readStream.schema("k long, phash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_mm_decontaminate(stream, eval_index)
+        .writeStream.format("memory")
+        .queryName("mm_decontam")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("select * from mm_decontam")
+        .toPandas()
+        .groupby("k")
+        # counts grow / min_ham shrinks monotonically across updates;
+        # max/min picks each image's final row without relying on
+        # memory-sink ordering
+        .agg(n_eval_imgs=("n_eval_imgs", "max"), min_ham=("min_ham", "min"))
+        .sort_index()
+    )
+    want = mm_decontaminate(spark, sf_dir).toPandas()
+    want["k"] = want["image_id"].str.slice(3).astype("int64")
+    want = want.set_index("k")[["n_eval_imgs", "min_ham"]].sort_index()
+    assert got.astype("int64").equals(want.astype("int64"))

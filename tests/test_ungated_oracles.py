@@ -26,6 +26,9 @@ from crawler_spark.operators.multimodal import (
     AUDIO_SPLIT_SQL,
     AUDIO_TOPK_SQL,
     MM_SPLIT_SQL,
+    MM_DECONTAM_SQL,
+    VIDEO_DECONTAM_SQL,
+    AUDIO_DECONTAM_SQL,
     PHASH_GROUPS_SQL,
     VIDEO_GROUPS_SQL,
     VIDEO_QUALITY_SQL,
@@ -44,12 +47,15 @@ from crawler_spark.operators.multimodal import (
     mm_video_dedup_incremental,
     mm_pair_curation,
     mm_audio_groups,
+    mm_audio_decontaminate,
     mm_audio_quality,
     mm_audio_split,
     mm_audio_topk,
+    mm_decontaminate,
     mm_phash_groups,
     mm_phash_topk,
     mm_split,
+    mm_video_decontaminate,
     mm_video_groups,
     mm_video_quality,
     mm_video_split,
@@ -278,6 +284,13 @@ def test_ungated_builders_match_oracle(spark):
         # containment over the sign-fingerprint index (the audio leg of
         # the image/video dedup matrix, same containment kernel)
         ("mm_audio_neardup", mm_audio_neardup, AUDIO_NEARDUP_SQL),
+        # decontamination row of the modality matrix (text has
+        # decontaminate): eval-overlap scrub per modality through the SAME
+        # band/containment math as each near-dup sibling, eval side
+        # broadcast
+        ("mm_decontaminate", mm_decontaminate, MM_DECONTAM_SQL),
+        ("mm_video_decontaminate", mm_video_decontaminate, VIDEO_DECONTAM_SQL),
+        ("mm_audio_decontaminate", mm_audio_decontaminate, AUDIO_DECONTAM_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
@@ -1276,6 +1289,10 @@ def test_round4_ops_twin_at_bench_scale(spark):
         # clipping/silence/noisiness (audio) verdicts on exact int sums
         ("mm_video_quality", mm_video_quality, VIDEO_QUALITY_SQL),
         ("mm_audio_quality", mm_audio_quality, AUDIO_QUALITY_SQL),
+        # decontamination row at bench scale (1000 images / 1250 clips)
+        ("mm_decontaminate", mm_decontaminate, MM_DECONTAM_SQL),
+        ("mm_video_decontaminate", mm_video_decontaminate, VIDEO_DECONTAM_SQL),
+        ("mm_audio_decontaminate", mm_audio_decontaminate, AUDIO_DECONTAM_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -2293,3 +2310,157 @@ def test_c4_rules_twin_on_planted_corpus(spark, tmp_path):
         r["doc_id"]: r["text_clean"] for r in text_c4_rules(spark, sf).collect()
     }[3]
     assert "javascript" not in clean3 and clean3.count("\n") == 2
+
+
+def test_decontam_matches_brute_force():
+    """The three modality decontamination twins (and, via oracle parity in
+    the list tests, the Spark builders) against all-pairs numpy references:
+    for every (train, eval) pair apply the modality's own near-dup
+    criterion — band-sharing Hamming-<=4 phash match (image), >=
+    VID_MATCH_MIN / AUD_MATCH_MIN units matched anywhere (video/audio) —
+    and check the per-train-item (n_eval hits, min_ham / max_matched)
+    aggregates exactly. Also pins non-vacuousness both ways at sf0.001:
+    each scrub flags at least one item AND leaves at least one train item
+    clean. Spark-free."""
+    import duckdb
+    import numpy as np
+
+    from crawler_spark.engine.verify import _phash_batch
+    from crawler_spark.operators import multimodal as mm
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ndocs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    mod = mm.MM_DECONTAM_EVAL_MOD
+    mask = (1 << mm.PHASH_BAND_BITS) - 1
+
+    def hit(x: int, y: int) -> int | None:
+        """Band-sharing Hamming-<=max match; returns the Hamming or None."""
+        ham = bin(x ^ y).count("1")
+        if ham > mm.PHASH_HAM_MAX:
+            return None
+        shared = any(
+            ((x >> (mm.PHASH_BAND_BITS * i)) & mask)
+            == ((y >> (mm.PHASH_BAND_BITS * i)) & mask)
+            for i in range(mm.N_PHASH_BANDS)
+        )
+        return ham if shared else None
+
+    # -- image: per-train (n_eval_imgs, min_ham) ---------------------------
+    n = ndocs // 5
+    px = mm._pattern_pixels(np.arange(n, dtype=np.int64), mm.MM_SIDE)
+    lossy = np.arange(n) % 2 == 1
+    decoded = px.copy()
+    decoded[lossy] = (px[lossy] >> 2 << 2) + 2
+    ph = _phash_batch(decoded).view(np.uint64)
+    want = {}
+    for a in range(n):
+        if a % mod == 0:
+            continue
+        hams = [
+            h for e in range(0, n, mod)
+            if (h := hit(int(ph[a]), int(ph[e]))) is not None
+        ]
+        if hams:
+            want[a] = (len(hams), min(hams))
+    got = con.execute(mm.MM_DECONTAM_SQL).df()
+    assert {
+        int(r["image_id"][3:]): (int(r["n_eval_imgs"]), int(r["min_ham"]))
+        for _, r in got.iterrows()
+    } == want
+    assert want and len(want) < n - n // mod  # flags some, not all
+
+    # -- clip modalities: per-train (n_eval_clips, max_matched) ------------
+    def clip_expect(u: np.ndarray, match_min: int) -> dict:
+        nc, nu = u.shape
+        want = {}
+        for a in range(nc):
+            if a % mod == 0:
+                continue
+            ms = []
+            for e in range(0, nc, mod):
+                m = sum(
+                    any(hit(int(u[a, w]), int(u[e, v])) is not None
+                        for v in range(nu))
+                    for w in range(nu)
+                )
+                if m >= match_min:
+                    ms.append(m)
+            if ms:
+                want[a] = (len(ms), max(ms))
+        assert want and len(want) < nc - nc // mod
+        return want
+
+    def clip_got(sql: str, id_name: str) -> dict:
+        df = con.execute(sql).df()
+        return {
+            int(r[id_name][3:]): (int(r["n_eval_clips"]), int(r["max_matched"]))
+            for _, r in df.iterrows()
+        }
+
+    nv = max(ndocs // 4, 1)
+    fh = _phash_batch(
+        mm._video_pixels(np.arange(nv, dtype=np.int64))[:, ::mm.FRAME_STRIDE]
+        .reshape(-1, mm.MM_SIDE, mm.MM_SIDE, 3)
+    ).reshape(nv, -1).view(np.uint64)
+    assert clip_got(mm.VIDEO_DECONTAM_SQL, "video_id") == clip_expect(
+        fh, mm.VID_MATCH_MIN
+    )
+
+    na = max(ndocs // 4, 1)
+    n_classes = max((na + mm._AUD_DUP_OFFSETS - 1) // mm._AUD_DUP_OFFSETS, 1)
+    pcm = mm._audio_dup_samples(np.arange(na, dtype=np.int64), n_classes)
+    bits = (pcm.astype(np.int64) > 0).reshape(na * mm.N_AUD_WINS, mm.AUD_WIN)
+    ah = (
+        np.packbits(bits.astype(np.uint8), axis=1)
+        .view(">u8")[:, 0]
+        .astype(np.uint64)
+        .reshape(na, mm.N_AUD_WINS)
+    )
+    aw = clip_expect(ah, mm.AUD_MATCH_MIN)
+    assert clip_got(mm.AUDIO_DECONTAM_SQL, "clip_id") == aw
+    # the audio corpus's designed classes make the expectation readable:
+    # a train clip is contaminated iff its class holds an eval member,
+    # and n_eval_clips IS that eval-member count (every same-class pair
+    # is an edge; no cross-class pair is)
+    for a in range(na):
+        if a % mod == 0:
+            continue
+        evs = [e for e in range(0, na, mod) if e % n_classes == a % n_classes]
+        assert (a in aw) == bool(evs), a
+        if evs:
+            assert aw[a][0] == len(evs), (a, aw[a], evs)
+
+
+def test_decontam_nondefault_eval_mod(spark):
+    """A different eval split keeps both engines in lockstep because the
+    twins GENERATE from the same eval_mod parameter (the ivf_sql
+    precedent) — pinned on the image and one clip modality at mod=7."""
+    from crawler_spark.operators.multimodal import (
+        _VIDEO_BAND_CTES,
+        VID_MATCH_MIN,
+        _containment_decontam_sql,
+        _mm_decontam_sql,
+    )
+
+    con = duck_connect(SF)
+    for name, fn, sql in [
+        (
+            "mm_decontaminate_mod7",
+            lambda s, d: mm_decontaminate(s, d, eval_mod=7),
+            _mm_decontam_sql(7),
+        ),
+        (
+            "mm_video_decontaminate_mod7",
+            lambda s, d: mm_video_decontaminate(s, d, eval_mod=7),
+            _containment_decontam_sql(
+                _VIDEO_BAND_CTES, "fphash", "f", VID_MATCH_MIN, 7,
+                "vid", "video_id",
+            ),
+        ),
+    ]:
+        ok, msg = compare_one(spark, con, name, fn, sql, SF)
+        assert ok, (name, msg)
