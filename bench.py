@@ -52,12 +52,14 @@ def _ungated_headline() -> dict:
     outside the 50-entry gated catalog, so they are referenced directly)."""
     from crawler_spark.operators.dedup import dedup_incremental
     from crawler_spark.operators.multimodal import (
+        mm_audio_best_rep,
         mm_audio_decontaminate,
         mm_audio_neardup,
         mm_decontaminate,
         mm_pair_curation,
         mm_phash_groups,
         mm_split,
+        mm_video_best_rep,
         mm_video_decontaminate,
         mm_video_neardup,
     )
@@ -103,6 +105,9 @@ def _ungated_headline() -> dict:
         "mm_decontaminate": mm_decontaminate,
         "mm_video_decontaminate": mm_video_decontaminate,
         "mm_audio_decontaminate": mm_audio_decontaminate,
+        # representative row: quality-argmax rep per clip dup class
+        "mm_video_best_rep": mm_video_best_rep,
+        "mm_audio_best_rep": mm_audio_best_rep,
         "x_asof_join": x_asof_join,
         "x_range_join": x_range_join,
         "x_rollup_hier": x_rollup_hier,

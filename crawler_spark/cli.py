@@ -192,6 +192,22 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="split the image corpus by phash duplicate class instead",
     )
+    pdc = sub.add_parser(
+        "decontam",
+        help="write the eval-overlap contamination manifest for one "
+        "modality (the decontamination row: items whose modality-specific "
+        "near-dup criterion matches the held-out eval split)",
+    )
+    pdc.add_argument("--config", default=None)
+    pdc.add_argument("--sf-dir", required=True, help="dir of documents parquet")
+    pdc.add_argument("--out", required=True, help="manifest parquet output dir")
+    pdc.add_argument("--cores", type=int, default=toml_defaults.get("cores"))
+    pdc.add_argument(
+        "--modality",
+        choices=("text", "image", "video", "audio"),
+        default="text",
+        help="which corpus leg to scrub (default text: k-gram overlap)",
+    )
     pr = sub.add_parser(
         "recall",
         help="measure ANN recall@k (band/multiprobe/IVF/SQ8 vs exact "
@@ -335,6 +351,38 @@ def main(argv: list[str] | None = None) -> int:
                     "out": args.out,
                     "images": bool(args.images),
                     "counts": counts,
+                }
+            )
+        )
+        spark.stop()
+        return 0
+
+    if args.cmd == "decontam":
+        from .operators.multimodal import (
+            mm_audio_decontaminate,
+            mm_decontaminate,
+            mm_video_decontaminate,
+        )
+        from .operators.text import decontaminate
+
+        fns = {
+            "text": decontaminate,
+            "image": mm_decontaminate,
+            "video": mm_video_decontaminate,
+            "audio": mm_audio_decontaminate,
+        }
+        spark = get_spark(cores=args.cores)
+        fns[args.modality](spark, args.sf_dir).coalesce(8).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(
+            json.dumps(
+                {
+                    "cmd": "decontam",
+                    "out": args.out,
+                    "modality": args.modality,
+                    "n_contaminated": int(n),
                 }
             )
         )

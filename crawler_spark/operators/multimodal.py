@@ -2665,3 +2665,241 @@ AUDIO_DECONTAM_SQL = _containment_decontam_sql(
     _AUDIO_BAND_CTES, "ahash", "w", AUD_MATCH_MIN, MM_DECONTAM_EVAL_MOD,
     "aud", "clip_id",
 )
+
+
+# -- quality-argmax clip representatives (video/audio dedup_best_rep) --------
+#
+# The representative row of the modality matrix completed for the
+# multi-unit modalities (text: pipeline.dedup_best_rep; image:
+# mm_best_rep): per transitive duplicate CLASS (the mm_video/audio_groups
+# components over the shared containment edges), keep the member that
+# maximizes the modality's own exact-integer quality signal — the
+# mm_*_quality convention — with ties to the LOWEST id via the
+# (score, -k) struct max both engines compute bit-identically:
+#
+#   video: whole-clip gray total over ALL MM_FRAMES frames (the exposure
+#          signal). Deliberately NOT the sampled-frame spread: matched
+#          sampled frames are byte-identical by corpus construction, so
+#          any sampled-frame statistic is GROUP-CONSTANT and the argmax
+#          would degenerate to min-id; the unsampled frames are where
+#          group members actually differ.
+#   audio: Σv² energy (the quality view's silence signal, here on the
+#          dup corpus) — trim offset and DC remaster both move it, so a
+#          class's loudest/cleanest master wins over its derivates.
+#
+# One decode pass per modality: a fused kernel emits the containment
+# fingerprint AND the quality signal into a single checkpoint leaf (the
+# _phash_quality_index discipline), and everything downstream is JVM
+# expressions — groups ride `min_label_components` over the edge subgraph,
+# the argmax runs per label, singletons self-represent.
+
+def _frame_phash_tgrays(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(k, frame_no, fphash, tgray) per sampled frame in ONE decode pass:
+    the sampled-frame phashes (identical math to `_frame_phashes`) plus
+    the whole-clip ALL-frames gray total repeated per row (gray <= 765 a
+    pixel, 8*256 pixels a clip -> tgray <= ~1.6e6, far inside int64)."""
+    from ..engine.verify import _phash_batch
+
+    side = MM_SIDE
+    nf = len(_VID_FRAME_NOS)
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        blobs = pdf["bytes"].to_numpy()
+        full = np.stack([np.frombuffer(b, np.uint8) for b in blobs])
+        px = full[:, _MM_HDR:].reshape(n, MM_FRAMES, side, side, 3)
+        sampled = px[:, ::FRAME_STRIDE].reshape(n * nf, side, side, 3)
+        tgray = px.astype(np.int64).sum(axis=(1, 2, 3, 4))
+        yield pd.DataFrame(
+            {
+                "k": np.repeat(
+                    pdf["video_id"].str.slice(3).astype(np.int64).to_numpy(), nf
+                ),
+                "frame_no": np.tile(_VID_FRAME_NOS, n),
+                "fphash": _phash_batch(sampled),
+                "tgray": np.repeat(tgray, nf),
+            }
+        )
+
+
+def _video_rep_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = max(table_rows(sf_dir, "documents") // 4, 1)
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_video_corpus, schema=VIDEO_SCHEMA
+    )
+    return corpus.mapInPandas(
+        _frame_phash_tgrays, schema="k long, frame_no int, fphash long, tgray long"
+    ).localCheckpoint(eager=True)
+
+
+def _audio_rep_fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(k, win_no, ahash, wen) per window in ONE decode pass: the sign
+    fingerprints (identical math to `_audio_fingerprints`) plus the exact
+    per-window energy Σv² (v² <= ~4.2e6, 64 samples a window -> wen <=
+    ~2.7e8; the clip total stays <= ~4.3e9, far inside int64)."""
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        blobs = pdf["bytes"].to_numpy()
+        full = np.stack([np.frombuffer(b, np.uint8) for b in blobs])
+        pcm = (
+            np.ascontiguousarray(full[:, _MM_HDR:])
+            .view("<i2")
+            .reshape(n, N_AUDIO_SAMPLES)
+            .astype(np.int64)
+        )
+        wins = pcm.reshape(n * N_AUD_WINS, AUD_WIN)
+        packed = np.packbits((wins > 0).astype(np.uint8), axis=1)
+        yield pd.DataFrame(
+            {
+                "k": np.repeat(
+                    pdf["clip_id"].str.slice(3).astype(np.int64).to_numpy(),
+                    N_AUD_WINS,
+                ),
+                "win_no": np.tile(np.arange(N_AUD_WINS, dtype=np.int32), n),
+                "ahash": packed.view(">u8")[:, 0].astype(np.uint64).view(np.int64),
+                "wen": np.einsum("nw,nw->n", wins, wins),
+            }
+        )
+
+
+def _audio_rep_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = max(table_rows(sf_dir, "documents") // 4, 1)
+    n_classes = max((n + _AUD_DUP_OFFSETS - 1) // _AUD_DUP_OFFSETS, 1)
+    corpus = spark.range(0, n, 1, 8).mapInPandas(
+        _gen_audio_dup_corpus(n_classes), schema=AUDIO_SCHEMA
+    )
+    return corpus.mapInPandas(
+        _audio_rep_fps, schema="k long, win_no int, ahash long, wen long"
+    ).localCheckpoint(eager=True)
+
+
+def _containment_best_rep(idx: DataFrame, hash_col: str, unit_col: str,
+                          match_min: int, scored: DataFrame,
+                          prefix: str, id_name: str,
+                          max_iters: int = 16) -> DataFrame:
+    """Shared argmax-per-duplicate-class kernel for the clip modalities
+    (`mm_best_rep_frames`'s shape over `_containment_edges` instead of
+    `_phash_edges`): `scored` is a (k, score) frame derived from the SAME
+    checkpoint leaf as `idx`."""
+    from .dedup import min_label_components
+
+    edges = _containment_edges(idx, hash_col, unit_col, match_min).select(
+        F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b")
+    )
+    labels = min_label_components(edges, max_iters)
+    sized = labels.join(
+        labels.groupBy("label").agg(F.count("*").alias("group_size")), "label"
+    )
+    best = (
+        labels.join(scored, labels["doc_id"] == scored["k"])
+        .groupBy("label")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("k")).alias("nk"))).alias("m"))
+        .select("label", (-F.col("m.nk")).alias("rep_k"))
+    )
+    items = idx.select("k").distinct()
+    return (
+        items.join(sized, items["k"] == sized["doc_id"], "left")
+        .join(scored, "k")
+        .join(best, "label", "left")
+        .select(
+            F.concat(F.lit(prefix), F.col("k").cast("string")).alias(id_name),
+            F.concat(
+                F.lit(prefix), F.coalesce("label", F.col("k")).cast("string")
+            ).alias("group_id"),
+            F.coalesce("group_size", F.lit(1)).cast("long").alias("group_size"),
+            F.concat(
+                F.lit(prefix), F.coalesce("rep_k", F.col("k")).cast("string")
+            ).alias("rep_id"),
+            (F.col("k") == F.coalesce("rep_k", F.col("k"))).alias("is_rep"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
+def mm_video_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _video_rep_index(spark, sf_dir)
+    scored = idx.groupBy("k").agg(F.min("tgray").cast("long").alias("score"))
+    return _containment_best_rep(
+        idx.select("k", "frame_no", "fphash"), "fphash", "frame_no",
+        VID_MATCH_MIN, scored, "vid", "video_id",
+    )
+
+
+def mm_audio_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _audio_rep_index(spark, sf_dir)
+    scored = idx.groupBy("k").agg(F.sum("wen").cast("long").alias("score"))
+    return _containment_best_rep(
+        idx.select("k", "win_no", "ahash"), "ahash", "win_no",
+        AUD_MATCH_MIN, scored, "aud", "clip_id",
+    )
+
+
+def _containment_best_rep_sql(band_ctes: str, hash_col: str, unit_col: str,
+                              match_min: int, prefix: str, id_name: str,
+                              score_sql: str, src_cte: str) -> str:
+    """ONE twin generator for both clip-modality argmax reps, composing
+    the identical edge + reachability CTEs as the groups twins plus a
+    modality-specific exact-integer score CTE."""
+    return f"""
+WITH RECURSIVE {band_ctes},
+um AS (
+  SELECT DISTINCT a.k AS ka, a.{unit_col} AS ua, b.k AS kb
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.k < b.k
+  WHERE bit_count(xor(a.{hash_col}, b.{hash_col})) <= {PHASH_HAM_MAX}
+),
+edges AS (SELECT ka, kb FROM um GROUP BY ka, kb HAVING count(*) >= {match_min}),
+sym AS (SELECT ka AS a, kb AS b FROM edges
+        UNION ALL SELECT kb AS a, ka AS b FROM edges),
+kk AS (SELECT DISTINCT k FROM {src_cte}),
+reach(v, r) AS (
+  SELECT k AS v, k AS r FROM kk
+  UNION
+  SELECT s.b AS v, reach.r FROM reach JOIN sym s ON s.a = reach.v
+),
+grp AS (SELECT v AS k, min(r) AS gid FROM reach GROUP BY v),
+gs AS (SELECT gid, count(*)::bigint AS group_size FROM grp GROUP BY gid),
+sc AS ({score_sql}),
+r AS (
+  SELECT gid, k AS rep_k FROM (
+    SELECT grp.gid, grp.k,
+           row_number() OVER (
+             PARTITION BY gid ORDER BY score DESC, grp.k ASC) AS rn
+    FROM grp JOIN sc ON grp.k = sc.k
+  ) WHERE rn = 1
+)
+SELECT '{prefix}' || grp.k AS {id_name},
+       '{prefix}' || gid AS group_id,
+       gs.group_size,
+       '{prefix}' || r.rep_k AS rep_id,
+       (grp.k = r.rep_k) AS is_rep,
+       sc.score
+FROM grp
+JOIN gs USING (gid)
+JOIN r USING (gid)
+JOIN sc ON grp.k = sc.k
+"""
+
+
+VIDEO_BEST_REP_SQL = _containment_best_rep_sql(
+    _VIDEO_BAND_CTES, "fphash", "f", VID_MATCH_MIN, "vid", "video_id",
+    # ALL-frames gray total (ks is the band chain's clip id CTE; the band
+    # chain's own g/tot cover sampled frames only)
+    f"""SELECT k, sum((k*7919 + f.range*523 + i.range*131 + j.range*17) % 256
+           + (k*7919 + f.range*523 + i.range*131 + j.range*17 + 101) % 256
+           + (k*7919 + f.range*523 + i.range*131 + j.range*17 + 202) % 256
+         )::bigint AS score
+  FROM ks, range(0, {MM_FRAMES}) f, range(0, {MM_SIDE}) i, range(0, {MM_SIDE}) j
+  GROUP BY k""",
+    "ph",
+)
+AUDIO_BEST_REP_SQL = _containment_best_rep_sql(
+    _AUDIO_BAND_CTES, "ahash", "w", AUD_MATCH_MIN, "aud", "clip_id",
+    # Σv² energy over the dup-corpus closed form (s is the band chain's
+    # sample CTE)
+    "SELECT k, sum(v*v)::bigint AS score FROM s GROUP BY k",
+    "ah",
+)

@@ -203,3 +203,50 @@ def test_cli_compact(tmp_path):
         "--page-size", "20", "--resume",
     )
     assert resumed["rounds"] > 3
+
+
+def test_cli_decontam(tmp_path):
+    """`decontam` subcommand: write the contamination manifest for a
+    modality and verify the summary count against the parquet AND the
+    operator's DuckDB twin (text leg: no train doc flagged is an eval doc;
+    image leg exercises the modality switch)."""
+    import duckdb
+
+    for modality, id_col, twin_attr in (
+        ("text", "doc_id", ("crawler_spark.operators.text", "DECONTAM_SQL")),
+        ("image", "image_id",
+         ("crawler_spark.operators.multimodal", "MM_DECONTAM_SQL")),
+    ):
+        out_dir = str(tmp_path / f"decontam_{modality}")
+        p = subprocess.run(
+            [
+                sys.executable, "-m", "crawler_spark.cli", "decontam",
+                "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir,
+                "--cores", "8", "--modality", modality,
+            ],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        assert line, p.stderr[-800:]
+        out = json.loads(line[-1])
+        assert out["cmd"] == "decontam" and out["modality"] == modality
+        import importlib
+
+        mod_name, attr = twin_attr
+        sql = getattr(importlib.import_module(mod_name), attr)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = con.execute(sql).df().sort_values(id_col).reset_index(drop=True)
+        got = (
+            duckdb.sql(f"select * from read_parquet('{out_dir}/*.parquet')")
+            .df()
+            .sort_values(id_col)
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        assert out["n_contaminated"] == len(want)
+        assert got.astype(str).equals(want.astype(str)), modality
+        if modality == "text":
+            assert (want["doc_id"] % 10 != 0).all()  # eval docs never flagged

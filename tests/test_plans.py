@@ -824,3 +824,22 @@ def test_decontam_broadcast_probe_plan(spark):
         plan = df._jdf.queryExecution().analyzed().toString()
         assert "MapInPandas" not in plan, fn.__name__
         assert "ExistingRDD" in plan or "LogicalRDD" in plan  # checkpoint leaf
+
+
+def test_clip_best_rep_single_decode_pass(spark):
+    """The clip argmax reps fuse fingerprint + quality signal into ONE
+    decode pass: everything downstream of the checkpointed rep-index leaf
+    (containment edges, components, argmax) is JVM expressions — zero
+    MapInPandas stages, no cartesian."""
+    from crawler_spark.operators.multimodal import (
+        mm_audio_best_rep,
+        mm_video_best_rep,
+    )
+    from crawler_spark.plans import assert_no_cartesian
+
+    for fn in (mm_video_best_rep, mm_audio_best_rep):
+        df = fn(spark, SF)
+        assert_no_cartesian(df)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "MapInPandas" not in plan, fn.__name__
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan  # checkpoint leaf

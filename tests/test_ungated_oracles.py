@@ -29,6 +29,8 @@ from crawler_spark.operators.multimodal import (
     MM_DECONTAM_SQL,
     VIDEO_DECONTAM_SQL,
     AUDIO_DECONTAM_SQL,
+    VIDEO_BEST_REP_SQL,
+    AUDIO_BEST_REP_SQL,
     PHASH_GROUPS_SQL,
     VIDEO_GROUPS_SQL,
     VIDEO_QUALITY_SQL,
@@ -47,6 +49,7 @@ from crawler_spark.operators.multimodal import (
     mm_video_dedup_incremental,
     mm_pair_curation,
     mm_audio_groups,
+    mm_audio_best_rep,
     mm_audio_decontaminate,
     mm_audio_quality,
     mm_audio_split,
@@ -55,6 +58,7 @@ from crawler_spark.operators.multimodal import (
     mm_phash_groups,
     mm_phash_topk,
     mm_split,
+    mm_video_best_rep,
     mm_video_decontaminate,
     mm_video_groups,
     mm_video_quality,
@@ -291,6 +295,11 @@ def test_ungated_builders_match_oracle(spark):
         ("mm_decontaminate", mm_decontaminate, MM_DECONTAM_SQL),
         ("mm_video_decontaminate", mm_video_decontaminate, VIDEO_DECONTAM_SQL),
         ("mm_audio_decontaminate", mm_audio_decontaminate, AUDIO_DECONTAM_SQL),
+        # representative row for the clip modalities: quality-argmax rep
+        # per transitive dup class (exposure total / Σv² energy), one
+        # shared kernel + twin generator
+        ("mm_video_best_rep", mm_video_best_rep, VIDEO_BEST_REP_SQL),
+        ("mm_audio_best_rep", mm_audio_best_rep, AUDIO_BEST_REP_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
@@ -1293,6 +1302,9 @@ def test_round4_ops_twin_at_bench_scale(spark):
         ("mm_decontaminate", mm_decontaminate, MM_DECONTAM_SQL),
         ("mm_video_decontaminate", mm_video_decontaminate, VIDEO_DECONTAM_SQL),
         ("mm_audio_decontaminate", mm_audio_decontaminate, AUDIO_DECONTAM_SQL),
+        # clip representative row at bench scale
+        ("mm_video_best_rep", mm_video_best_rep, VIDEO_BEST_REP_SQL),
+        ("mm_audio_best_rep", mm_audio_best_rep, AUDIO_BEST_REP_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -2464,3 +2476,42 @@ def test_decontam_nondefault_eval_mod(spark):
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
+
+
+def test_clip_best_rep_policy_differs_from_min_id(spark):
+    """The clip-modality argmax reps are a real policy, not an id
+    accident (the mm_best_rep / dedup_best_rep pin, per modality):
+
+      1. every multi-group's rep IS the (score DESC, k ASC) argmax over
+         its members (recomputed row-by-row from the op's own output);
+      2. singletons self-represent with is_rep true;
+      3. the group partition matches the modality's groups view exactly
+         (same edges, same components — the shared-kernel guarantee);
+      4. a measurable number of multi-groups elect a NON-min-id rep
+         (min-id and argmax provably disagree on this corpus).
+    """
+    for fn, groups_fn, id_name in (
+        (mm_video_best_rep, mm_video_groups, "video_id"),
+        (mm_audio_best_rep, mm_audio_groups, "clip_id"),
+    ):
+        df = fn(spark, SF).toPandas()
+        is_rep_of = dict(zip(df[id_name], df["is_rep"]))
+        gv = groups_fn(spark, SF).toPandas()
+        assert dict(zip(gv[id_name], gv["group_id"])) == dict(
+            zip(df[id_name], df["group_id"])
+        ), id_name
+        nonmin = 0
+        for gid, g in df.groupby("group_id"):
+            rep = g["rep_id"].iloc[0]
+            assert (g["rep_id"] == rep).all(), gid
+            want = g.sort_values(
+                ["score", id_name],
+                ascending=[False, True],
+                key=lambda s: s if s.name == "score" else s.str[3:].astype(int),
+            ).iloc[0][id_name]
+            assert rep == want, (gid, rep, want)
+            assert bool(is_rep_of[rep]), rep
+            assert int((g["is_rep"]).sum()) == 1, gid
+            if len(g) > 1 and rep != min(g[id_name], key=lambda x: int(x[3:])):
+                nonmin += 1
+        assert nonmin > 0, (id_name, "argmax degenerated to min-id")
