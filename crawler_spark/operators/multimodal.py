@@ -2573,24 +2573,26 @@ FROM hits GROUP BY k
 MM_DECONTAM_SQL = _mm_decontam_sql()
 
 
-def _containment_decontam(idx: DataFrame, hash_col: str, unit_col: str,
-                          match_min: int, eval_mod: int) -> DataFrame:
+def _containment_decontam_frames(tr: DataFrame, ev: DataFrame, hash_col: str,
+                                 unit_col: str, match_min: int) -> DataFrame:
     """The clip-modality decontamination kernel shared by the video and
     audio scrubs (the asymmetric counterpart of `_containment_edges`, as
     `_containment_gate` is for admission): a train clip is contaminated by
     an eval clip when >= match_min of its DISTINCT units (sampled frames /
     fingerprint windows) have a Hamming-<=PHASH_HAM_MAX match anywhere in
-    that eval clip. Eval bands broadcast; the eval unit number is dropped
-    before the join (match-anywhere, the trim/shift tolerance), so the
-    probe ships only (band_val, ke, hash) tuples. Output per contaminated
-    train clip: (k, n_eval_clips, max_matched)."""
-    bands = _band_stack(idx, hash_col, "k", unit_col)
-    ev = bands.filter(F.col("k") % eval_mod == 0).select(
+    that eval clip. `tr` and `ev` are (k, unit, hash) fingerprint frames.
+    Eval bands broadcast; the eval unit number is dropped before the join
+    (match-anywhere, the trim/shift tolerance), so the probe ships only
+    (band_val, ke, hash) tuples. Output per contaminated train clip:
+    (k, n_eval_clips, max_matched). Stateless given a static eval index —
+    the same frames serve per micro-batch at ingest
+    (`streaming.serve_clip_decontam_gate`)."""
+    trb = _band_stack(tr, hash_col, "k", unit_col)
+    evb = _band_stack(ev, hash_col, "k").select(
         F.col("k").alias("ke"), F.col(hash_col).alias("pe"), "band_no", "band_val"
     )
-    tr = bands.filter(F.col("k") % eval_mod != 0)
     matched = (
-        tr.join(F.broadcast(ev), ["band_no", "band_val"])
+        trb.join(F.broadcast(evb), ["band_no", "band_val"])
         .filter(F.bit_count(F.col(hash_col).bitwiseXOR(F.col("pe"))) <= PHASH_HAM_MAX)
         .select("k", unit_col, "ke")
         .distinct()  # one vote per matched unit, however many hits in ke
@@ -2603,6 +2605,17 @@ def _containment_decontam(idx: DataFrame, hash_col: str, unit_col: str,
     return pairs.groupBy("k").agg(
         F.countDistinct("ke").alias("n_eval_clips"),
         F.max("n_matched").alias("max_matched"),
+    )
+
+
+def _containment_decontam(idx: DataFrame, hash_col: str, unit_col: str,
+                          match_min: int, eval_mod: int) -> DataFrame:
+    """In-corpus stand-in split (k % eval_mod == 0 is the eval suite) over
+    one checkpointed index, feeding the two-frame kernel above."""
+    return _containment_decontam_frames(
+        idx.filter(F.col("k") % eval_mod != 0),
+        idx.filter(F.col("k") % eval_mod == 0),
+        hash_col, unit_col, match_min,
     )
 
 

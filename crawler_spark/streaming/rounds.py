@@ -496,6 +496,54 @@ def serve_mm_ingest_gate(images_stream: DataFrame, index_dir: str,
     return images_stream.writeStream.foreachBatch(_admit)
 
 
+def serve_clip_decontam_gate(clips_stream: DataFrame, eval_index_dir: str,
+                             verdict_dir: str, modality: str = "video"):
+    """Clip decontamination ON THE INGEST STREAM — the video/audio legs of
+    the streaming decontamination row (text: stream_decontaminate, image:
+    stream_mm_decontaminate). The containment verdict needs two chained
+    aggregations (per-pair unit count, then per-clip rollup), which a pure
+    stream transform cannot express, so this rides foreachBatch exactly
+    like `serve_mm_ingest_gate`: each micro-batch of fingerprint rows
+    (k, frame_no, fphash) / (k, win_no, ahash) — a clip's unit rows ride
+    ONE micro-batch, they are emitted together at ingest — is verdicted
+    against the STATIC eval fingerprint index at `eval_index_dir` via the
+    batch kernel (`_containment_decontam_frames`, eval bands broadcast),
+    and verdicts land partitioned by batch_id with dynamic-partition
+    OVERWRITE, so a replayed micro-batch rewrites its own partition and
+    the verdict table converges to the clean run's rows. Returns the
+    DataStreamWriter; the caller sets trigger/checkpoint and starts.
+    Stream == batch asserted in tests/test_streaming.py."""
+    from ..operators.multimodal import (
+        AUD_MATCH_MIN,
+        VID_MATCH_MIN,
+        _containment_decontam_frames,
+    )
+
+    hash_col, unit_col, match_min = {
+        "video": ("fphash", "frame_no", VID_MATCH_MIN),
+        "audio": ("ahash", "win_no", AUD_MATCH_MIN),
+    }[modality]
+
+    def _scrub(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # the kernel walks the batch twice (bands, the pair rollup); pin
+        # one evaluation of the ephemeral micro-batch frame
+        batch = batch_df.select("k", unit_col, hash_col).localCheckpoint(
+            eager=True
+        )
+        ev = spark.read.parquet(eval_index_dir)
+        (
+            _containment_decontam_frames(batch, ev, hash_col, unit_col, match_min)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(verdict_dir)
+        )
+
+    return clips_stream.writeStream.foreachBatch(_scrub)
+
+
 def stream_recrawl_schedule(fetches: DataFrame) -> DataFrame:
     """Freshness scheduling ON the fetch stream — the streaming twin of
     `operators.relational.crawl_recrawl_schedule`: per-page Poisson

@@ -834,3 +834,61 @@ def test_stream_mm_decontaminate_matches_batch_and_is_idempotent(spark, tmp_path
     want["k"] = want["image_id"].str.slice(3).astype("int64")
     want = want.set_index("k")[["n_eval_imgs", "min_ham"]].sort_index()
     assert got.astype("int64").equals(want.astype("int64"))
+
+
+def test_serve_clip_decontam_gate_matches_batch(spark, tmp_path):
+    """The foreachBatch clip-decontamination gate: verdicts across
+    micro-batches must union to the batch operator's output, and a
+    redelivered batch must produce bit-identical verdict rows (the verdict
+    is a pure function of the clip vs the STATIC eval index, so replay is
+    harmless by construction — a consumer dedupes by clip)."""
+    from crawler_spark.operators.multimodal import (
+        MM_DECONTAM_EVAL_MOD,
+        _video_phash_index,
+        mm_video_decontaminate,
+    )
+    from crawler_spark.streaming import serve_clip_decontam_gate
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _video_phash_index(spark, sf_dir)
+    ev_dir = str(tmp_path / "eval_idx")
+    idx.filter(f"k % {MM_DECONTAM_EVAL_MOD} = 0").write.parquet(ev_dir)
+
+    train = idx.filter(f"k % {MM_DECONTAM_EVAL_MOD} <> 0")
+    src = str(tmp_path / "clips")
+    b1 = train.filter("k % 3 = 1")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    train.filter("k % 3 <> 1").coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)  # duplicate delivery
+
+    verdict_dir = str(tmp_path / "verdicts")
+    stream = (
+        spark.readStream.schema("k long, frame_no int, fphash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        serve_clip_decontam_gate(stream, ev_dir, verdict_dir, "video")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(verdict_dir).toPandas()
+    # redelivery produced duplicate rows ONLY with identical verdicts
+    dedup = got.drop_duplicates(subset=["k", "n_eval_clips", "max_matched"])
+    assert dedup["k"].is_unique
+    # at least one clip verdicted twice (the duplicate delivery is real)
+    assert got["k"].duplicated().any()
+
+    want = mm_video_decontaminate(spark, sf_dir).toPandas()
+    want_map = {
+        int(r["video_id"][3:]): (int(r["n_eval_clips"]), int(r["max_matched"]))
+        for _, r in want.iterrows()
+    }
+    got_map = {
+        int(r["k"]): (int(r["n_eval_clips"]), int(r["max_matched"]))
+        for _, r in dedup.iterrows()
+    }
+    assert got_map == want_map
