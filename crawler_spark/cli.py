@@ -208,6 +208,14 @@ def main(argv: list[str] | None = None) -> int:
         default="text",
         help="which corpus leg to scrub (default text: k-gram overlap)",
     )
+    pca = sub.add_parser(
+        "card",
+        help="print the cross-modality corpus audit card: the dedup / "
+        "quality / decontam survival funnel per modality (12 rows)",
+    )
+    pca.add_argument("--config", default=None)
+    pca.add_argument("--sf-dir", required=True, help="dir of documents parquet")
+    pca.add_argument("--cores", type=int, default=toml_defaults.get("cores"))
     pr = sub.add_parser(
         "recall",
         help="measure ANN recall@k (band/multiprobe/IVF/SQ8 vs exact "
@@ -351,6 +359,30 @@ def main(argv: list[str] | None = None) -> int:
                     "out": args.out,
                     "images": bool(args.images),
                     "counts": counts,
+                }
+            )
+        )
+        spark.stop()
+        return 0
+
+    if args.cmd == "card":
+        from .operators.pipeline import corpus_card
+
+        spark = get_spark(cores=args.cores)
+        rows = corpus_card(spark, args.sf_dir).collect()  # bounded: 12 rows
+        print(
+            json.dumps(
+                {
+                    "cmd": "card",
+                    "rows": [
+                        {
+                            "modality": r["modality"],
+                            "stage": r["stage"],
+                            "n_items": int(r["n_items"]),
+                            "n_selected": int(r["n_selected"]),
+                        }
+                        for r in rows
+                    ],
                 }
             )
         )

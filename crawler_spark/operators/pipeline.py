@@ -572,3 +572,176 @@ SELECT doc_id, group_id, group_size,
             ELSE 'test' END AS split
 FROM k
 """
+
+
+# -- cross-modality corpus card (the audit a pipeline runs nightly) ----------
+def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One audit table across the whole modality matrix: for each modality
+    (text / image / video / audio) and each survival gate (dedup /
+    quality / decontam), how many items enter and how many survive —
+
+      dedup:    n_items = corpus,        n_selected = class representatives
+      quality:  n_items = gated corpus,  n_selected = keep verdicts
+      decontam: n_items = train split,   n_selected = uncontaminated
+
+    built purely by AGGREGATING the already-verified matrix views (the
+    pipeline_clean_corpus composition discipline, one level up): groups
+    views supply is_rep, quality views keep, decontamination views the
+    flagged counts. Each row states its OWN universe — the audio quality
+    gate measures the feature corpus while audio dedup/decontam measure
+    the dup-class corpus, so rates are never mixed across views.
+
+    Scale shape: 12 one-row aggregates over plans whose shapes are
+    individually plan-asserted elsewhere, unioned; the only new dataflow
+    is one-row crossJoins (the lineage-agg idiom) for the decontam rows.
+    Output: (modality, stage, n_items, n_selected), 12 rows."""
+    from functools import reduce
+
+    from .common import table_rows
+    from .dedup import dedup_groups
+    from .multimodal import (
+        MM_DECONTAM_EVAL_MOD,
+        mm_audio_decontaminate,
+        mm_audio_groups,
+        mm_audio_quality,
+        mm_decontaminate,
+        mm_phash_groups,
+        mm_quality_filter,
+        mm_video_decontaminate,
+        mm_video_groups,
+        mm_video_quality,
+    )
+    from .text import decontaminate, text_metrics
+
+    def tagged(modality: str, stage: str, one_row: DataFrame) -> DataFrame:
+        return one_row.select(
+            F.lit(modality).alias("modality"),
+            F.lit(stage).alias("stage"),
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("n_selected").cast("long").alias("n_selected"),
+        )
+
+    def gate(modality: str, stage: str, df: DataFrame, sel: str) -> DataFrame:
+        return tagged(
+            modality, stage,
+            df.agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.col(sel).cast("long")).alias("n_selected"),
+            ),
+        )
+
+    def dec(modality: str, n_train: DataFrame, flagged: DataFrame) -> DataFrame:
+        # two one-row frames -> one row (the bounded lineage-agg idiom)
+        return tagged(
+            modality, "decontam",
+            n_train.crossJoin(
+                flagged.agg(F.count("*").alias("n_flagged"))
+            ).select(
+                "n_items", (F.col("n_items") - F.col("n_flagged")).alias("n_selected")
+            ),
+        )
+
+    def lit_train(n: int) -> DataFrame:
+        # clip/image ids are 0..n-1 by construction, so the train-universe
+        # size is the closed form n - ceil(n / eval_mod) (twin-identical)
+        m = MM_DECONTAM_EVAL_MOD
+        return spark.range(1).select(
+            F.lit(n - (n + m - 1) // m).alias("n_items")
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = table_rows(sf_dir, "documents")
+    rows = [
+        gate("text", "dedup", dedup_groups(spark, sf_dir), "is_rep"),
+        gate("text", "quality", text_metrics(spark, sf_dir), "keep"),
+        # text doc_ids are whatever the table carries - count the real split
+        dec(
+            "text",
+            docs.filter(f"doc_id % {DECONTAM_EVAL_MOD} <> 0").agg(
+                F.count("*").alias("n_items")
+            ),
+            decontaminate(spark, sf_dir),
+        ),
+        gate("image", "dedup", mm_phash_groups(spark, sf_dir), "is_rep"),
+        gate("image", "quality", mm_quality_filter(spark, sf_dir), "keep"),
+        dec("image", lit_train(n_docs // 5), mm_decontaminate(spark, sf_dir)),
+        gate("video", "dedup", mm_video_groups(spark, sf_dir), "is_rep"),
+        gate("video", "quality", mm_video_quality(spark, sf_dir), "keep"),
+        dec("video", lit_train(max(n_docs // 4, 1)),
+            mm_video_decontaminate(spark, sf_dir)),
+        gate("audio", "dedup", mm_audio_groups(spark, sf_dir), "is_rep"),
+        gate("audio", "quality", mm_audio_quality(spark, sf_dir), "keep"),
+        dec("audio", lit_train(max(n_docs // 4, 1)),
+            mm_audio_decontaminate(spark, sf_dir)),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+def _corpus_card_sql() -> str:
+    """Twin GENERATED by wrapping the component twins as subqueries — the
+    card and the views it audits cannot drift because they ARE the same
+    SQL blocks."""
+    from .multimodal import (
+        AUDIO_DECONTAM_SQL,
+        AUDIO_GROUPS_SQL,
+        AUDIO_QUALITY_SQL,
+        MM_DECONTAM_EVAL_MOD,
+        MM_DECONTAM_SQL,
+        PHASH_GROUPS_SQL,
+        QUALITY_SQL,
+        VIDEO_DECONTAM_SQL,
+        VIDEO_GROUPS_SQL,
+        VIDEO_QUALITY_SQL,
+    )
+
+    def gate(modality: str, stage: str, sql: str, sel: str) -> str:
+        return (
+            f"SELECT '{modality}' AS modality, '{stage}' AS stage,\n"
+            f"       count(*)::bigint AS n_items,\n"
+            f"       sum(({sel})::int)::bigint AS n_selected\nFROM ({sql})"
+        )
+
+    def dec(modality: str, n_expr: str, sql: str) -> str:
+        return (
+            f"SELECT '{modality}' AS modality, 'decontam' AS stage,\n"
+            f"       ({n_expr})::bigint AS n_items,\n"
+            f"       (({n_expr}) - (SELECT count(*) FROM ({sql})))::bigint"
+            f" AS n_selected"
+        )
+
+    m = MM_DECONTAM_EVAL_MOD
+    text_n = (
+        f"SELECT count(*) FROM documents WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0"
+    )
+    img_n = "(SELECT count(*) // 5 FROM documents)"
+    clip_n = "(SELECT greatest(count(*) // 4, 1) FROM documents)"
+
+    def train(n: str) -> str:
+        return f"({n} - ({n} + {m - 1}) // {m})"
+
+    return "\nUNION ALL\n".join(
+        [
+            gate("text", "dedup", GROUPS_SQL, "is_rep"),
+            gate("text", "quality", METRICS_SQL, "keep"),
+            dec("text", text_n, DECONTAM_SQL),
+            gate("image", "dedup", PHASH_GROUPS_SQL, "is_rep"),
+            gate("image", "quality", QUALITY_SQL, "keep"),
+            dec("image", train(img_n), MM_DECONTAM_SQL),
+            gate("video", "dedup", VIDEO_GROUPS_SQL, "is_rep"),
+            gate("video", "quality", VIDEO_QUALITY_SQL, "keep"),
+            dec("video", train(clip_n), VIDEO_DECONTAM_SQL),
+            gate("audio", "dedup", AUDIO_GROUPS_SQL, "is_rep"),
+            gate("audio", "quality", AUDIO_QUALITY_SQL, "keep"),
+            dec("audio", train(clip_n), AUDIO_DECONTAM_SQL),
+        ]
+    )
+
+
+# CORPUS_CARD_SQL is served lazily (PEP 562): the generator imports
+# multimodal's twins, and multimodal's split twin imports this module's
+# split constants — an eager assignment here would be a circular import
+# at package init. `from .pipeline import CORPUS_CARD_SQL` still works.
+def __getattr__(name: str) -> str:
+    if name == "CORPUS_CARD_SQL":
+        return _corpus_card_sql()
+    raise AttributeError(name)

@@ -250,3 +250,37 @@ def test_cli_decontam(tmp_path):
         assert got.astype(str).equals(want.astype(str)), modality
         if modality == "text":
             assert (want["doc_id"] % 10 != 0).all()  # eval docs never flagged
+
+
+def test_cli_card(tmp_path):
+    """`card` subcommand: the 12-row cross-modality audit funnel, checked
+    for shape and against the DuckDB twin's cells."""
+    import duckdb
+
+    p = subprocess.run(
+        [
+            sys.executable, "-m", "crawler_spark.cli", "card",
+            "--sf-dir", "/root/testdata/sf0.001", "--cores", "8",
+        ],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    assert line, p.stderr[-800:]
+    out = json.loads(line[-1])
+    assert out["cmd"] == "card" and len(out["rows"]) == 12
+    got = {
+        (r["modality"], r["stage"]): (r["n_items"], r["n_selected"])
+        for r in out["rows"]
+    }
+    from crawler_spark.operators.pipeline import CORPUS_CARD_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = {
+        (m, s): (int(n), int(k))
+        for m, s, n, k in con.execute(CORPUS_CARD_SQL).fetchall()
+    }
+    assert got == want

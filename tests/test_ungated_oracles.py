@@ -70,9 +70,11 @@ from crawler_spark.operators.multimodal import (
 from crawler_spark.operators.dedup import INCREMENTAL_SQL, dedup_incremental
 from crawler_spark.operators.pipeline import (
     BEST_REP_SQL,
+    CORPUS_CARD_SQL,
     PIPELINE_SQL,
     SOURCE_ROLLUP_SQL,
     SPLIT_SQL,
+    corpus_card,
     dedup_best_rep,
     pipeline_clean_corpus,
     pipeline_split,
@@ -300,6 +302,9 @@ def test_ungated_builders_match_oracle(spark):
         # shared kernel + twin generator
         ("mm_video_best_rep", mm_video_best_rep, VIDEO_BEST_REP_SQL),
         ("mm_audio_best_rep", mm_audio_best_rep, AUDIO_BEST_REP_SQL),
+        # cross-modality corpus card: 12 one-row aggregates over the
+        # matrix views, twin generated by wrapping the component twins
+        ("corpus_card", corpus_card, CORPUS_CARD_SQL),
     ]:
         ok, msg = compare_one(spark, con, name, fn, sql, SF)
         assert ok, (name, msg)
@@ -1305,6 +1310,8 @@ def test_round4_ops_twin_at_bench_scale(spark):
         # clip representative row at bench scale
         ("mm_video_best_rep", mm_video_best_rep, VIDEO_BEST_REP_SQL),
         ("mm_audio_best_rep", mm_audio_best_rep, AUDIO_BEST_REP_SQL),
+        # the audit card over all of the above
+        ("corpus_card", corpus_card, CORPUS_CARD_SQL),
     ):
         ok, msg = compare_one(spark, con, name, fn, sql, sf)
         assert ok, (name, msg)
@@ -2515,3 +2522,40 @@ def test_clip_best_rep_policy_differs_from_min_id(spark):
             if len(g) > 1 and rep != min(g[id_name], key=lambda x: int(x[3:])):
                 nonmin += 1
         assert nonmin > 0, (id_name, "argmax degenerated to min-id")
+
+
+def test_corpus_card_consistent_with_component_views(spark):
+    """The card must be an honest AGGREGATE of the matrix views it audits,
+    not a parallel implementation: cell-by-cell cross-check against the
+    component operators at sf0.001, plus shape invariants (exactly
+    4 modalities x 3 stages, n_selected <= n_items everywhere, every
+    funnel row non-vacuous both ways on this corpus)."""
+    from crawler_spark.operators.dedup import dedup_groups
+    from crawler_spark.operators.multimodal import (
+        MM_DECONTAM_EVAL_MOD,
+        mm_phash_groups,
+        mm_video_quality,
+    )
+
+    card = corpus_card(spark, SF).toPandas()
+    cell = {
+        (r["modality"], r["stage"]): (int(r["n_items"]), int(r["n_selected"]))
+        for _, r in card.iterrows()
+    }
+    assert len(cell) == 12 == len(card)
+    assert {m for m, _ in cell} == {"text", "image", "video", "audio"}
+    assert {s for _, s in cell} == {"dedup", "quality", "decontam"}
+    for (m, s), (n, k) in cell.items():
+        assert 0 < k < n or (s != "decontam" and 0 < k <= n), (m, s, n, k)
+
+    g = dedup_groups(spark, SF).toPandas()
+    assert cell[("text", "dedup")] == (len(g), int(g["is_rep"].sum()))
+    pg = mm_phash_groups(spark, SF).toPandas()
+    assert cell[("image", "dedup")] == (len(pg), int(pg["is_rep"].sum()))
+    vq = mm_video_quality(spark, SF).toPandas()
+    assert cell[("video", "quality")] == (len(vq), int(vq["keep"].sum()))
+    dec = mm_decontaminate(spark, SF).toPandas()
+    n_img = len(pg)
+    m = MM_DECONTAM_EVAL_MOD
+    train = n_img - (n_img + m - 1) // m
+    assert cell[("image", "decontam")] == (train, train - len(dec))
