@@ -2559,3 +2559,94 @@ def test_corpus_card_consistent_with_component_views(spark):
     m = MM_DECONTAM_EVAL_MOD
     train = n_img - (n_img + m - 1) // m
     assert cell[("image", "decontam")] == (train, train - len(dec))
+
+
+def test_decontam_kernels_match_python_on_random_inputs(spark):
+    """Randomized cross-check of the decontamination kernels against a
+    pure-Python reference on ADVERSARIAL random fingerprints, independent
+    of the corpora's designed dup structure: 2-bit band values make every
+    candidacy/verification case occur — shared band with Hamming <= max
+    (hit), shared band with Hamming > max (verified away), Hamming <= max
+    with NO shared band (LSH candidacy must reject: the reference enforces
+    band-share too, so a kernel that skipped the band join would FAIL
+    here), and clips straddling match_min."""
+    import random
+
+    from crawler_spark.operators.multimodal import (
+        N_PHASH_BANDS,
+        PHASH_BAND_BITS,
+        PHASH_HAM_MAX,
+        _containment_decontam_frames,
+        mm_decontaminate_frames,
+    )
+
+    mask = (1 << PHASH_BAND_BITS) - 1
+
+    def band_hit(x: int, y: int) -> bool:
+        if bin(x ^ y).count("1") > PHASH_HAM_MAX:
+            return False
+        return any(
+            ((x >> (PHASH_BAND_BITS * i)) & mask)
+            == ((y >> (PHASH_BAND_BITS * i)) & mask)
+            for i in range(N_PHASH_BANDS)
+        )
+
+    for seed in range(5):
+        rng = random.Random(seed)
+
+        def rand_hash() -> int:
+            return sum(
+                rng.getrandbits(2) << (PHASH_BAND_BITS * i)
+                for i in range(N_PHASH_BANDS)
+            )
+
+        # -- clip kernel: (k, unit, hash) frames, match_min = 2 ------------
+        n_units, match_min = 4, 2
+        tr = [(k, u, rand_hash()) for k in range(12) for u in range(n_units)]
+        ev = [(k, u, rand_hash()) for k in range(5) for u in range(n_units)]
+        want = {}
+        for k in range(12):
+            ms = []
+            for e in range(5):
+                m = sum(
+                    any(band_hit(th, eh) for (ee, _, eh) in ev if ee == e)
+                    for (tk, _, th) in tr
+                    if tk == k
+                )
+                if m >= match_min:
+                    ms.append(m)
+            if ms:
+                want[k] = (len(ms), max(ms))
+        got = {
+            r["k"]: (r["n_eval_clips"], r["max_matched"])
+            for r in _containment_decontam_frames(
+                spark.createDataFrame(tr, "k long, u int, h long"),
+                spark.createDataFrame(ev, "k long, u int, h long"),
+                "h", "u", match_min,
+            ).collect()
+        }
+        assert got == want, (seed, got, want)
+        assert want, seed  # non-vacuous at every seed
+
+        # -- image kernel: in-corpus mod split over one (k, phash) index ---
+        idx = [(k, rand_hash()) for k in range(30)]
+        mod = 5
+        iwant = {}
+        for k, h in idx:
+            if k % mod == 0:
+                continue
+            hams = [
+                bin(h ^ eh).count("1")
+                for ek, eh in idx
+                if ek % mod == 0 and band_hit(h, eh)
+            ]
+            if hams:
+                iwant[k] = (len(hams), min(hams))
+        igot = {
+            r["k"]: (r["n_eval_imgs"], r["min_ham"])
+            for r in mm_decontaminate_frames(
+                spark.createDataFrame(idx, "k long, phash long"), mod
+            ).collect()
+        }
+        assert igot == iwant, (seed, igot, iwant)
+        assert iwant, seed
